@@ -1,0 +1,118 @@
+"""MERGE semantics (SURVEY.md §2.3 J1/J2) as pure DataFrame algebra.
+
+The reference uses Delta MERGE two ways:
+
+* **insert-only dedup merge** — ``whenNotMatchedInsertAll`` keyed on
+  ``(ticker, date)`` (pipelines/stock_api/ingest_stocks.py:84-100): append
+  only rows whose key is absent from the target.
+* **upsert merge** — dbt incremental ``unique_key`` materialization
+  (models/silver/daily_stocks.sql:2-5, models/gold/monthly_stock_summary.sql:1-5):
+  update-or-insert, source wins on key match.
+
+Delta isn't in this container, so both are expressed as join algebra over
+any DataFrame (Delta-backed or Parquet-backed). When delta-spark IS on the
+classpath, ``merge_into_table`` uses the native, transactional
+``MERGE INTO`` instead.
+
+Scale notes
+-----------
+- Both shapes are a single equi-join on the merge key: Catalyst broadcasts
+  the source when it's small (the common incremental case — a day's
+  increment vs. a year's table), otherwise AQE picks sort-merge with skew
+  splitting.
+- ``left_anti`` is the cheapest join flavor (no payload columns from the
+  probe side cross the shuffle).
+- For repeated merges into the same huge table, bucket the table by the
+  merge key (``writer.bucketBy``) so every merge join is shuffle-free on
+  the target side.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def dedup_source(
+    source: DataFrame, keys: Sequence[str], order_by: Sequence[str] | None = None
+) -> DataFrame:
+    """Collapse duplicate merge keys inside the source batch.
+
+    Delta MERGE raises on duplicate source keys; our policy keeps the first
+    row per key under ``order_by`` (deterministic), or an arbitrary-but-
+    stable max-by-all-columns when no ordering is given.
+    """
+    if order_by:
+        w = Window.partitionBy(*keys).orderBy(*[F.col(c) for c in order_by])
+        return (
+            source.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    return source.dropDuplicates(list(keys))
+
+
+def merge_insert_only(
+    target: DataFrame, source: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """J1: target ∪ (source rows whose key is not already in target).
+
+    Equivalent SQL: ``MERGE INTO t USING s ON <keys> WHEN NOT MATCHED THEN
+    INSERT *``. Idempotent: re-merging the same batch is a no-op.
+    """
+    new_rows = source.join(target.select(*keys), on=list(keys), how="left_anti")
+    return target.unionByName(new_rows)
+
+
+def merge_upsert(target: DataFrame, source: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """J2: update-or-insert, source wins on key match.
+
+    Equivalent SQL: ``MERGE INTO t USING s ON <keys> WHEN MATCHED THEN
+    UPDATE SET * WHEN NOT MATCHED THEN INSERT *``.
+    """
+    kept = target.join(source.select(*keys), on=list(keys), how="left_anti")
+    return kept.unionByName(source.select(*target.columns))
+
+
+def merge_into_table(
+    spark: SparkSession,
+    table: str,
+    source: DataFrame,
+    keys: Sequence[str],
+    insert_only: bool = False,
+) -> None:
+    """Materialized merge into a catalog table.
+
+    With Delta on the classpath this is the native transactional MERGE; on
+    plain Parquet catalog tables it stages the merged result and swaps it in
+    (staging write → drop → rename — not atomic; Delta is the production
+    path, this is the fallback).
+    """
+    if not spark.catalog.tableExists(table):
+        source.write.saveAsTable(table)
+        return
+    try:
+        from delta.tables import DeltaTable  # type: ignore
+
+        dt = DeltaTable.forName(spark, table)
+        cond = " AND ".join(f"t.{k} <=> s.{k}" for k in keys)
+        m = dt.alias("t").merge(source.alias("s"), cond)
+        if insert_only:
+            m.whenNotMatchedInsertAll().execute()
+        else:
+            m.whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+        return
+    except ImportError:
+        pass
+    target = spark.read.table(table)
+    merged = (
+        merge_insert_only(target, source, keys)
+        if insert_only
+        else merge_upsert(target, source, keys)
+    )
+    staging = f"{table}__staging"
+    merged.write.mode("overwrite").saveAsTable(staging)
+    spark.sql(f"DROP TABLE {table}")
+    spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")

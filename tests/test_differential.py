@@ -1,0 +1,34 @@
+"""Differential correctness: every registered query with an oracle must
+match DuckDB exactly on the fixture tables (mirrors the driver's t2 gate)."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from personal_data_lakehouse_spark.plans.registry import REGISTRY
+from tests.conftest import SF_DIR, assert_matches_oracle
+
+ORACLE_QUERIES = sorted(name for name, q in REGISTRY.items() if q.oracle)
+ROWS_ONLY_QUERIES = sorted(name for name, q in REGISTRY.items() if not q.oracle)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_query_matches_oracle(spark, oracle, name):
+    q = REGISTRY[name]
+    df = q.fn(spark, SF_DIR)
+    assert_matches_oracle(spark, oracle, df, q.oracle, name=name)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+def test_rows_only_query_runs(spark, name):
+    q = REGISTRY[name]
+    df = q.fn(spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_contract(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert set(entry_mod.oracle_sql()) <= set(entry_mod.queries())

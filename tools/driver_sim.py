@@ -1,0 +1,67 @@
+"""Simulate the driver: vanilla SparkSession (NOT the engine's tuned factory),
+consume __spark_entry__.py as a black box, diff every query against DuckDB."""
+import decimal, hashlib, math, sys, time
+
+sys.path.insert(0, "/root/repo")
+import duckdb
+from pyspark.sql import SparkSession
+
+import __spark_entry__ as mod
+
+SF = "/root/testdata/sf0.01"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+# Vanilla session — deliberately NOT personal_data_lakehouse_spark.get_spark:
+# the driver builds its own. No UTC pin, no ANSI flag, default shuffle parts.
+spark = (SparkSession.builder.master("local[8]")
+         .appName("driver-sim").config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+
+con = duckdb.connect()
+for t in TABLES:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+
+def canon(v):
+    if v is None: return "N"
+    if isinstance(v, decimal.Decimal): return f"d:{v.normalize()}"
+    if isinstance(v, float): return "nan" if math.isnan(v) else f"f:{v!r}"
+    if isinstance(v, bool): return f"b:{v}"
+    if isinstance(v, int): return f"i:{v}"
+    if hasattr(v, "isoformat"): return f"t:{v.isoformat()[:26]}"
+    if isinstance(v, (list, tuple)): return "[" + ",".join(canon(x) for x in v) + "]"
+    return f"s:{v}"
+
+def vhash(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(canon(r[i]) for i in idx) for r in rows)
+    return hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
+
+# 1) entry() smoke
+df = mod.entry(spark)
+n = df.count()
+print(f"entry(): {n} rows, schema={[f.name for f in df.schema.fields]}")
+assert n > 0
+
+# 2) queries vs oracle
+qs, osql = mod.queries(), mod.oracle_sql()
+fails = 0
+for name in sorted(qs):
+    t0 = time.time()
+    tbl = qs[name](spark, SF).toArrow()
+    s_cols, s_rows = tbl.column_names, [tuple(d.values()) for d in tbl.to_pylist()]
+    if name not in osql:
+        print(f"  {name:28s} rows-only: {len(s_rows)} rows [{time.time()-t0:.1f}s]")
+        continue
+    r = con.sql(osql[name])
+    d_cols, d_rows = list(r.columns), r.fetchall()
+    ok_schema = sorted(s_cols) == sorted(d_cols)
+    ok_rows = len(s_rows) == len(d_rows)
+    ok_hash = vhash(s_cols, s_rows) == vhash(d_cols, d_rows)
+    status = "OK " if (ok_schema and ok_rows and ok_hash) else "FAIL"
+    if status == "FAIL":
+        fails += 1
+        print(f"  {name:28s} {status} schema={ok_schema} rows={ok_rows}({len(s_rows)}/{len(d_rows)}) hash={ok_hash}")
+    else:
+        print(f"  {name:28s} {status} {len(s_rows)} rows [{time.time()-t0:.1f}s]")
+print(f"\n{len(qs)} queries, {fails} failures")
+sys.exit(1 if fails else 0)
