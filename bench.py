@@ -1,0 +1,76 @@
+"""Benchmark harness: times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line {"metric": ..., "value": total_sec, "unit": "sec", "queries":
+{name: sec}, "sf": ...}.
+
+Each query is forced through the noop sink (full computation of every output
+column, no driver-side collection) — the honest way to time a Spark plan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from personal_data_lakehouse_spark.session import get_spark
+
+# Headline set: one per operator family — agg pipeline, star join, top-k
+# join, selective scan, row-level cleaning, window, event-time bucketing,
+# plus the extension ops (text/dedup/similarity) as they land.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_monthly_rollup",
+    "q03_shipping_priority",
+    "q05_region_revenue",
+    "q06_revenue_forecast",
+    "q_silver_cleaning",
+    "q_window_topk",
+    "q_tumbling_window",
+    "q_merge_upsert",
+    "t_fingerprint",
+    "t_minhash_lsh_pairs",
+    "s_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark(app_name="pdl-bench")
+
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    names = [n for n in HEADLINE if n in qs]
+
+    # JVM/codegen warmup on a trivial plan so q1 isn't charged for startup.
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
