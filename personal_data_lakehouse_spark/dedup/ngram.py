@@ -27,7 +27,9 @@ def shingle_jaccard(
     granularity controls the quadratic term — at 100 TB pick blocks so the
     p99 block fits one task (or salt oversized blocks).
     """
-    docs = df.select(
+    from personal_data_lakehouse_spark.operators.partitioning import spread
+
+    docs = spread(df).select(
         F.col(id_col),
         block_col.alias("block"),
         word_shingles(tokens(text_col), n=shingle_n).alias("sh"),

@@ -49,7 +49,9 @@ def simhash_expr(text_col: str) -> str:
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, simhash) — 60-bit sketch per document."""
-    return df.select(
+    from personal_data_lakehouse_spark.operators.partitioning import spread
+
+    return spread(df).select(
         F.col(id_col), F.expr(simhash_expr(text_col)).alias("simhash")
     )
 

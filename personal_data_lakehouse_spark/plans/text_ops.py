@@ -33,7 +33,7 @@ from personal_data_lakehouse_spark.functions.text import (
 )
 from personal_data_lakehouse_spark.plans.registry import query, t
 
-# --- shared DuckDB fragments (mirror functions.text exactly) ---------------
+# --- shared DuckDB fragments (mirror functions.text / dedup exactly) -------
 _NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
 _TOKS = f"string_split({_NORM}, ' ')"
 _SHINGLES = (
@@ -41,10 +41,25 @@ _SHINGLES = (
     "range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) "
     "ELSE [] END"
 )
-_SIG = (
-    "list_transform(range(0, 16), i -> "
-    "list_min(list_transform(shingles, s -> md5(i::VARCHAR || ':' || s))))"
+# 60-bit md5 fold mod p — identical to dedup.minhash._base_hash.
+_P = 2147483647
+_XS = (
+    "list_transform(shingles, s -> "
+    "list_reduce(list_transform(range(1, 16), "
+    "i -> (strpos('0123456789abcdef', md5(s)[i]) - 1)::BIGINT), "
+    f"(a, b) -> a * 16 + b) % {_P})"
 )
+
+
+def _sig_sql() -> str:
+    """DuckDB minhash signature from the same seed-pinned (a,b) family."""
+    from personal_data_lakehouse_spark.dedup.minhash import hash_family
+
+    mins = ", ".join(
+        f"list_min(list_transform(xs, x -> ({a}::BIGINT * x + {b}) % {_P}))"
+        for a, b in hash_family(16)
+    )
+    return f"[{mins}]"
 
 
 def _stopword_list(lang: str) -> str:
@@ -161,23 +176,28 @@ def t_dedup_exact(spark, sf_dir):
     "t_minhash_signatures",
     oracle=f"""
     SELECT doc_id,
-           md5(list_aggregate(sig, 'string_agg', '|')) AS sig_digest,
+           md5(list_aggregate(list_transform(sig, v -> v::VARCHAR),
+                              'string_agg', '|')) AS sig_digest,
            CAST(len(shingles) AS INT) AS n_shingles
     FROM (
-        SELECT doc_id, shingles, {_SIG} AS sig
-        FROM (SELECT doc_id, {_SHINGLES} AS shingles
-              FROM (SELECT doc_id, {_TOKS} AS w FROM documents))
+        SELECT doc_id, shingles, {{sig}} AS sig
+        FROM (SELECT doc_id, shingles, {_XS} AS xs
+              FROM (SELECT doc_id, {_SHINGLES} AS shingles
+                    FROM (SELECT doc_id, {_TOKS} AS w FROM documents)))
     )
-    """,
+    """.replace("{sig}", _sig_sql()),
 )
 def t_minhash_signatures(spark, sf_dir):
-    """MinHash signatures (k=16, 3-word shingles), digest-checked against
-    the oracle — verifies the full shingle→minhash math per document."""
+    """MinHash signatures (k=16, 3-word shingles, universal-hash family),
+    digest-checked against the oracle — verifies the full shingle→minhash
+    math per document."""
     sigs = minhash_signatures(t(spark, sf_dir, "documents"))
     return sigs.select(
         "doc_id",
-        F.md5(F.concat_ws("|", F.col("sig"))).alias("sig_digest"),
-        F.size("shingles").cast("int").alias("n_shingles"),
+        F.md5(
+            F.concat_ws("|", F.transform(F.col("sig"), lambda v: v.cast("string")))
+        ).alias("sig_digest"),
+        "n_shingles",
     )
 
 
@@ -185,12 +205,14 @@ def t_minhash_signatures(spark, sf_dir):
     "t_minhash_lsh_pairs",
     oracle=f"""
     WITH sig AS (
-        SELECT doc_id, shingles, {_SIG} AS sig
-        FROM (SELECT doc_id, {_SHINGLES} AS shingles
-              FROM (SELECT doc_id, {_TOKS} AS w FROM documents))
+        SELECT doc_id, shingles, {{sig}} AS sig
+        FROM (SELECT doc_id, shingles, {_XS} AS xs
+              FROM (SELECT doc_id, {_SHINGLES} AS shingles
+                    FROM (SELECT doc_id, {_TOKS} AS w FROM documents)))
     ), bands AS (
         SELECT doc_id, shingles, b,
-               md5(sig[b*4+1] || sig[b*4+2] || sig[b*4+3] || sig[b*4+4]) AS bucket
+               md5(sig[b*4+1]::VARCHAR || '|' || sig[b*4+2]::VARCHAR || '|' ||
+                   sig[b*4+3]::VARCHAR || '|' || sig[b*4+4]::VARCHAR) AS bucket
         FROM sig, unnest([0, 1, 2, 3]) AS u(b)
     ), pairs AS (
         SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
@@ -202,7 +224,7 @@ def t_minhash_signatures(spark, sf_dir):
            ROUND(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
                  / len(list_distinct(list_concat(sh_a, sh_b))), 6) AS jaccard
     FROM pairs
-    """,
+    """.replace("{sig}", _sig_sql()),
 )
 def t_minhash_lsh_pairs(spark, sf_dir):
     """MinHash+LSH near-dup candidates (b=4 bands × r=4 rows) with exact
