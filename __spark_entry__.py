@@ -27,6 +27,10 @@ try:
     import personal_data_lakehouse_spark.plans.similarity_ops  # noqa: F401,E402
 except ImportError:
     pass
+try:
+    import personal_data_lakehouse_spark.plans.advanced  # noqa: F401,E402
+except ImportError:
+    pass
 
 from personal_data_lakehouse_spark.plans.registry import REGISTRY  # noqa: E402
 

@@ -1,0 +1,59 @@
+"""Readers: parquet / CSV / JSON / in-memory rows (SURVEY.md §2.1 S1-S6).
+
+The reference's sources map here as:
+- S2 in-memory rows → ``rows_to_df`` with an explicit StructType (the
+  reference lets createDataFrame infer — ingest_stocks.py:131 — which is
+  flaky; explicit schemas are the engine's policy).
+- S3 Delta scan → ``read_parquet`` (or Delta when the package is present).
+- S6 pandas CSV → ``read_csv`` (schema enforced or inferred; inference is
+  a 2-pass scan — acceptable for small dims, explicit schema at scale).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    sanitize: bool = False,
+    **options,
+) -> DataFrame:
+    opts = {"header": "true", "sep": ",", "encoding": "utf-8"}
+    opts.update(options)
+    reader = spark.read.options(**opts)
+    df = (
+        reader.schema(schema).csv(path)
+        if schema is not None
+        else reader.option("inferSchema", "true").csv(path)
+    )
+    if sanitize:
+        from personal_data_lakehouse_spark.io.sanitize import sanitize_columns
+
+        df = sanitize_columns(df)
+    return df
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: T.StructType | None = None, **options
+) -> DataFrame:
+    reader = spark.read.options(**options)
+    return reader.schema(schema).json(path) if schema is not None else reader.json(path)
+
+
+def rows_to_df(
+    spark: SparkSession,
+    rows: Iterable[Mapping],
+    schema: T.StructType,
+) -> DataFrame:
+    """In-memory batch → DataFrame with an enforced schema (S2)."""
+    return spark.createDataFrame(list(rows), schema=schema)

@@ -1,0 +1,106 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` + metadata.
+
+Pattern for 100 TB media pipelines on Spark:
+
+* payload column is BinaryType; typed metadata (mime/width/height/duration)
+  travels in ordinary columns so filters/pruning stay JVM-side — you filter
+  on ``width >= 512`` without touching a single payload byte;
+* decode / feature-extract / resize / frame-sample run as Arrow-batched
+  ``mapInPandas`` stages — the only place Python touches the data, one
+  serialization per batch (not per row);
+* heavy stages repartition first (`spread`) so decode parallelism matches
+  cores, not input file count.
+
+The container ships no image/audio libraries, so the real decoders are
+STUBBED behind import probes (NotImplementedError with a clear message);
+a deterministic fake decoder exercises the full Spark-side plumbing —
+schema, batching, partitioning — which is what the tests verify.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from personal_data_lakehouse_spark.operators.partitioning import spread
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("mime", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.IntegerType(), False),
+        T.StructField("payload_sha", T.StringType(), False),
+        T.StructField("mean_byte", T.DoubleType(), False),
+    ]
+)
+
+
+def attach_fake_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic fake media: payload = utf-8 bytes of the text, metadata
+    derived from its length. Stands in for real image bytes so every
+    downstream stage (filter on metadata, batch decode) is exercised."""
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.lit("image/fake").alias("mime"),
+        (F.length(text_col) % 1024 + 64).cast("int").alias("width"),
+        (F.length(text_col) % 768 + 64).cast("int").alias("height"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+    )
+
+
+def decode_image(payload: bytes) -> "object":
+    """Real image decode — STUB: pillow/opencv are not in this container.
+
+    On a cluster with the libs installed this becomes
+    ``PIL.Image.open(io.BytesIO(payload))`` inside the same mapInPandas
+    batch loop; the Spark-side plumbing does not change.
+    """
+    try:
+        import PIL.Image  # type: ignore  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image decoding requires pillow/opencv (not in this container); "
+            "the deterministic fake path exercises the Spark plumbing"
+        ) from exc
+    raise NotImplementedError("real decoder wiring lands with the image libs")
+
+
+def decode_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas decode stage (deterministic fake): per Arrow batch,
+    compute byte stats + content hash. Real decoders drop in here."""
+    for pdf in it:
+        payloads = pdf["payload"]
+        yield pd.DataFrame(
+            {
+                "media_id": pdf["media_id"],
+                "n_bytes": payloads.map(len).astype("int32"),
+                "payload_sha": payloads.map(
+                    lambda b: hashlib.sha256(bytes(b)).hexdigest()
+                ),
+                "mean_byte": payloads.map(
+                    lambda b: float(sum(b)) / len(b) if len(b) else 0.0
+                ),
+            }
+        )
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Batch feature extraction over the binary column.
+
+    Metadata filters should be applied BEFORE this call (JVM-side, payload
+    untouched); this stage is the Python boundary."""
+    return spread(media).mapInPandas(decode_batch, schema=FEATURE_SCHEMA)

@@ -1,0 +1,125 @@
+"""Event-time streaming: tumbling/sliding/session windows + merge sink.
+
+The reference's incrementality is batch-based (watermark value read from the
+sink drives a filter — transforme_stock_silver.py:41-83). The idiomatic
+Spark upgrade is Structured Streaming: ``readStream`` → ``withWatermark``
+(bounds state for late data) → windowed aggregation → ``foreachBatch``
+MERGE for exactly-once upserts into the lake.
+
+The same ``F.window``/``F.session_window`` expressions run identically in
+batch mode — the batch forms are oracle-checked in plans.relational /
+plans.advanced; these streaming wrappers are exercised with the memory sink
+in tests (TESTDATA events fixture).
+
+Scale: watermark delay bounds the state store; keys are
+(window, event_type)-grained. For high-cardinality keys use
+``spark.sql.streaming.stateStore.providerClass=RocksDB`` on a real cluster.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos-as-long (see registry.t)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, path: str) -> DataFrame:
+    """readStream over the events fixture (ns timestamps normalized to µs).
+
+    File sources need a directory basePath; a single-file path is streamed
+    as its parent directory + a pathGlobFilter (keeps fixtures read-only).
+    """
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENT_SCHEMA)
+    if os.path.isfile(path):
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    raw = reader.parquet(path)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Tumbling event-time window with late-data watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Sliding window — each event lands in window/slide buckets."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def sessionized_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Session windows (dynamic gap-close) per user."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def merge_sink(
+    stream: DataFrame, table: str, keys: Sequence[str], checkpoint: str
+):
+    """Exactly-once upsert sink: foreachBatch MERGE into a catalog table —
+    the streaming version of the reference's dedup-on-append MERGE
+    (ingest_stocks.py:84-100)."""
+    from personal_data_lakehouse_spark.operators.merge import merge_into_table
+
+    def upsert(batch: DataFrame, epoch_id: int) -> None:
+        merge_into_table(batch.sparkSession, table, batch, keys)
+
+    return (
+        stream.writeStream.outputMode("update")
+        .foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+    )

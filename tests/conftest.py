@@ -21,8 +21,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="session")
-def spark():
-    s = get_spark(app_name="pdl-tests")
+def spark(tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("warehouse"))
+    s = get_spark(app_name="pdl-tests", warehouse_dir=wh)
     yield s
 
 

@@ -1,0 +1,86 @@
+"""Structured Streaming: drive the windowed operators + merge sink to
+completion with the memory sink / foreachBatch over the events fixture,
+and check streaming results equal the batch forms of the same expressions."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from personal_data_lakehouse_spark.plans.registry import t
+from personal_data_lakehouse_spark.streaming.windows import (
+    merge_sink,
+    sessionized_stream,
+    stream_events,
+    tumbling_counts,
+)
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture()
+def events_stream(spark):
+    return stream_events(spark, f"{SF_DIR}/events.parquet")
+
+
+def _run_to_memory(df, name):
+    q = df.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def test_tumbling_stream_matches_batch(spark, events_stream):
+    _run_to_memory(tumbling_counts(events_stream), "tumbling_out")
+    streamed = {
+        (r.window_start, r.event_type): r.n_events
+        for r in spark.sql("SELECT * FROM tumbling_out").collect()
+    }
+    batch = {
+        (r.window_start, r.event_type): r.n_events
+        for r in t(spark, SF_DIR, "events")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("window.start").alias("window_start"), "event_type", "n_events")
+        .collect()
+    }
+    assert streamed == batch and len(streamed) > 0
+
+
+def test_session_stream_runs(spark, events_stream):
+    _run_to_memory(sessionized_stream(events_stream, gap="15 minutes"), "sessions_out")
+    rows = spark.sql("SELECT * FROM sessions_out").collect()
+    assert len(rows) > 0
+    for r in rows[:50]:
+        assert r.session_end > r.session_start
+        assert r.n_events >= 1
+
+
+def test_merge_sink_upserts(spark, events_stream, tmp_path):
+    spark.sql("DROP TABLE IF EXISTS default.stream_counts")
+    agg = tumbling_counts(events_stream).select(
+        "window_start", "event_type", "n_events", "total_value"
+    )
+    q = merge_sink(
+        agg,
+        "default.stream_counts",
+        keys=["window_start", "event_type"],
+        checkpoint=str(tmp_path / "ckpt"),
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    merged = spark.table("default.stream_counts")
+    batch_n = (
+        t(spark, SF_DIR, "events")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .count()
+        .count()
+    )
+    assert merged.count() == batch_n
+    # keys are unique after merge
+    assert (
+        merged.groupBy("window_start", "event_type").count().filter("count > 1").count()
+        == 0
+    )
