@@ -1,0 +1,398 @@
+"""Relational surface widening: multi-dimensional aggregation (grouping
+sets / cube), subquery shapes (EXISTS via semi join, scalar subquery via
+broadcast), range join, exact percentiles, deterministic correlation,
+array explode, unpivot, and interval-range window frames.
+
+None of these appear literally in the reference (SURVEY §2.3 J3-J∀, §2.4,
+§2.5 note them as implied/required engine surface); each is expressed
+Spark-first — declarative DataFrame/SQL so Catalyst picks the physical
+strategy — with an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from personal_data_lakehouse_spark.functions import AGG_DECIMAL, dec, dsum
+from personal_data_lakehouse_spark.plans.registry import query, t
+
+# ---------------------------------------------------------------------------
+# Multi-dimensional aggregation
+
+
+@query(
+    "q_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) AS INT) AS g_rf,
+           CAST(grouping(l_linestatus) AS INT) AS g_ls,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,6))
+               AS sum_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def q_grouping_sets(spark, sf_dir):
+    """GROUPING SETS rollup lattice — one shuffle, Spark expands the sets
+    map-side (Expand operator) so each input row feeds every set."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("x_li_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS g_rf,
+               CAST(grouping(l_linestatus) AS INT) AS g_ls,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,6))
+                   AS sum_qty,
+               COUNT(*) AS n_rows
+        FROM x_li_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+        """
+    )
+
+
+@query(
+    "q_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus) AS INT) AS g_st,
+           CAST(grouping(o_orderpriority) AS INT) AS g_pr,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,6))
+               AS sum_total,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube(spark, sf_dir):
+    """CUBE over (status, priority): all 2^2 grouping combinations in a
+    single Expand+HashAggregate pass."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_st"),
+            F.grouping("o_orderpriority").cast("int").alias("g_pr"),
+            dsum(dec("o_totalprice"), "sum_total"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            "o_orderstatus", "o_orderpriority", "g_st", "g_pr",
+            "sum_total", "n_orders",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Subquery shapes
+
+
+@query(
+    "q_exists_subquery",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(o_orderdate AS DATE) <  DATE '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+    GROUP BY o_orderpriority
+    """,
+)
+def q_exists_subquery(spark, sf_dir):
+    """Correlated EXISTS (TPC-H Q4 shape) as a left-semi join — the
+    decorrelated plan Spark would produce; the probe side is pre-filtered
+    so only qualifying lineitems shuffle."""
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate").cast("date") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1997-01-01"))
+    )
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 48)
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    return (
+        o.join(li, on="o_orderkey", how="left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "q_scalar_subquery",
+    oracle="""
+    SELECT p_partkey, p_brand,
+           CAST(p_retailprice AS DECIMAL(18,4)) AS price
+    FROM part
+    WHERE p_retailprice > (
+        SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE)
+               / COUNT(*)
+        FROM part)
+    """,
+)
+def q_scalar_subquery(spark, sf_dir):
+    """Scalar-subquery predicate (price above global mean): the aggregate
+    collapses to one broadcast row, so the filter stays a map-only stage.
+    Mean = exact decimal sum ÷ count (deterministic across partitionings)."""
+    p = t(spark, sf_dir, "part")
+    avg_row = p.agg(
+        (F.sum(dec("p_retailprice")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_price"
+        )
+    )
+    return (
+        p.crossJoin(F.broadcast(avg_row))
+        .filter(F.col("p_retailprice") > F.col("avg_price"))
+        .select(
+            "p_partkey", "p_brand", dec("p_retailprice").alias("price")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range join
+
+_BANDS = [(i, i * 11_000.0, (i + 1) * 11_000.0) for i in range(10)]
+
+
+@query(
+    "q_range_join",
+    oracle=f"""
+    WITH bands(band_id, lo, hi) AS (VALUES
+        {", ".join(f"({i}, {lo}, {hi})" for i, lo, hi in _BANDS)})
+    SELECT band_id, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,6))
+               AS sum_price
+    FROM lineitem JOIN bands
+      ON l_extendedprice >= lo AND l_extendedprice < hi
+    GROUP BY band_id
+    """,
+)
+def q_range_join(spark, sf_dir):
+    """Range (band) join: facts against a broadcast interval dimension —
+    a BroadcastNestedLoopJoin, the right physical plan when the band table
+    is tiny; at many-band scale, bucket by floor(price/width) first to make
+    it an equi-join."""
+    li = t(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(
+        _BANDS, "band_id int, lo double, hi double"
+    )
+    return (
+        li.join(
+            F.broadcast(bands),
+            (F.col("l_extendedprice") >= F.col("lo"))
+            & (F.col("l_extendedprice") < F.col("hi")),
+        )
+        .groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(dec("l_extendedprice"), "sum_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles & deterministic correlation
+
+
+@query(
+    "q_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.25), 6) AS qty_p25,
+           ROUND(quantile_cont(l_quantity, 0.50), 6) AS qty_p50,
+           ROUND(quantile_cont(l_quantity, 0.75), 6) AS qty_p75,
+           ROUND(quantile_cont(l_extendedprice, 0.50), 6) AS price_median
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_percentiles(spark, sf_dir):
+    """Exact linear-interpolated percentiles per group (sort-based exact
+    aggregate; for 100 TB switch to approx_percentile's streaming
+    KLL/GK sketch — same query shape)."""
+    li = t(spark, sf_dir, "lineitem")
+    pct = F.expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            pct.alias("p"),
+            F.expr("percentile(l_extendedprice, 0.5D)").alias("pm"),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.element_at("p", 1), 6).alias("qty_p25"),
+            F.round(F.element_at("p", 2), 6).alias("qty_p50"),
+            F.round(F.element_at("p", 3), 6).alias("qty_p75"),
+            F.round("pm", 6).alias("price_median"),
+        )
+    )
+
+
+@query(
+    "q_corr",
+    oracle="""
+    SELECT l_returnflag, n,
+           ROUND((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)),
+                 6) AS corr_qty_price
+    FROM (
+        SELECT l_returnflag, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))
+                        * CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))
+                        * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+        FROM lineitem GROUP BY l_returnflag)
+    """,
+)
+def q_corr(spark, sf_dir):
+    """Pearson correlation from exact decimal co-moments: the five sums are
+    associative (partition-order independent), the final formula is one
+    deterministic double expression — unlike a naive float corr whose
+    merge order varies. Single shuffle, partial aggregation map-side."""
+    li = t(spark, sf_dir, "lineitem")
+    x = dec("l_quantity", 8, 2)
+    y = dec("l_extendedprice", 12, 2)
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    num = n * F.col("sxy") - sx * sy
+    den = F.sqrt(n * F.col("sxx") - sx * sx) * F.sqrt(
+        n * F.col("syy") - sy * sy
+    )
+    return agg.select(
+        "l_returnflag", "n", F.round(num / den, 6).alias("corr_qty_price")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Explode / unpivot
+
+
+@query(
+    "q_explode_arrays",
+    oracle=r"""
+    SELECT w AS word, COUNT(*) AS cnt
+    FROM (SELECT unnest(string_split(
+              trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+          FROM documents)
+    WHERE length(w) >= 5
+    GROUP BY w HAVING COUNT(*) >= 3
+    ORDER BY cnt DESC, word
+    LIMIT 100
+    """,
+)
+def q_explode_arrays(spark, sf_dir):
+    """Array explode → frequency count → top-k: the tokenize-and-count
+    shape of every corpus-statistics job. Explode is pipelined (no
+    shuffle); the count is one hash aggregation."""
+    from personal_data_lakehouse_spark.functions import normalize_text
+
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.explode(F.split(normalize_text("text"), " ")).alias("word")
+        )
+        .filter(F.length("word") >= 5)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 3)
+        .orderBy(F.desc("cnt"), "word")
+        .limit(100)
+    )
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+    SELECT l_returnflag, 'qty' AS measure,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS total
+    FROM lineitem GROUP BY l_returnflag
+    UNION ALL
+    SELECT l_returnflag, 'price',
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,6))
+    FROM lineitem GROUP BY l_returnflag
+    UNION ALL
+    SELECT l_returnflag, 'disc',
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(38,6))
+    FROM lineitem GROUP BY l_returnflag
+    UNION ALL
+    SELECT l_returnflag, 'tax',
+           CAST(SUM(CAST(l_tax AS DECIMAL(18,4))) AS DECIMAL(38,6))
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_unpivot(spark, sf_dir):
+    """Wide→long unpivot of the four lineitem measures, then one grouped
+    sum over the long form — Spark's native unpivot expands rows map-side
+    (no shuffle until the aggregate)."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        dec("l_quantity").alias("qty"),
+        dec("l_extendedprice").alias("price"),
+        dec("l_discount").alias("disc"),
+        dec("l_tax").alias("tax"),
+    )
+    long = li.unpivot(
+        ["l_returnflag"], ["qty", "price", "disc", "tax"], "measure", "value"
+    )
+    return long.groupBy("l_returnflag", "measure").agg(
+        dsum(F.col("value"), "total")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interval-range window frame
+
+
+@query(
+    "q_window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey, day_idx,
+           CAST(SUM(total_dec) OVER (
+               PARTITION BY o_custkey ORDER BY day_idx
+               RANGE BETWEEN 90 PRECEDING AND CURRENT ROW)
+             AS DECIMAL(38,6)) AS spend_90d
+    FROM (SELECT o_orderkey, o_custkey,
+                 date_diff('day', DATE '1995-01-01',
+                           CAST(o_orderdate AS DATE)) AS day_idx,
+                 CAST(o_totalprice AS DECIMAL(18,4)) AS total_dec
+          FROM orders)
+    """,
+)
+def q_window_range_frame(spark, sf_dir):
+    """Trailing-90-day spend per customer: a RANGE frame over a day index —
+    value-based (all peers included), so the decimal sum is deterministic
+    even with duplicate order dates. One shuffle on the partition key."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        ).alias("day_idx"),
+        dec("o_totalprice").alias("total_dec"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day_idx")
+        .rangeBetween(-90, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "day_idx",
+        F.sum("total_dec").over(w).cast(AGG_DECIMAL).alias("spend_90d"),
+    )

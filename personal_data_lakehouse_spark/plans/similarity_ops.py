@@ -12,6 +12,11 @@ from pyspark.sql import functions as F
 
 from personal_data_lakehouse_spark.plans.registry import query, t
 from personal_data_lakehouse_spark.similarity.brute_force import cosine_topk
+from personal_data_lakehouse_spark.similarity.ivf import (
+    ivf_blocked_neardup,
+    ivf_topk,
+    pick_centroids,
+)
 from personal_data_lakehouse_spark.similarity.lsh import (
     hyperplanes,
     signed_random_projection_topk,
@@ -20,6 +25,8 @@ from personal_data_lakehouse_spark.similarity.lsh import (
 _N_QUERIES = 8
 _DIM = 64
 _N_BITS = 8
+_CENTROID_IDS = list(range(8, 16))  # fixed coarse codebook (seed-pinned)
+_NEARDUP_THRESHOLD = 0.4
 
 # DuckDB-side deterministic left-fold dot product (mirrors
 # similarity.brute_force.cosine_similarity_expr exactly).
@@ -103,3 +110,80 @@ def s_srp_ann_topk(spark, sf_dir):
     )
     candidates = emb.filter(F.col("vec_id") >= _N_QUERIES)
     return signed_random_projection_topk(queries, candidates, dim=_DIM, k=5)
+
+
+def _cos(a: str, b: str) -> str:
+    return f"{_dot_sql(a, b)} / (sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)}))"
+
+
+_CENT_LIST = ", ".join(str(i) for i in _CENTROID_IDS)
+
+# Shared oracle CTE: nearest-centroid cell assignment for every vector
+# (ties → lower centroid id), replaying similarity.ivf.assign_cells.
+_CELLS_SQL = f"""
+    cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+              WHERE vec_id IN ({_CENT_LIST})),
+    asg AS (SELECT vec_id, e, cid, {_cos('e', 'ce')} AS csim
+            FROM (SELECT vec_id, embedding AS e FROM embeddings
+                  WHERE vec_id >= {_N_QUERIES}) c, cents),
+    cells AS (SELECT vec_id, e, cid AS cell FROM (
+                  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                      ORDER BY csim DESC, cid) AS crnk FROM asg)
+              WHERE crnk = 1)
+"""
+
+
+@query(
+    "s_ivf_ann_topk",
+    oracle=f"""
+    WITH {_CELLS_SQL},
+         qasg AS (SELECT qid, qe, cid, {_cos('qe', 'ce')} AS csim
+                  FROM (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+                        WHERE vec_id < {_N_QUERIES}) q, cents),
+         probes AS (SELECT qid, qe, cid AS cell FROM (
+                        SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY csim DESC, cid) AS crnk FROM qasg)
+                    WHERE crnk <= 2),
+         s AS (SELECT qid, vec_id, {_cos('qe', 'e')} AS sim
+               FROM cells JOIN probes USING (cell)),
+         r AS (SELECT qid, vec_id, sim,
+                      ROW_NUMBER() OVER (PARTITION BY qid
+                                         ORDER BY sim DESC, vec_id) AS rnk
+               FROM s)
+    SELECT qid, rnk, vec_id, ROUND(sim, 6) AS cosine
+    FROM r WHERE rnk <= 5
+    """,
+)
+def s_ivf_ann_topk(spark, sf_dir):
+    """IVF-flat ANN: corpus coarse-quantized into cells (fixed 8-vector
+    codebook), each query probes its 2 nearest cells, exact cosine re-rank
+    inside — the candidate set shrinks ~4x vs brute force and the join is
+    cell-local (cells are the shuffle key at scale)."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    candidates = emb.filter(F.col("vec_id") >= _N_QUERIES)
+    cents = pick_centroids(emb, _CENTROID_IDS)
+    return ivf_topk(queries, candidates, cents, k=5, nprobe=2)
+
+
+@query(
+    "t_embed_neardup",
+    oracle=f"""
+    WITH {_CELLS_SQL}
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND({_cos('a.e', 'b.e')}, 6) AS cosine
+    FROM cells a JOIN cells b
+      ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE ROUND({_cos('a.e', 'b.e')}, 6) >= {_NEARDUP_THRESHOLD}
+    """,
+)
+def t_embed_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs, blocked by IVF cell: pair
+    generation is cell-local (Σ|cell|² work, parallel per cell) instead of
+    a corpus cross-product; exact cosine filters at the threshold."""
+    emb = t(spark, sf_dir, "embeddings")
+    candidates = emb.filter(F.col("vec_id") >= _N_QUERIES)
+    cents = pick_centroids(emb, _CENTROID_IDS)
+    return ivf_blocked_neardup(candidates, cents, threshold=_NEARDUP_THRESHOLD)
