@@ -132,19 +132,28 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) with exact shingle Jaccard.
 
-    Band-bucket self-join on ids only; shingle sets re-attached by id for
-    the exact array_intersect/array_union verification (no UDF anywhere).
+    ONE wide aggregation computes the k partial MINs *and* the shingle-set
+    array per document (a single shuffle of the exploded shingles); the
+    band-bucket self-join then carries only ids, and the surviving pairs
+    re-attach their two shingle arrays from the persisted per-doc table
+    (5k-5M rows — AQE turns these into broadcast joins when pairs are few).
+    At 100 TB the persisted doc table becomes a written intermediate
+    (bucketed by id), which the verify joins co-locate against; the
+    dataflow is unchanged.
     """
     rows = k // bands
-    ex = exploded_shingles(df, text_col, id_col, shingle_n).persist()
-    sets = ex.groupBy(id_col).agg(F.collect_list("s").alias("shingles"))
+    ex = exploded_shingles(df, text_col, id_col, shingle_n)
     x = _base_hash(F.col("s"))
     p = F.lit(MERSENNE_P).cast("long")
     mins = [
         F.min((F.lit(a).cast("long") * x + F.lit(b)) % p).alias(f"h{i}")
         for i, (a, b) in enumerate(hash_family(k, seed))
     ]
-    sigw = ex.groupBy(id_col).agg(*mins)
+    docs = (
+        ex.groupBy(id_col)
+        .agg(*mins, F.collect_list("s").alias("shingles"))
+        .persist()  # one row per doc: sig mins + shingle set
+    )
     bucket_cols = [
         F.md5(
             F.concat_ws(
@@ -153,14 +162,11 @@ def lsh_candidate_pairs(
         ).alias(f"bucket{b}")
         for b in range(bands)
     ]
-    banded = (
-        sigw.select(F.col(id_col), *bucket_cols)
-        .select(
-            F.col(id_col),
-            F.posexplode(F.array(*[F.col(f"bucket{b}") for b in range(bands)])).alias(
-                "band", "bucket"
-            ),
-        )
+    banded = docs.select(F.col(id_col), *bucket_cols).select(
+        F.col(id_col),
+        F.posexplode(F.array(*[F.col(f"bucket{b}") for b in range(bands)])).alias(
+            "band", "bucket"
+        ),
     )
 
     a, b = banded.alias("a"), banded.alias("b")
@@ -178,10 +184,10 @@ def lsh_candidate_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     pairs = pairs.join(
-        sets.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")),
+        docs.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")),
         "id_a",
     ).join(
-        sets.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")),
+        docs.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")),
         "id_b",
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

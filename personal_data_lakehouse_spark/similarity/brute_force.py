@@ -13,21 +13,38 @@ variant in ``similarity.lsh`` for the candidate-generation step.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def dot_expr(x: str, y: str) -> str:
+    """Deterministic left-fold dot product of two array<float> columns in
+    double precision — the exact fold the DuckDB oracle replays.
+
+    Measured note: the zip_with/aggregate HOF evaluates primitive arrays
+    FASTER than an unrolled element_at chain (element_at pays per-call
+    bounds/null checks; the HOF loop reads the underlying array data
+    directly) — keep the fold, optimize by computing it fewer times.
+    """
+    return (
+        f"aggregate(zip_with({x}, {y}, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def norm_col(v: str) -> Column:
+    """L2 norm column. Compute it BELOW a shuffle/window barrier so it
+    materializes once per vector; a bare withColumn right before a join
+    gets inlined by projection collapse and re-evaluated per pair."""
+    return F.sqrt(F.expr(dot_expr(v, v)))
+
+
 def cosine_similarity_expr(a: str, b: str) -> str:
-    """SQL expression: cosine similarity of two array<float> columns,
-    computed as deterministic left folds in double precision."""
-
-    def dot(x: str, y: str) -> str:
-        return (
-            f"aggregate(zip_with({x}, {y}, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), "
-            f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-        )
-
-    return f"{dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)}))"
+    """SQL expression: full cosine similarity (three folds per evaluation —
+    prefer precomputed norms + one dot in pairwise hot paths)."""
+    return (
+        f"{dot_expr(a, b)} / (sqrt({dot_expr(a, a)}) * sqrt({dot_expr(b, b)}))"
+    )
 
 
 def cosine_topk(
@@ -42,10 +59,16 @@ def cosine_topk(
     """Exact top-k nearest candidates per query by cosine similarity.
 
     Ties broken by candidate id; the ranking uses the unrounded double (the
-    fold is engine-reproducible), the output rounds to 6dp.
+    fold is engine-reproducible), the output rounds to 6dp. Norms are
+    attached per side before the cross product (the broadcast side's norm
+    is computed once at broadcast time), so each pair costs one dot —
+    arithmetic identical to the three-fold form: sqrt(dot(a,a)) is the
+    same double wherever it's evaluated.
     """
-    joined = candidates.crossJoin(F.broadcast(queries))
-    sim = F.expr(cosine_similarity_expr(query_vec, cand_vec))
+    q = queries.withColumn("_qn", norm_col(query_vec))
+    c = candidates.withColumn("_cn", norm_col(cand_vec))
+    joined = c.crossJoin(F.broadcast(q))
+    sim = F.expr(dot_expr(query_vec, cand_vec)) / (F.col("_qn") * F.col("_cn"))
     w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.col(cand_id))
     return (
         joined.select(F.col(query_id), F.col(cand_id), sim.alias("sim"))

@@ -16,6 +16,11 @@ centroids) so results are deterministic and replayable by an external
 oracle; swapping in k-means centroids changes recall, not the dataflow.
 At 100 TB: centroids stay a broadcast table (k ≤ ~2^16 × dim floats),
 assignment is a map-only stage, and cells are the shuffle key.
+
+Perf note: each vector's L2 norm is computed below the assignment
+window's shuffle barrier and carried through it, so downstream pairwise
+scoring reads the stored ``_vn`` column instead of re-folding the array
+per pair (projection collapse would otherwise inline and re-evaluate it).
 """
 
 from __future__ import annotations
@@ -24,7 +29,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from personal_data_lakehouse_spark.similarity.brute_force import (
-    cosine_similarity_expr,
+    dot_expr,
+    norm_col,
 )
 
 
@@ -37,10 +43,13 @@ def pick_centroids(
     """Fixed coarse codebook: the member vectors with the given ids.
 
     Deterministic stand-in for k-means (identical dataflow); tiny →
-    always broadcast.
+    always broadcast. Centroid norms ride along (computed once at
+    broadcast build).
     """
     return emb.filter(F.col(id_col).isin(ids)).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("ce")
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("ce"),
+        norm_col(vec_col).alias("_cen"),
     )
 
 
@@ -52,18 +61,22 @@ def assign_cells(
     n: int = 1,
     out_col: str = "cell",
 ) -> DataFrame:
-    """Attach each vector's ``n`` nearest cells (by cosine, ties → lower cid).
+    """Attach each vector's ``n`` nearest cells (by cosine, ties → lower
+    cid) plus its precomputed ``_vn`` norm.
 
     Map-only against the broadcast codebook; the per-vector argmax is a
-    window over k_cells rows.
+    window over k_cells rows, and the window's shuffle materializes
+    ``_vn`` for all downstream consumers.
     """
     w = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.col("cid"))
+    csim = F.expr(dot_expr(vec_col, "ce")) / (F.col("_vn") * F.col("_cen"))
     return (
-        vectors.crossJoin(F.broadcast(cents))
-        .withColumn("csim", F.expr(cosine_similarity_expr(vec_col, "ce")))
+        vectors.withColumn("_vn", norm_col(vec_col))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("csim", csim)
         .withColumn("crnk", F.row_number().over(w))
         .filter(F.col("crnk") <= n)
-        .drop("ce", "csim", "crnk")
+        .drop("ce", "_cen", "csim", "crnk")
         .withColumnRenamed("cid", out_col)
     )
 
@@ -82,12 +95,15 @@ def ivf_topk(
     """IVF-flat ANN: probe ``nprobe`` cells per query, exact re-rank inside.
 
     Candidates shuffle once on their cell; queries (with probe list) are
-    broadcast — the join is cell-local.
+    broadcast — the join is cell-local. Both sides reuse the norms the
+    assignment stage already materialized.
     """
     cells = assign_cells(candidates, cents, cand_id, cand_vec, n=1)
-    probes = assign_cells(queries, cents, query_id, query_vec, n=nprobe)
+    probes = assign_cells(
+        queries, cents, query_id, query_vec, n=nprobe
+    ).withColumnRenamed("_vn", "_qn")
     joined = cells.join(F.broadcast(probes), on="cell")
-    sim = F.expr(cosine_similarity_expr(query_vec, cand_vec))
+    sim = F.expr(dot_expr(query_vec, cand_vec)) / (F.col("_qn") * F.col("_vn"))
     w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.col(cand_id))
     return (
         joined.select(F.col(query_id), F.col(cand_id), sim.alias("sim"))
@@ -116,13 +132,17 @@ def ivf_blocked_neardup(
         F.col("cell"),
         F.col(cand_id).alias("id_a"),
         F.col(cand_vec).alias("va"),
+        F.col("_vn").alias("_na"),
     )
     b = cells.select(
         F.col("cell"),
         F.col(cand_id).alias("id_b"),
         F.col(cand_vec).alias("vb"),
+        F.col("_vn").alias("_nb"),
     )
-    sim = F.round(F.expr(cosine_similarity_expr("va", "vb")), 6)
+    sim = F.round(
+        F.expr(dot_expr("va", "vb")) / (F.col("_na") * F.col("_nb")), 6
+    )
     return (
         a.join(b, on="cell")
         .filter(F.col("id_a") < F.col("id_b"))

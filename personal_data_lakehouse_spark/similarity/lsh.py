@@ -19,7 +19,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from personal_data_lakehouse_spark.similarity.brute_force import (
-    cosine_similarity_expr,
+    dot_expr,
+    norm_col,
 )
 
 
@@ -66,10 +67,14 @@ def signed_random_projection_topk(
     a cross product; exact cosine re-ranks inside the bucket.
     """
     planes = hyperplanes(dim, n_bits, seed)
-    qsig = queries.withColumn("sig", F.expr(srp_signature_expr(query_vec, planes)))
-    csig = candidates.withColumn("sig", F.expr(srp_signature_expr(cand_vec, planes)))
+    qsig = queries.withColumn(
+        "sig", F.expr(srp_signature_expr(query_vec, planes))
+    ).withColumn("_qn", norm_col(query_vec))
+    csig = candidates.withColumn(
+        "sig", F.expr(srp_signature_expr(cand_vec, planes))
+    ).withColumn("_cn", norm_col(cand_vec))
     joined = csig.join(F.broadcast(qsig), on="sig")
-    sim = F.expr(cosine_similarity_expr(query_vec, cand_vec))
+    sim = F.expr(dot_expr(query_vec, cand_vec)) / (F.col("_qn") * F.col("_cn"))
     w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.col(cand_id))
     return (
         joined.select(F.col(query_id), F.col(cand_id), sim.alias("sim"))
