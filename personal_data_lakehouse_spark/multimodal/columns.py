@@ -102,5 +102,30 @@ def extract_features(media: DataFrame) -> DataFrame:
     """Batch feature extraction over the binary column.
 
     Metadata filters should be applied BEFORE this call (JVM-side, payload
-    untouched); this stage is the Python boundary."""
-    return spread(media).mapInPandas(decode_batch, schema=FEATURE_SCHEMA)
+    untouched); this stage is the Python boundary.
+
+    Ships a self-contained closure (stdlib/pandas only) so cloudpickle
+    serializes it by value — workers don't need this package on their
+    sys.path (a module-level function would be shipped by reference)."""
+
+    def decode(it):
+        import hashlib as _hl
+
+        import pandas as _pd
+
+        for pdf in it:
+            payloads = pdf["payload"]
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": payloads.map(len).astype("int32"),
+                    "payload_sha": payloads.map(
+                        lambda b: _hl.sha256(bytes(b)).hexdigest()
+                    ),
+                    "mean_byte": payloads.map(
+                        lambda b: float(sum(b)) / len(b) if len(b) else 0.0
+                    ),
+                }
+            )
+
+    return spread(media).mapInPandas(decode, schema=FEATURE_SCHEMA)

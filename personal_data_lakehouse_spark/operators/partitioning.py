@@ -7,7 +7,10 @@ tiny output files — is ``coalesce`` before the sink, applied in the writers.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def spread(df: DataFrame) -> DataFrame:
@@ -15,3 +18,37 @@ def spread(df: DataFrame) -> DataFrame:
     the scan produced fewer splits than the cluster has slots."""
     target = df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(target) if df.rdd.getNumPartitions() < target else df
+
+
+def salted_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    on: Sequence[str],
+    how: str = "inner",
+    salt: int = 16,
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the skewed side, replicate the other.
+
+    A hot key (one customer with 10% of all rows) funnels its whole
+    shuffle partition onto one task; AQE's skew-join split fixes most
+    cases at runtime, but when the build side is small enough to
+    replicate — dimension tables, config tables — explicit salting
+    guarantees the hot key spreads over ``salt`` tasks regardless of plan
+    shape (works under windows and aggregations where AQE skew handling
+    does not apply).
+
+    The skewed side gets a deterministic per-row salt (hash of the whole
+    row, mod ``salt``); the small side is exploded ``salt``× so every
+    (key, salt) bucket finds its match. Equivalent rows land on the same
+    salt — acceptable: salting targets hot *keys*, whose rows differ in
+    their payload columns.
+    """
+    skeys = [str(c) for c in on]
+    salted = skewed.withColumn(
+        "_salt", F.pmod(F.xxhash64(*skewed.columns), F.lit(salt)).cast("int")
+    )
+    replicated = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    out = salted.join(replicated, on=[*skeys, "_salt"], how=how)
+    return out.drop("_salt")
