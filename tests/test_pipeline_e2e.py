@@ -1,0 +1,69 @@
+"""End-to-end medallion lifecycle: ingest → bronze MERGE → silver → gold,
+run twice to prove replay idempotency (the reference's daily-retry
+safety property)."""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from personal_data_lakehouse_spark.pipelines import daily_pipeline
+
+SERIES = {
+    "pETR4": {
+        "2024-01-02": {"1. open": "10.0", "2. high": "11.0", "3. low": "9.5",
+                       "4. close": "10.5", "5. volume": "1000"},
+        "2024-01-03": {"1. open": "10.5", "2. high": "12.0", "3. low": "10.0",
+                       "4. close": "11.5", "5. volume": "1500"},
+        "2024-02-01": {"1. open": "11.5", "2. high": "11.6", "3. low": "11.0",
+                       "4. close": "11.2", "5. volume": "800"},
+        # zero volume → silver quality filter drops it
+        "2024-02-02": {"1. open": "11.2", "2. high": "11.2", "3. low": "11.2",
+                       "4. close": "11.2", "5. volume": "0"},
+    },
+    "vale3 ": {  # lower/space → silver upper(trim) normalization
+        "2024-01-02": {"1. open": "60.0", "2. high": "61.0", "3. low": "59.0",
+                       "4. close": "0.0", "5. volume": "5000"},  # close=0 dropped
+        "2024-01-03": {"1. open": "60.0", "2. high": "63.0", "3. low": "60.0",
+                       "4. close": "62.0", "5. volume": "7000"},
+    },
+}
+
+
+def fake_fetcher(symbol: str):
+    return SERIES[symbol]
+
+
+def test_daily_pipeline_end_to_end_and_idempotent(spark):
+    # session-scoped warehouse is shared across test modules — start clean
+    for tbl in (
+        "bronze.raw_stock_daily",
+        "silver.daily_stocks",
+        "gold.monthly_summary",
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    counts1 = daily_pipeline(spark, list(SERIES), fake_fetcher)
+    # bronze keeps raw rows incl. the filtered ones; silver drops 2; gold =
+    # distinct (ticker, month) among surviving rows: pETR4 ×2 + VALE3 ×1.
+    assert counts1 == {"bronze": 6, "silver": 4, "gold": 3}
+
+    counts2 = daily_pipeline(spark, list(SERIES), fake_fetcher)
+    assert counts2 == counts1  # replay inserts/changes nothing
+
+    gold = {
+        (r.sigla_empresa, r.ano, r.mes): r
+        for r in spark.table("gold.monthly_summary").collect()
+    }
+    jan = gold[("PETR4", 2024, 1)]
+    assert jan.volume_total_mensal == Decimal("2500.00000000")
+    assert jan.maximo_mensal == Decimal("12.00000000")
+    assert jan.minimo_mensal == Decimal("9.50000000")
+    assert abs(float(jan.preco_medio_fechamento_mensal) - 11.0) < 1e-9
+    assert ("VALE3", 2024, 1) in gold  # normalized symbol survived
+    assert ("VALE3", 2024, 2) not in gold
+
+    silver = spark.table("silver.daily_stocks")
+    pct = {
+        (r.sigla_empresa, str(r.data_pregao)): r.variacao_dia_perc
+        for r in silver.collect()
+    }
+    assert abs(pct[("PETR4", "2024-01-02")] - 0.05) < 1e-9
