@@ -39,6 +39,10 @@ try:
     import personal_data_lakehouse_spark.plans.multimodal_ops  # noqa: F401,E402
 except ImportError:
     pass
+try:
+    import personal_data_lakehouse_spark.plans.udf_ops  # noqa: F401,E402
+except ImportError:
+    pass
 
 from personal_data_lakehouse_spark.plans.registry import REGISTRY  # noqa: E402
 

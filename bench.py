@@ -33,13 +33,18 @@ HEADLINE = [
     "q03_shipping_priority",
     "q05_region_revenue",
     "q06_revenue_forecast",
+    "q07_nation_volume",
     "q_silver_cleaning",
     "q_window_topk",
+    "q_grouping_sets",
     "q_tumbling_window",
+    "q_asof_join",
     "q_merge_upsert",
     "t_fingerprint",
     "t_minhash_lsh_pairs",
+    "t_embed_neardup",
     "s_cosine_topk",
+    "s_ivf_ann_topk",
 ]
 
 

@@ -396,3 +396,114 @@ def q_window_range_frame(spark, sf_dir):
         "day_idx",
         F.sum("total_dec").over(w).cast(AGG_DECIMAL).alias("spend_90d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-hop star join (TPC-H Q7 shape) & ranking functions
+
+
+@query(
+    "q07_nation_volume",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(volume) AS DECIMAL(38,6)) AS revenue,
+           COUNT(*) AS n_lines
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               EXTRACT(YEAR FROM l_shipdate) AS l_year,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(8,4))
+                 AS DECIMAL(22,8)) AS volume
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+          AND n2.n_name IN ('NATION_1', 'NATION_2')
+          AND n1.n_name <> n2.n_name)
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q07_nation_volume(spark, sf_dir):
+    """TPC-H Q7 shape: 6-table star join, nation dims filtered BEFORE the
+    join and broadcast, fact-fact joins on keys (sort-merge/AQE at scale),
+    exact decimal revenue. The selective nation filter reaches the probe
+    sides as a broadcast semi-condition — Catalyst prunes most rows before
+    the wide joins."""
+    nations = ["NATION_1", "NATION_2"]
+    n1 = t(spark, sf_dir, "nation").filter(F.col("n_name").isin(nations))
+    n2 = n1.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    n1 = n1.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    supp = t(spark, sf_dir, "supplier").join(
+        F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey")
+    )
+    cust = t(spark, sf_dir, "customer").join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey")
+    )
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    volume = (
+        dec("l_extendedprice")
+        * (F.lit(1) - dec("l_discount", 8, 4)).cast("decimal(8,4)")
+    ).cast("decimal(22,8)")
+    joined = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        joined.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            volume.alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(dsum(F.col("volume"), "revenue"), F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+@query(
+    "q_ranking_functions",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           ntile(4) OVER (PARTITION BY o_orderpriority
+                          ORDER BY o_totalprice, o_orderkey) AS price_quartile,
+           ROUND(percent_rank() OVER (PARTITION BY o_orderpriority
+                          ORDER BY o_totalprice, o_orderkey), 6) AS pct_rank,
+           ROUND(cume_dist() OVER (PARTITION BY o_orderpriority
+                          ORDER BY o_totalprice, o_orderkey), 6) AS cume,
+           first_value(o_orderkey) OVER (PARTITION BY o_orderpriority
+                          ORDER BY o_totalprice, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND UNBOUNDED FOLLOWING) AS cheapest_key,
+           last_value(o_orderkey) OVER (PARTITION BY o_orderpriority
+                          ORDER BY o_totalprice, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND UNBOUNDED FOLLOWING) AS priciest_key
+    FROM orders
+    """,
+)
+def q_ranking_functions(spark, sf_dir):
+    """Distribution-ranking window functions (ntile / percent_rank /
+    cume_dist / first_value / last_value) — unique (price, key) ordering
+    makes every rank deterministic; one shuffle on the partition key."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("o_orderkey").over(wfull).alias("cheapest_key"),
+        F.last("o_orderkey").over(wfull).alias("priciest_key"),
+    )

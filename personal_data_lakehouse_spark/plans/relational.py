@@ -658,13 +658,15 @@ def q_window_topk(spark, sf_dir):
     SELECT l_suppkey, l_orderkey, l_linenumber,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER (
                 PARTITION BY l_suppkey
-                ORDER BY l_shipdate, l_orderkey, l_linenumber
+                ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                         l_quantity, l_extendedprice
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              AS DECIMAL(38,6)) AS running_qty,
            CAST(CAST(l_extendedprice AS DECIMAL(18,4))
                 - LAG(CAST(l_extendedprice AS DECIMAL(18,4))) OVER (
                     PARTITION BY l_suppkey
-                    ORDER BY l_shipdate, l_orderkey, l_linenumber)
+                    ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                             l_quantity, l_extendedprice)
              AS DECIMAL(19,4)) AS price_delta
     FROM lineitem
     """,
@@ -672,8 +674,14 @@ def q_window_topk(spark, sf_dir):
 def q_window_running_lag(spark, sf_dir):
     """Running SUM + LAG delta (the reference computes day-over-day variation
     arithmetically, daily_stocks.sql:17-18 — windows give it directly).
-    Unique ORDER BY tiebreak (orderkey, linenumber) makes results exact."""
-    w = Window.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    The ORDER BY ends with the value columns: (orderkey, linenumber) is NOT
+    unique in the fixtures (118k dup pairs at sf0.1), so rows tying on all
+    ordering columns must be interchangeable for the running sum and lag to
+    be engine-deterministic."""
+    w = Window.partitionBy("l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber",
+        "l_quantity", "l_extendedprice",
+    )
     price = dec("l_extendedprice")
     return t(spark, sf_dir, "lineitem").select(
         "l_suppkey",

@@ -287,3 +287,47 @@ def t_simhash(spark, sf_dir):
     """SimHash 60-bit sketches from md5-derived token hashes — bitwise
     reproducible in the oracle (engine-neutral hash family)."""
     return simhash(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "t_quality_filter",
+    oracle=rf"""
+    SELECT doc_id, n_words, avg_word_len, punct_ratio, distinct_ratio,
+           (n_words >= 10 AND n_words <= 1000
+            AND avg_word_len >= 2.0 AND avg_word_len <= 12.0
+            AND punct_ratio <= 0.2
+            AND distinct_ratio >= 0.3) AS keep
+    FROM (
+        SELECT doc_id,
+               CAST(len(w) AS INT) AS n_words,
+               ROUND(CAST(length(text) - (len(w) - 1) AS DOUBLE) / len(w), 6)
+                   AS avg_word_len,
+               ROUND(CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+                     / length(text), 6) AS punct_ratio,
+               ROUND(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6)
+                   AS distinct_ratio
+        FROM (SELECT doc_id, text, {_TOKS} AS w FROM documents))
+    """,
+)
+def t_quality_filter(spark, sf_dir):
+    """The C4-style keep/drop decision: thresholded conjunction over the
+    quality features — the actual FILTER stage of a training-data pipeline
+    (here emitted as a boolean column so the oracle can check both kept
+    and dropped rows). Map-only; at 100 TB this is a pushdown-friendly
+    predicate over precomputed feature columns."""
+    d = t(spark, sf_dir, "documents")
+    feats = quality_features("text")
+    scored = d.select(
+        "doc_id",
+        feats["n_words"].alias("n_words"),
+        feats["avg_word_len"].alias("avg_word_len"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["distinct_ratio"].alias("distinct_ratio"),
+    )
+    keep = (
+        (F.col("n_words") >= 10) & (F.col("n_words") <= 1000)
+        & (F.col("avg_word_len") >= 2.0) & (F.col("avg_word_len") <= 12.0)
+        & (F.col("punct_ratio") <= 0.2)
+        & (F.col("distinct_ratio") >= 0.3)
+    )
+    return scored.withColumn("keep", keep)

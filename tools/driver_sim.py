@@ -8,7 +8,8 @@ from pyspark.sql import SparkSession
 
 import __spark_entry__ as mod
 
-SF = "/root/testdata/sf0.01"
+import os
+SF = os.environ.get("DRIVER_SIM_SF_DIR", "/root/testdata/sf0.01")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 # Vanilla session — deliberately NOT personal_data_lakehouse_spark.get_spark:
