@@ -98,7 +98,7 @@ def ivf_topk(
     broadcast — the join is cell-local. Both sides reuse the norms the
     assignment stage already materialized.
     """
-    cells = assign_cells(candidates, cents, cand_id, cand_vec, n=1)
+    cells = assign_cells(candidates, cents, cand_id, cand_vec, n=1).persist()
     probes = assign_cells(
         queries, cents, query_id, query_vec, n=nprobe
     ).withColumnRenamed("_vn", "_qn")
@@ -127,7 +127,11 @@ def ivf_blocked_neardup(
     the shingle-Jaccard blocked dedup. Cell-local quadratic work scales as
     Σ|cell|² and parallelizes per cell.
     """
-    cells = assign_cells(candidates, cents, cand_id, cand_vec, n=1)
+    # Persist the assigned cells: the self-join consumes this subtree twice
+    # (and a broadcast build side would otherwise re-execute the whole
+    # assignment, re-inlining the norm folds per pair). Tiny: one row per
+    # vector. At cluster scale this is the written cell index.
+    cells = assign_cells(candidates, cents, cand_id, cand_vec, n=1).persist()
     a = cells.select(
         F.col("cell"),
         F.col(cand_id).alias("id_a"),
