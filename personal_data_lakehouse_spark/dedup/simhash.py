@@ -86,3 +86,61 @@ def simhash_hamming_pairs(
         )
         .filter(F.col("hamming") <= max_distance)
     )
+
+
+def simhash_neardup_pairs(
+    df, text_col: str = "text", id_col: str = "doc_id",
+    bands: int = 4, band_bits: int = 15, max_hamming: int = 8,
+):
+    """Near-duplicate pairs via SimHash banding + exact hamming verify.
+
+    Standard simhash dedup (Manku et al., WWW'07 shape): two sketches
+    within hamming distance h must share at least one of ``bands`` bit
+    bands when bands > h — so the candidate join is an equi-join on
+    (band index, band value), never a cross product. Exact
+    bit_count(xor) then filters to ``max_hamming``.
+
+    Scale: sketches are one 60-bit integer per doc (map-only); the band
+    join shuffles (band, 15-bit value, id) tuples — uniform keys; the
+    quadratic step is band-bucket-local.
+    """
+    from pyspark.sql import functions as F
+
+    sk = simhash(df, text_col=text_col, id_col=id_col).persist()
+    mask = (1 << band_bits) - 1
+    banded = sk.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*[
+                (F.shiftright(F.col("simhash"), b * band_bits)
+                 .bitwiseAND(F.lit(mask)))
+                for b in range(bands)
+            ])
+        ).alias("band", "bandval"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bandval") == F.col("b.bandval"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = sk.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
+    sb = sk.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -331,3 +331,64 @@ def t_quality_filter(spark, sf_dir):
         & (F.col("distinct_ratio") >= 0.3)
     )
     return scored.withColumn("keep", keep)
+
+
+_SIMHASH_CTE = r"""
+    toks AS (
+        SELECT doc_id,
+               list_distinct(string_split(
+                   trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+        FROM documents
+    ), h AS (
+        SELECT doc_id,
+               list_transform(w, t ->
+                   list_reduce(
+                       list_transform(range(1, 16),
+                           i -> (strpos('0123456789abcdef', md5(t)[i]) - 1)::BIGINT),
+                       (a, b) -> a * 16 + b)) AS hashes
+        FROM toks
+    ), sk AS (
+        SELECT doc_id,
+               list_reduce(list_transform(range(0, 60), j ->
+                   CASE WHEN list_reduce(
+                                 list_transform(hashes, v -> ((v >> j) & 1) * 2 - 1),
+                                 (a, b) -> a + b) >= 0
+                        THEN (1::BIGINT << j) ELSE 0::BIGINT END),
+                   (a, b) -> a + b) AS simhash
+        FROM h
+    )
+"""
+
+
+@query(
+    "t_simhash_neardup",
+    oracle=f"""
+    WITH {_SIMHASH_CTE},
+    banded AS (
+        SELECT doc_id, b AS band, (simhash >> (b * 15)) & 32767 AS bandval
+        FROM sk, unnest([0, 1, 2, 3]) AS u(b)
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+        FROM banded a JOIN banded c
+          ON a.band = c.band AND a.bandval = c.bandval
+         AND a.doc_id < c.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
+    FROM pairs
+    JOIN sk sa ON sa.doc_id = id_a
+    JOIN sk sb ON sb.doc_id = id_b
+    WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 8
+    """,
+)
+def t_simhash_neardup(spark, sf_dir):
+    """SimHash near-dup pairs: band the 60-bit sketch into 4×15-bit keys,
+    equi-join candidates within a band bucket, verify with exact
+    bit_count(xor) <= 8 — the constant-space counterpart to MinHash (one
+    integer per doc instead of a shingle set)."""
+    from personal_data_lakehouse_spark.dedup.simhash import (
+        simhash_neardup_pairs,
+    )
+
+    return simhash_neardup_pairs(t(spark, sf_dir, "documents"))

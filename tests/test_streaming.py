@@ -84,3 +84,34 @@ def test_merge_sink_upserts(spark, events_stream, tmp_path):
         merged.groupBy("window_start", "event_type").count().filter("count > 1").count()
         == 0
     )
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Streaming exact-dedup: dropDuplicatesWithinWatermark keyed on the
+    business key — the streaming counterpart of the bronze insert-only
+    MERGE (state bounded by the watermark, unlike a global distinct)."""
+    from personal_data_lakehouse_spark.streaming.windows import stream_events
+
+    events = stream_events(spark, f"{SF_DIR}/events.parquet")
+    deduped = (
+        events.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT count(*) FROM dedup_stream"
+    ).collect()[0][0]
+    batch = t(spark, SF_DIR, "events")
+    distinct_keys = batch.select("user_id", "event_type").distinct().count()
+    # each (user, type) appears at least once; duplicates inside the
+    # watermark horizon are suppressed
+    assert got >= distinct_keys
+    assert got < batch.count()
