@@ -238,3 +238,19 @@ def q_timezone_convert(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("local_date")
     )
+
+
+@query("q_approx_percentile", oracle=None)  # sketch values are engine-specific
+def q_approx_percentile(spark, sf_dir):
+    """Streaming-sketch percentiles (Greenwald-Khanna): the 100 TB path for
+    q_percentiles' exact sort-based form — single pass, bounded memory,
+    mergeable across partitions. Accuracy bounded by the error test in
+    tests/test_advanced.py, not an oracle hash (sketches are
+    engine-specific)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", 0.5, 10000).alias("qty_p50_approx"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias(
+            "price_p50_approx"
+        ),
+    )

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+import __spark_entry__  # noqa: F401 — populates the query registry
 from personal_data_lakehouse_spark.operators.asof import asof_join
 from personal_data_lakehouse_spark.plans.registry import REGISTRY, t
 from tests.conftest import SF_DIR
@@ -49,3 +50,19 @@ def test_asof_join_equal_and_missing_ts(spark):
     assert out["e1"] == (100, 10.0)  # equal ts matches (<=)
     assert out["e2"] == (150, 15.0)  # latest prior
     assert out["e3"] == (None, None)  # no reference row for key → left outer
+
+
+def test_approx_percentile_error_bound(spark):
+    approx = {
+        r.l_returnflag: (r.qty_p50_approx, r.price_p50_approx)
+        for r in REGISTRY["q_approx_percentile"].fn(spark, SF_DIR).collect()
+    }
+    exact = {
+        r.l_returnflag: (r.qty_p50, r.price_median)
+        for r in REGISTRY["q_percentiles"].fn(spark, SF_DIR).collect()
+    }
+    assert set(approx) == set(exact)
+    for k, (qa, pa) in approx.items():
+        qe, pe = exact[k]
+        assert abs(qa - qe) / max(qe, 1) < 0.05
+        assert abs(pa - pe) / max(pe, 1) < 0.05
