@@ -507,3 +507,139 @@ def q_ranking_functions(spark, sf_dir):
         F.first("o_orderkey").over(wfull).alias("cheapest_key"),
         F.last("o_orderkey").over(wfull).alias("priciest_key"),
     )
+
+
+# ---------------------------------------------------------------------------
+# More TPC-H shapes over the fixture schema (Q10 / Q14 / Q18 analogues)
+
+
+@query(
+    "q10_returned_revenue",
+    oracle="""
+    SELECT c_custkey, c_name, n_name,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(8,4))
+                AS DECIMAL(22,8))) AS DECIMAL(38,6)) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(o_orderdate AS DATE) <  DATE '1996-07-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_revenue(spark, sf_dir):
+    """TPC-H Q10 shape: lost revenue from returned items per customer,
+    top 20 — selective date filter pushed to the orders scan, nation
+    broadcast, deterministic top-k tiebreak on custkey."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate").cast("date") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1996-07-01"))
+    )
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = t(spark, sf_dir, "nation")
+    rev = (
+        dec("l_extendedprice")
+        * (F.lit(1) - dec("l_discount", 8, 4)).cast("decimal(8,4)")
+    ).cast("decimal(22,8)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(rev, "revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q14_promo_share",
+    oracle="""
+    SELECT l_year,
+           CAST(SUM(CASE WHEN p_type = 'PROMO' THEN vol END) AS DECIMAL(38,6))
+               AS promo_revenue,
+           CAST(SUM(vol) AS DECIMAL(38,6)) AS total_revenue,
+           ROUND(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN vol
+                              ELSE CAST(0 AS DECIMAL(22,8)) END) AS DOUBLE)
+                 * 100.0 / CAST(SUM(vol) AS DOUBLE), 6) AS promo_pct
+    FROM (
+        SELECT EXTRACT(YEAR FROM l_shipdate) AS l_year, p_type,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(8,4))
+                 AS DECIMAL(22,8)) AS vol
+        FROM lineitem JOIN part ON l_partkey = p_partkey)
+    GROUP BY l_year
+    """,
+)
+def q14_promo_share(spark, sf_dir):
+    """TPC-H Q14 shape: promo revenue share per year — conditional
+    aggregation over a fact-dim join; the percentage derives from two
+    exact decimal sums with one double division."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    vol = (
+        dec("l_extendedprice")
+        * (F.lit(1) - dec("l_discount", 8, 4)).cast("decimal(8,4)")
+    ).cast("decimal(22,8)")
+    joined = li.join(p, li.l_partkey == p.p_partkey).select(
+        F.year("l_shipdate").alias("l_year"),
+        "p_type",
+        vol.alias("vol"),
+    )
+    promo = F.when(F.col("p_type") == "PROMO", F.col("vol"))
+    promo_z = F.when(F.col("p_type") == "PROMO", F.col("vol")).otherwise(
+        F.lit(0).cast("decimal(22,8)")
+    )
+    return joined.groupBy("l_year").agg(
+        dsum(promo, "promo_revenue"),
+        dsum(F.col("vol"), "total_revenue"),
+        F.round(
+            F.sum(promo_z).cast("double") * 100.0
+            / F.sum(F.col("vol")).cast("double"),
+            6,
+        ).alias("promo_pct"),
+    )
+
+
+@query(
+    "q18_large_orders",
+    oracle="""
+    SELECT c_custkey, o_orderkey,
+           CAST(o_orderdate AS DATE) AS orderdate,
+           CAST(total_qty AS DECIMAL(38,6)) AS total_qty
+    FROM (
+        SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,4))) AS total_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 400)
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold —
+    aggregate-then-join: the HAVING collapses lineitem to a tiny key set
+    BEFORE touching orders/customer (the join probes broadcast it)."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("tq"))
+        .filter(F.col("tq") > 400)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            F.col("tq").cast(AGG_DECIMAL).alias("total_qty"),
+        )
+    )
