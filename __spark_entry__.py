@@ -40,6 +40,10 @@ try:
 except ImportError:
     pass
 try:
+    import personal_data_lakehouse_spark.plans.tpch_subqueries  # noqa: F401,E402
+except ImportError:
+    pass
+try:
     import personal_data_lakehouse_spark.plans.udf_ops  # noqa: F401,E402
 except ImportError:
     pass
