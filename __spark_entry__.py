@@ -44,6 +44,10 @@ try:
 except ImportError:
     pass
 try:
+    import personal_data_lakehouse_spark.plans.cluster_ops  # noqa: F401,E402
+except ImportError:
+    pass
+try:
     import personal_data_lakehouse_spark.plans.udf_ops  # noqa: F401,E402
 except ImportError:
     pass

@@ -1,0 +1,138 @@
+"""Connected-components clustering for near-duplicate canonicalization.
+
+Pair-producing dedup ops (MinHash-LSH, SimHash, embedding-cosine) emit
+*edges*; an actual dedup pipeline must then pick ONE representative per
+transitive duplicate cluster.  That closure step is this module: given an
+edge list, label every node with its component's minimum id (a stable,
+deterministic canonical id), so `keep = (doc_id == cluster_id)` is the
+dedup decision.
+
+Algorithm: iterative min-label propagation expressed as DataFrame
+joins/aggregations — per round, every node takes the minimum label among
+itself and its direct neighbors; convergence after `diameter(component)`
+rounds.  Near-dup clusters in a real corpus are dense and shallow
+(duplicates of a common source, diameter ≲ 4), so the loop runs 3-5
+rounds even at billions of edges.  Each round is one shuffle join on the
+edge list plus one aggregation — the same cost envelope as the
+large-star/small-star MapReduce formulation (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14) without its neighborhood
+re-materialization; switch to that formulation only if components with
+very large diameters are expected (chain-shaped graphs), which LSH output
+is not.  Lineage is truncated every round with ``localCheckpoint`` so the
+plan does not grow with iterations (Spark's iterative-algorithm pitfall).
+
+The reference has no dedup beyond MERGE-on-key (SURVEY §2.3 J1,
+`pipelines/stock_api/ingest_stocks.py:84-100`); this is north-star
+extension surface (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label each node with the minimum node id reachable via edges.
+
+    Returns ``DataFrame[node, label]`` — `label` is the component id.
+    With ``nodes=None`` the node set is derived from the edge list (only
+    nodes that can change label); pass an explicit superset to also emit
+    isolated nodes, which keep their own id.  Deterministic: the fixpoint
+    is unique regardless of execution order.
+
+    Raises ``RuntimeError`` if not converged within ``max_iter`` rounds
+    (a real corpus converges in < 6; hitting the cap means the edge list
+    is chain-shaped and the large-star/small-star variant should be used).
+    """
+    # Materialize the edge list ONCE, before symmetrizing — the union
+    # would otherwise execute the (possibly expensive) edge-producing plan
+    # upstream (e.g. the full MinHash-LSH pipeline) once per branch, and
+    # the loop re-reads the result every round.
+    e0 = edges.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    ).localCheckpoint()
+    sym = (
+        e0.union(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    node_set = (
+        sym.select(F.col("a").alias(node_col)).distinct()
+        if nodes is None
+        else nodes
+    )
+    labels = node_set.select(
+        F.col(node_col).alias("node"), F.col(node_col).alias("label")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.a, "left")
+            .select(
+                labels.node,
+                F.least(
+                    labels.label, F.coalesce(F.col("nbr_min"), labels.label)
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Canonicalize near-dup pairs into clusters over the full corpus.
+
+    Returns one row per document: ``[doc_id, cluster_id, is_canonical,
+    cluster_size]``.  The canonical representative is the minimum doc_id
+    of the cluster — stable under re-runs and independent of partitioning.
+    """
+    # Iterate ONLY over nodes incident to an edge — in a deduplicated
+    # corpus that subgraph is orders of magnitude smaller than the corpus
+    # (most documents have no near-dup pair), so the propagation loop
+    # shuffles the sparse edge-node set per round while the 100 TB corpus
+    # is touched exactly once, by the final left join.
+    cc = connected_components(pairs, node_col=id_col, src_col=id_a, dst_col=id_b)
+    labeled = (
+        docs.select(id_col)
+        .join(cc, F.col(id_col) == cc.node, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("label"), F.col(id_col)).alias("cluster_id"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id")
+    return labeled.select(
+        F.col(id_col),
+        F.col("cluster_id"),
+        (F.col(id_col) == F.col("cluster_id")).alias("is_canonical"),
+        F.count("*").over(w).alias("cluster_size"),
+    )

@@ -1,0 +1,63 @@
+"""Connected-components dedup clustering: unit semantics on hand-built
+graphs (the differential gate covers the LSH-fed query end-to-end)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from personal_data_lakehouse_spark.dedup.cluster import (
+    connected_components,
+    dedup_clusters,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_two_components_and_chain(spark):
+    # {1,2,3} dense triangle, {10,11,12,13} a chain — min-label must cross
+    # the whole chain (exercises multi-round propagation).
+    e = _edges(spark, [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (12, 13)])
+    got = {
+        (r.node, r.label)
+        for r in connected_components(e).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (12, 10), (13, 10)}
+
+
+def test_edge_orientation_irrelevant(spark):
+    # Same component regardless of (src, dst) order.
+    got = {
+        (r.node, r.label)
+        for r in connected_components(_edges(spark, [(5, 2), (2, 9)])).collect()
+    }
+    assert got == {(2, 2), (5, 2), (9, 2)}
+
+
+def test_explicit_node_superset_keeps_isolated(spark):
+    nodes = spark.createDataFrame([(1,), (2,), (99,)], "node long")
+    e = _edges(spark, [(1, 2)])
+    got = {(r.node, r.label) for r in connected_components(e, nodes=nodes).collect()}
+    assert got == {(1, 1), (2, 1), (99, 99)}
+
+
+def test_dedup_clusters_full_corpus_labeling(spark):
+    docs = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id long")
+    pairs = spark.createDataFrame([(2, 4), (4, 6)], "id_a long, id_b long")
+    rows = {r.doc_id: r for r in dedup_clusters(docs, pairs).collect()}
+    assert len(rows) == 6
+    assert [rows[i].cluster_id for i in (2, 4, 6)] == [2, 2, 2]
+    assert [rows[i].cluster_id for i in (1, 3, 5)] == [1, 3, 5]
+    assert rows[2].is_canonical and not rows[4].is_canonical
+    assert rows[2].cluster_size == 3 and rows[1].cluster_size == 1
+    # canonical count == number of clusters
+    assert sum(1 for r in rows.values() if r.is_canonical) == 4
+
+
+def test_nonconvergence_raises(spark):
+    # max_iter=1 cannot close a 4-node chain.
+    e = _edges(spark, [(10, 11), (11, 12), (12, 13)])
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(e, max_iter=1)
