@@ -48,6 +48,10 @@ try:
 except ImportError:
     pass
 try:
+    import personal_data_lakehouse_spark.plans.tpch_remaining  # noqa: F401,E402
+except ImportError:
+    pass
+try:
     import personal_data_lakehouse_spark.plans.udf_ops  # noqa: F401,E402
 except ImportError:
     pass

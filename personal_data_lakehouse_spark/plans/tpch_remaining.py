@@ -1,0 +1,481 @@
+"""The remaining TPC-H query shapes (Q2 / Q8 / Q9 / Q11 / Q12 / Q15 / Q20
+analogues), completing 22/22 coverage over the fixture star schema.
+
+The fixture schema (FIXTURES.md §A) has no `partsupp`, `l_shipmode`,
+`l_commitdate` or `p_mfgr`, so the part-supplier relation is *derived*
+from `lineitem` (a supplier "supplies" a part iff it shipped it; unit
+cost = MIN(l_extendedprice / l_quantity) over its line items) and the
+ship-mode split in Q12 becomes a return-flag split.  Each query keeps
+the shape that makes the original interesting:
+
+- Q2: per-group minimum over a filtered dimension join (min-cost supplier
+  per part, suppliers restricted to one region) — the decorrelated
+  "value = MIN(value) OVER (correlation key)" pattern.
+- Q8: market share — a ratio of conditional aggregates over a 6-table
+  star join, grouped by year.
+- Q9: product-type profit — an arithmetic measure combining fact columns
+  with a dimension column, grouped by (nation, year).
+- Q11: important stock — global-scalar threshold (value > 2x the average
+  per-part value) applied via a broadcast cross join.
+- Q12: priority split — conditional counts classifying the *order*
+  dimension from the *lineitem* fact side.
+- Q15: top supplier — equality against a scalar MAX over an aggregated
+  subquery (ties kept, which is why the oracle uses = not LIMIT 1).
+- Q20: excess-share suppliers — a two-level aggregate (per supplier-part
+  vs per part) feeding a semi-join on the supplier dimension.
+
+Reference parity: the reference's engines (Spark on Dataproc + BigQuery,
+SURVEY §0) execute arbitrary SQL of exactly these shapes; the reference
+repo itself ships only two dbt models, so this suite is the implied
+engine surface, built Spark-first and DuckDB-oracle-checked.
+
+Determinism rules (registry docstring): money stays in DECIMAL through
+every SUM; the only double arithmetic is (a) Q2's unit cost — a single
+IEEE division both engines compute identically from the same operands,
+combined with MIN which is order-independent — and (b) ratio outputs
+ROUND(...,6) after exact decimal sums.  Every LIMIT is preceded by a
+total-order tiebreak.
+
+Scale notes inline per query; the common theme is that the derived
+part-supplier relation aggregates lineitem down by (partkey, suppkey)
+*first* (map-side partial agg collapses ~60 rows per key), so everything
+downstream of it is dimension-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from personal_data_lakehouse_spark.functions import dec, dsum
+from personal_data_lakehouse_spark.plans.registry import query, t
+
+_REV_SQL = """CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+        * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(8,4))
+        AS DECIMAL(22,8))"""
+
+
+def _rev():
+    return (
+        dec("l_extendedprice")
+        * (F.lit(1) - dec("l_discount", 8, 4)).cast("decimal(8,4)")
+    ).cast("decimal(22,8)")
+
+
+# ---------------------------------------------------------------------------
+# Q2 — min-cost supplier per part within a region
+
+
+@query(
+    "q02_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+        SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+               MIN(l_extendedprice / l_quantity) AS unit_cost
+        FROM lineitem GROUP BY 1, 2
+    ), eu AS (
+        SELECT ps.partkey, ps.suppkey, ps.unit_cost, s_name, n_name
+        FROM ps
+        JOIN supplier ON suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    )
+    SELECT p_partkey, p_name, s_name, n_name,
+           CAST(unit_cost AS DOUBLE) AS unit_cost
+    FROM eu
+    JOIN part ON partkey = p_partkey
+    WHERE p_size <= 15 AND p_type = 'SMALL'
+      AND unit_cost = (SELECT MIN(unit_cost) FROM eu e2
+                       WHERE e2.partkey = eu.partkey)
+    ORDER BY unit_cost, p_partkey, s_name
+    LIMIT 100
+    """,
+)
+def q02_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: for each small EUROPE-supplied part, the cheapest
+    supplier (ties kept).  The correlated MIN decorrelates into a window
+    MIN over the *already region-filtered* derived part-supplier relation
+    — one shuffle on partkey serves both the window and the final part
+    join.  Supplier/nation/region are broadcast (dimension-sized); the
+    lineitem aggregate is the only fact-sized shuffle."""
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "SMALL")
+    )
+    ps = li.groupBy(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    eu = (
+        ps.join(F.broadcast(s), ps.suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("partkey", "suppkey", "unit_cost", "s_name", "n_name")
+    )
+    w = Window.partitionBy("partkey")
+    best = eu.withColumn("min_cost", F.min("unit_cost").over(w)).filter(
+        F.col("unit_cost") == F.col("min_cost")
+    )
+    return (
+        best.join(p, best.partkey == p.p_partkey)
+        .select("p_partkey", "p_name", "s_name", "n_name", "unit_cost")
+        .orderBy("unit_cost", "p_partkey", "s_name")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8 — national market share within a region
+
+
+@query(
+    "q08_market_share",
+    oracle=f"""
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN vol
+                         ELSE CAST(0 AS DECIMAL(22,8)) END) AS DECIMAL(38,6))
+               AS nation_vol,
+           CAST(SUM(vol) AS DECIMAL(38,6)) AS total_vol,
+           ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN vol
+                               ELSE CAST(0 AS DECIMAL(22,8)) END) AS DOUBLE)
+                 / CAST(SUM(vol) AS DOUBLE), 6) AS mkt_share
+    FROM (
+        SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+               {_REV_SQL} AS vol,
+               sn.n_name AS supp_nation
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN region   ON cn.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        JOIN part     ON l_partkey = p_partkey
+        WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+    ) x
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q08_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: NATION_5's share of ECONOMY-part revenue sold into
+    AMERICA, per order year.  All five dimensions broadcast; the only
+    shuffles are lineitem⋈orders on orderkey and the final tiny
+    per-year aggregate.  The share divides two exact decimal sums once,
+    as doubles, then rounds — deterministic at any partitioning."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    cn = t(spark, sf_dir, "nation").alias("cn")
+    sn = t(spark, sf_dir, "nation").alias("sn")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    s = t(spark, sf_dir, "supplier")
+    p = t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    zero = F.lit(0).cast("decimal(22,8)")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn.n_nationkey"))
+        .join(F.broadcast(r), F.col("cn.n_regionkey") == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn.n_nationkey"))
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            _rev().alias("vol"),
+            F.col("sn.n_name").alias("supp_nation"),
+        )
+    )
+    nation_vol = F.when(F.col("supp_nation") == "NATION_5", F.col("vol")).otherwise(
+        zero
+    )
+    return (
+        joined.groupBy("o_year")
+        .agg(
+            dsum(nation_vol, "nation_vol"),
+            dsum(F.col("vol"), "total_vol"),
+            F.round(
+                F.sum(nation_vol).cast("double") / F.sum("vol").cast("double"), 6
+            ).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9 — product-type profit by nation and year
+
+
+@query(
+    "q09_product_profit",
+    oracle=f"""
+    SELECT n_name AS nation, o_year,
+           CAST(SUM(amount) AS DECIMAL(38,6)) AS sum_profit
+    FROM (
+        SELECT sn.n_name, EXTRACT(YEAR FROM o_orderdate) AS o_year,
+               {_REV_SQL}
+               - CAST(CAST(p_retailprice AS DECIMAL(18,4))
+                      * CAST(l_quantity AS DECIMAL(18,4)) / 100
+                      AS DECIMAL(22,8)) AS amount
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        JOIN part     ON l_partkey = p_partkey
+        WHERE p_name LIKE '%red%'
+    ) profit
+    GROUP BY n_name, o_year
+    ORDER BY n_name, o_year DESC
+    """,
+)
+def q09_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape: profit on red parts per supplier nation per year,
+    with cost modeled as 1% of retail price per unit (no partsupp in the
+    fixture schema).  The measure mixes fact and dimension columns, so
+    the part join must happen before the aggregate — part and supplier
+    broadcast, lineitem⋈orders is the one big shuffle.  All arithmetic
+    stays decimal until the final cast."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    s = t(spark, sf_dir, "supplier")
+    sn = t(spark, sf_dir, "nation")
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    cost = (
+        (dec("p_retailprice") * dec("l_quantity") / 100).cast("decimal(22,8)")
+    )
+    amount = _rev() - cost
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), s.s_nationkey == sn.n_nationkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(dsum(F.col("amount"), "sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 — important stock: parts above 2x the average supplied value
+
+
+@query(
+    "q11_important_stock",
+    oracle="""
+    WITH ps AS (
+        SELECT l_partkey AS partkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+                    AS DECIMAL(38,6)) AS value
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(value) AS DECIMAL(38,6)) AS total,
+               COUNT(*) AS n_parts
+        FROM ps
+    )
+    SELECT partkey, value
+    FROM ps, tot
+    WHERE CAST(value AS DOUBLE) * n_parts > 2.0 * CAST(total AS DOUBLE)
+    ORDER BY value DESC, partkey
+    """,
+)
+def q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape: parts whose ASIA-supplied value exceeds twice the
+    average per-part value.  The threshold is scale-invariant (unlike
+    Q11's fixed fraction, which empties as the part count grows), and is
+    compared as `value * n_parts > 2 * total` — two exact decimal sums
+    converted to double once, no cross-engine AVG typing.  The one-row
+    total broadcasts into a cross join; one fact shuffle on partkey."""
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    ps = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(dsum(dec("l_extendedprice"), "value"))
+    )
+    tot = ps.agg(
+        F.sum("value").cast("decimal(38,6)").alias("total"),
+        F.count("*").alias("n_parts"),
+    )
+    return (
+        ps.join(F.broadcast(tot))
+        .filter(
+            F.col("value").cast("double") * F.col("n_parts")
+            > 2.0 * F.col("total").cast("double")
+        )
+        .select("partkey", "value")
+        .orderBy(F.desc("value"), "partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12 — order-priority split seen from the lineitem side
+
+
+@query(
+    "q12_priority_split",
+    oracle="""
+    SELECT l_returnflag,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+      AND CAST(l_shipdate AS DATE) <  DATE '1998-01-01'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q12_priority_split(spark, sf_dir):
+    """TPC-H Q12 shape (return flag standing in for ship mode): count
+    high- vs low-priority orders among 1997 shipments.  The date filter
+    pushes to the lineitem scan (parquet min/max pruning at scale); the
+    classification is a conditional SUM — one shuffle on orderkey, then
+    a 3-row aggregate."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1998-01-01"))
+    )
+    o = t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15 — top supplier(s) by quarterly revenue (scalar MAX, ties kept)
+
+
+@query(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(SUM({_REV_SQL}) AS DECIMAL(38,6)) AS total_revenue
+        FROM lineitem
+        WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+          AND CAST(l_shipdate AS DATE) <  DATE '1996-04-01'
+        GROUP BY 1
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: supplier(s) with the maximum Q1-1996 revenue.
+    The scalar MAX over the aggregated view broadcasts into the filter;
+    equality on exact decimals keeps ties (the reason Q15 is not a
+    LIMIT 1).  One fact shuffle on suppkey; supplier join broadcasts."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1996-04-01"))
+    )
+    s = t(spark, sf_dir, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(_rev(), "total_revenue")
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_rev"))
+    return (
+        revenue.join(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 — suppliers shipping an outsized share of a part
+
+
+@query(
+    "q20_excess_share_suppliers",
+    oracle="""
+    WITH shipped AS (
+        SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
+                    AS DECIMAL(38,6)) AS qty
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_name LIKE 'small%'
+          AND CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+          AND CAST(l_shipdate AS DATE) <  DATE '1997-01-01'
+        GROUP BY 1, 2
+    ), excess AS (
+        SELECT suppkey
+        FROM shipped s
+        WHERE CAST(qty AS DOUBLE) > 0.3 * (
+            SELECT CAST(SUM(qty) AS DOUBLE) FROM shipped p
+            WHERE p.partkey = s.partkey)
+    )
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (SELECT suppkey FROM excess)
+    ORDER BY s_suppkey
+    """,
+)
+def q20_excess_share_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers that shipped > 30% of some small part's
+    1996 volume.  The correlated share test decorrelates into a window
+    SUM over partkey on the (already tiny) per-(part, supplier) aggregate;
+    the supplier dimension is then LEFT SEMI joined against the distinct
+    offender set — no row multiplication, supplier-sized output."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1997-01-01"))
+    )
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    shipped = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .agg(dsum(dec("l_quantity"), "qty"))
+    )
+    w = Window.partitionBy("partkey")
+    excess = (
+        shipped.withColumn(
+            "part_total", F.sum("qty").over(w).cast("decimal(38,6)")
+        )
+        .filter(
+            F.col("qty").cast("double")
+            > 0.3 * F.col("part_total").cast("double")
+        )
+        .select("suppkey")
+        .distinct()
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(excess, s.s_suppkey == excess.suppkey, "left_semi")
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )
