@@ -643,3 +643,79 @@ def q18_large_orders(spark, sf_dir):
             F.col("tq").cast(AGG_DECIMAL).alias("total_qty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Pivot / histogram (wide-format reshaping and distributed binning)
+
+
+@query(
+    "q_pivot",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN l_returnflag = 'A'
+                    THEN CAST(l_quantity AS DECIMAL(18,4)) END)
+                AS DECIMAL(38,6)) AS qty_a,
+           CAST(SUM(CASE WHEN l_returnflag = 'N'
+                    THEN CAST(l_quantity AS DECIMAL(18,4)) END)
+                AS DECIMAL(38,6)) AS qty_n,
+           CAST(SUM(CASE WHEN l_returnflag = 'R'
+                    THEN CAST(l_quantity AS DECIMAL(18,4)) END)
+                AS DECIMAL(38,6)) AS qty_r,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def q_pivot(spark, sf_dir):
+    """Wide-format pivot (long→wide reshape). With the pivot values listed
+    explicitly, Spark compiles this to ONE hash aggregation with a
+    conditional-sum per value — no extra pass to discover the domain, no
+    second shuffle; identical cost profile to a plain groupBy at 100 TB."""
+    li = t(spark, sf_dir, "lineitem")
+    wide = (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum(dec("l_quantity")).alias("q"), F.count(F.lit(1)).alias("c"))
+    )
+    return wide.select(
+        "l_linestatus",
+        F.col("A_q").cast(AGG_DECIMAL).alias("qty_a"),
+        F.col("N_q").cast(AGG_DECIMAL).alias("qty_n"),
+        F.col("R_q").cast(AGG_DECIMAL).alias("qty_r"),
+        (
+            F.coalesce(F.col("A_c"), F.lit(0))
+            + F.coalesce(F.col("N_c"), F.lit(0))
+            + F.coalesce(F.col("R_c"), F.lit(0))
+        ).alias("n_rows"),
+    )
+
+
+@query(
+    "q_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 50000.0) AS INT) AS bucket,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,6))
+               AS sum_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_histogram(spark, sf_dir):
+    """Distributed equi-width histogram: bucketing is a scalar projection
+    (stays inside whole-stage codegen), then one partial+final hash agg —
+    the canonical shape for profiling a 100 TB column in a single pass.
+    IEEE double divide/floor is bit-identical across engines, so the
+    bucket ids hash-match the oracle exactly."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.withColumn(
+            "bucket", F.floor(F.col("o_totalprice") / F.lit(50000.0)).cast("int")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum(dec("o_totalprice"), "sum_price"),
+        )
+    )
