@@ -719,3 +719,106 @@ def q_histogram(spark, sf_dir):
             dsum(dec("o_totalprice"), "sum_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-sequence analytics: sessionization (gaps-and-islands) and cohorts
+
+
+@query(
+    "q_sessionize",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+               CAST(value AS DECIMAL(18,6)) AS val,
+               CASE WHEN lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                         OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) IS NULL
+                    OR epoch_us(CAST(ts AS TIMESTAMP))
+                       - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                         OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) > 1800000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, ts_us, val,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS sid
+        FROM ordered
+    )
+    SELECT user_id, CAST(sid AS INT) AS session_id,
+           COUNT(*) AS n_events,
+           MIN(ts_us) AS session_start_us,
+           MAX(ts_us) AS session_end_us,
+           CAST(SUM(val) AS DECIMAL(38,6)) AS total_value
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+)
+def q_sessionize(spark, sf_dir):
+    """Gaps-and-islands sessionization: a new session starts after a >30 min
+    silence. One shuffle on user_id serves BOTH window passes (lag for the
+    gap flag, running sum for the session id) and the final per-session
+    aggregate — partitioning reuse is what keeps this a single-exchange
+    plan on a 100 TB event log. event_id breaks ts ties so tied rows get a
+    deterministic total order on both engines."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    flagged = e.select(
+        "user_id",
+        "event_id",
+        us.alias("ts_us"),
+        dec("value", 18, 6).alias("val"),
+        F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0).alias("is_new"),
+    )
+    wcum = Window.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = flagged.withColumn("sid", F.sum("is_new").over(wcum))
+    return sess.groupBy("user_id", F.col("sid").cast("int").alias("session_id")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_us").alias("session_start_us"),
+        F.max("ts_us").alias("session_end_us"),
+        dsum(F.col("val"), "total_value"),
+    )
+
+
+@query(
+    "q_retention_cohort",
+    oracle="""
+    WITH f AS (
+        SELECT user_id,
+               DATE_TRUNC('month', MIN(CAST(ts AS DATE))) AS cohort_month
+        FROM events GROUP BY user_id
+    ),
+    a AS (
+        SELECT DISTINCT user_id,
+               DATE_TRUNC('month', CAST(ts AS DATE)) AS activity_month
+        FROM events
+    )
+    SELECT CAST(cohort_month AS DATE) AS cohort_month,
+           CAST(activity_month AS DATE) AS activity_month,
+           COUNT(*) AS n_users
+    FROM a JOIN f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q_retention_cohort(spark, sf_dir):
+    """Retention cohort triangle: users bucketed by first-activity month,
+    counted in every month they return. Both the first-touch aggregate and
+    the distinct-activity set shuffle on user_id, so the join between them
+    is co-partitioned (no third exchange); the final cohort×month rollup
+    is tiny. The classic shape for activity analysis over years of logs."""
+    e = t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    )
+    f = e.groupBy("user_id").agg(F.trunc(F.min("d"), "month").alias("cohort_month"))
+    a = e.select("user_id", F.trunc("d", "month").alias("activity_month")).distinct()
+    return a.join(f, "user_id").groupBy("cohort_month", "activity_month").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
