@@ -650,7 +650,7 @@ def q18_large_orders(spark, sf_dir):
 
 
 @query(
-    "q_pivot",
+    "q_pivot_wide",
     oracle="""
     SELECT l_linestatus,
            CAST(SUM(CASE WHEN l_returnflag = 'A'
@@ -667,7 +667,7 @@ def q18_large_orders(spark, sf_dir):
     GROUP BY l_linestatus
     """,
 )
-def q_pivot(spark, sf_dir):
+def q_pivot_wide(spark, sf_dir):
     """Wide-format pivot (long→wide reshape). With the pivot values listed
     explicitly, Spark compiles this to ONE hash aggregation with a
     conditional-sum per value — no extra pass to discover the domain, no

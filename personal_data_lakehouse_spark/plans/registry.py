@@ -46,10 +46,80 @@ def query(name: str, oracle: str | None = None):
     """Register a query; colocates the Spark implementation with its oracle."""
 
     def deco(fn):
+        if name in REGISTRY:
+            raise ValueError(
+                f"duplicate query name {name!r}: already registered by "
+                f"{REGISTRY[name].fn.__module__}.{REGISTRY[name].fn.__qualname__}"
+            )
         REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "")
         return fn
 
     return deco
+
+
+def finalize(df: DataFrame) -> DataFrame:
+    """Cast top-level DECIMAL result columns to DOUBLE.
+
+    The aggregation itself stays in exact decimal arithmetic (associative →
+    deterministic across partition orders); only the *presentation* type
+    changes. Decimal→double is the correctly-rounded nearest double in both
+    Spark (BigDecimal.doubleValue) and DuckDB (int128/10^scale, exact while
+    the unscaled value < 2^53), so both engines emit bit-identical doubles —
+    whereas a DECIMAL column survives Spark's toPandas as Decimal objects but
+    comes out of DuckDB's pandas path as float64, defeating a value-hash
+    comparison even when the numbers are equal.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import DecimalType
+
+    if not any(isinstance(f.dataType, DecimalType) for f in df.schema.fields):
+        return df
+    return df.select(
+        *[
+            F.col(f.name).cast("double").alias(f.name)
+            if isinstance(f.dataType, DecimalType)
+            else F.col(f.name)
+            for f in df.schema.fields
+        ]
+    )
+
+
+_ORACLE_CACHE: dict[str, str] = {}
+_DESCRIBE_SF_DIR = "/root/testdata/sf0.001"
+
+
+def oracle_double(name: str) -> str | None:
+    """Oracle SQL for *name* with DECIMAL result columns cast to DOUBLE.
+
+    Mirrors finalize(): DESCRIBE the oracle under DuckDB (binds types without
+    executing) and wrap decimal columns in CAST(... AS DOUBLE) via
+    ``SELECT * REPLACE``. Falls back to the raw SQL if DuckDB or the fixture
+    dir is unavailable.
+    """
+    q = REGISTRY[name]
+    if q.oracle is None:
+        return None
+    if name in _ORACLE_CACHE:
+        return _ORACLE_CACHE[name]
+    wrapped = q.oracle
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        for tbl in TABLES:
+            con.sql(
+                f"CREATE VIEW {tbl} AS SELECT * FROM '{_DESCRIBE_SF_DIR}/{tbl}.parquet'"
+            )
+        desc = con.sql(f"DESCRIBE ({q.oracle})").fetchall()
+        dec_cols = [row[0] for row in desc if row[1].upper().startswith("DECIMAL")]
+        if dec_cols:
+            repl = ", ".join(f'CAST("{c}" AS DOUBLE) AS "{c}"' for c in dec_cols)
+            wrapped = f"SELECT * REPLACE ({repl}) FROM ({q.oracle}) __q"
+        con.close()
+    except Exception:
+        pass
+    _ORACLE_CACHE[name] = wrapped
+    return wrapped
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
