@@ -86,9 +86,11 @@ def merge_into_table(
     """Materialized merge into a catalog table.
 
     With Delta on the classpath this is the native transactional MERGE; on
-    plain Parquet catalog tables it stages the merged result and swaps it in
-    (staging write → drop → rename — not atomic; Delta is the production
-    path, this is the fallback).
+    plain Parquet catalog tables it stages the merged result and swaps it in.
+    The swap renames the live table aside before promoting the staging table
+    (live → __old, staging → live, drop __old), so a crash mid-swap leaves a
+    recoverable table under one of the two names — still not atomic (Delta is
+    the production path), but never a window where the data is gone.
     """
     if not spark.catalog.tableExists(table):
         source.write.saveAsTable(table)
@@ -112,7 +114,9 @@ def merge_into_table(
         if insert_only
         else merge_upsert(target, source, keys)
     )
-    staging = f"{table}__staging"
+    staging, old = f"{table}__staging", f"{table}__old"
     merged.write.mode("overwrite").saveAsTable(staging)
-    spark.sql(f"DROP TABLE {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {old}")
+    spark.sql(f"ALTER TABLE {table} RENAME TO {old}")
     spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+    spark.sql(f"DROP TABLE {old}")

@@ -42,7 +42,19 @@ def salted_join(
     (key, salt) bucket finds its match. Equivalent rows land on the same
     salt — acceptable: salting targets hot *keys*, whose rows differ in
     their payload columns.
+
+    Only join types that never emit unmatched *small*-side rows are legal:
+    the small side exists ``salt`` times, so right/full outer joins would
+    emit each unmatched small-side row once per salt value.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "semi", "left_anti", "leftanti", "anti", "cross"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the replicated small "
+            f"side would duplicate unmatched rows {salt}x under right/full "
+            f"outer joins (supported: {sorted(allowed)})"
+        )
     skeys = [str(c) for c in on]
     salted = skewed.withColumn(
         "_salt", F.pmod(F.xxhash64(*skewed.columns), F.lit(salt)).cast("int")

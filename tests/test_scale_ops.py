@@ -52,6 +52,15 @@ def test_salted_join_left_outer(spark):
     ) == sorted(map(tuple, salted.fillna("∅").collect()))
 
 
+def test_salted_join_rejects_outer_joins(spark):
+    df = spark.range(0, 10).select(F.col("id").alias("k"))
+    import pytest
+
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="salted_join does not support"):
+            salted_join(df, df, on=["k"], how=how)
+
+
 def test_stateful_user_activity_stream(spark, tmp_path):
     from personal_data_lakehouse_spark.streaming.stateful import (
         user_activity_stream,
