@@ -39,6 +39,7 @@ import personal_data_lakehouse_spark.plans.tpch_subqueries  # noqa: F401,E402
 import personal_data_lakehouse_spark.plans.cluster_ops  # noqa: F401,E402
 import personal_data_lakehouse_spark.plans.tpch_remaining  # noqa: F401,E402
 import personal_data_lakehouse_spark.plans.udf_ops  # noqa: F401,E402
+import personal_data_lakehouse_spark.plans.training_ops  # noqa: F401,E402
 
 from personal_data_lakehouse_spark.plans.registry import (  # noqa: E402
     REGISTRY,
@@ -86,30 +87,29 @@ _PRIORITY = [
     "q_merge_upsert",
     "q_window_topk",
     "q_window_running_lag",
-    "q_window_range_frame",
     "q_grouping_sets",
-    "q_rollup",
     "q_cube",
     "q_pivot",
-    "q_unpivot",
     "q_exists_subquery",
     "q_scalar_subquery",
+    "q_scd2_intervals",
+    "q_pct_of_total",
     # Dedup / text analysis (training-data pipeline)
     "t_dedup_exact",
     "t_minhash_lsh_pairs",
     "t_simhash_neardup",
     "t_ngram_jaccard_blocked",
     "t_embed_neardup",
-    "t_fingerprint",
-    "t_lang_id",
+    "t_contamination",
+    "t_pack_sequences",
     "t_quality_filter",
-    # Similarity search
+    # Similarity search / embedding ops
     "s_cosine_topk",
     "s_ivf_ann_topk",
+    "m_kmeans_centroids",
     # Event / streaming shapes
     "q_tumbling_window",
     "q_session_window",
-    "q_sessionize",
     # Python-UDF path (Arrow-batched)
     "q_applyinpandas_rank",
 ]
