@@ -40,6 +40,7 @@ import personal_data_lakehouse_spark.plans.cluster_ops  # noqa: F401,E402
 import personal_data_lakehouse_spark.plans.tpch_remaining  # noqa: F401,E402
 import personal_data_lakehouse_spark.plans.udf_ops  # noqa: F401,E402
 import personal_data_lakehouse_spark.plans.training_ops  # noqa: F401,E402
+import personal_data_lakehouse_spark.plans.analytics_ops  # noqa: F401,E402
 
 from personal_data_lakehouse_spark.plans.registry import (  # noqa: E402
     REGISTRY,
@@ -88,12 +89,12 @@ _PRIORITY = [
     "q_window_topk",
     "q_window_running_lag",
     "q_grouping_sets",
-    "q_cube",
     "q_pivot",
     "q_exists_subquery",
-    "q_scalar_subquery",
     "q_scd2_intervals",
-    "q_pct_of_total",
+    "q_snapshot_diff",
+    "q_gap_fill_calendar",
+    "q_median_exact",
     # Dedup / text analysis (training-data pipeline)
     "t_dedup_exact",
     "t_minhash_lsh_pairs",

@@ -60,6 +60,10 @@ assert n > 0
 
 # 2) queries vs oracle
 qs, osql = mod.queries(), mod.oracle_sql()
+only = os.environ.get("DRIVER_SIM_ONLY")
+if only:
+    keep = {n.strip() for n in only.split(",") if n.strip()}
+    qs = {n: f for n, f in qs.items() if n in keep}
 fails = 0
 for name in sorted(qs):
     t0 = time.time()
