@@ -1,0 +1,117 @@
+"""Table maintenance: small-file compaction, clustered writes, file stats.
+
+The reference accumulates one small Delta commit per daily run
+(ingest_stocks.py:82-111 appends a ~300-row batch per ticker-day;
+transforme_stock_silver.py:140-149 rewrites silver partitions) and relies on
+Dataproc-side table services to keep the lake healthy. This module is that
+missing service layer, Spark-native:
+
+- ``compact_small_files``: bin-pack a parquet directory's files back to a
+  target file size. At 100 TB the enemy is the metadata plane — a daily
+  append pipeline produces O(partitions × days) files, and a 100k-file table
+  spends longer listing/planning than scanning. Compaction is an
+  embarrassingly parallel rewrite: no shuffle (coalesce, not repartition)
+  unless re-clustering is requested.
+- ``clustered_write``: range-partition + sort-within-partitions on the
+  cluster keys before writing — the poor man's Z-ORDER. Parquet row-group
+  min/max stats become tight and disjoint on the sort key, so any engine
+  reading the output (Spark, DuckDB, Trino) skips row groups on point/range
+  predicates against that key.
+- ``file_stats``: per-file row counts + key min/max from the live data
+  (``input_file_name``), the observability signal that decides WHEN to
+  compact (many files ≪ target size) and whether clustering holds
+  (overlapping key ranges between files).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import uuid
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def file_stats(
+    spark: SparkSession, path: str, key: str | None = None
+) -> DataFrame:
+    """Per-file health stats: rows per file, and when *key* is given its
+    min/max per file — overlap between files means clustering has decayed."""
+    df = spark.read.parquet(path).withColumn("file", F.input_file_name())
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    if key is not None:
+        aggs += [F.min(key).alias("key_min"), F.max(key).alias("key_max")]
+    return df.groupBy("file").agg(*aggs)
+
+
+def clustered_write(
+    df: DataFrame,
+    path: str,
+    cluster_by: Sequence[str],
+    mode: str = "overwrite",
+    target_files: int | None = None,
+) -> None:
+    """Write *df* range-clustered on *cluster_by*: rows are range-partitioned
+    (one contiguous key range per output file) and sorted within each file,
+    so parquet row-group min/max stats prune on the cluster key for every
+    downstream reader. One shuffle (range exchange with sampled bounds) —
+    the same cost Z-ORDER pays, linear in data size and fully parallel."""
+    cols = [F.col(c) for c in cluster_by]
+    part = df.repartitionByRange(*cols) if target_files is None else (
+        df.repartitionByRange(target_files, *cols)
+    )
+    part.sortWithinPartitions(*cols).write.mode(mode).parquet(path)
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    cluster_by: Sequence[str] | None = None,
+) -> dict:
+    """Rewrite the parquet directory at *path* into ≈target-sized files.
+
+    Plain compaction is shuffle-free (coalesce narrows the scan's splits
+    into fewer write tasks); passing ``cluster_by`` upgrades the rewrite to
+    a clustering rewrite (one range shuffle). The swap is crash-safe the
+    same way merge_into_table's is: the live directory is renamed aside
+    first, so a failure mid-swap leaves either the old or the new directory
+    intact, never neither.
+
+    Returns {"files_before", "files_after", "bytes"} for observability.
+    """
+
+    def _n_files(p: str) -> int:
+        return sum(
+            1
+            for _r, _d, fs in os.walk(p)
+            for f in fs
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+
+    before = _n_files(path)
+    total = _dir_bytes(path)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    staging = f"{path.rstrip('/')}__compact_{uuid.uuid4().hex[:8]}"
+    df = spark.read.parquet(path)
+    if cluster_by:
+        clustered_write(df, staging, cluster_by, target_files=n_out)
+    else:
+        df.coalesce(n_out).write.mode("overwrite").parquet(staging)
+    old = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old)
+    return {"files_before": before, "files_after": _n_files(path), "bytes": total}

@@ -107,6 +107,43 @@ def sessionized_stream(
     )
 
 
+def attribution_join(
+    views: DataFrame,
+    clicks: DataFrame,
+    max_delay: str = "30 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: attribute each click to the view events
+    the same user produced within ``max_delay`` before it.
+
+    Both sides carry watermarks and the join condition carries an explicit
+    event-time interval, so the state store can expire rows once the
+    watermark passes — without the time bound a stream-stream join's state
+    grows forever. State per key is O(events within the interval), constant
+    in stream length; on a real cluster back it with the RocksDB state
+    store. The same expression joins identically in batch mode (tested
+    batch-vs-stream in tests/test_streaming.py).
+    """
+    v = views.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    c = clicks.withWatermark("ts", watermark).select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    return c.join(
+        v,
+        F.expr(
+            "v_user_id = user_id AND "
+            f"view_ts BETWEEN click_ts - INTERVAL {max_delay} AND click_ts"
+        ),
+        "inner",
+    ).select("user_id", "click_id", "click_ts", "view_id", "view_ts")
+
+
 def merge_sink(
     stream: DataFrame, table: str, keys: Sequence[str], checkpoint: str
 ):

@@ -1,0 +1,73 @@
+"""Table maintenance: compaction bin-packs files, clustered writes produce
+disjoint per-file key ranges (row-group skipping), stats drive both."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from personal_data_lakehouse_spark.operators.maintenance import (
+    clustered_write,
+    compact_small_files,
+    file_stats,
+)
+from tests.conftest import SF_DIR
+
+
+def _fragmented_copy(spark, tmp_path, n_fragments=40):
+    path = str(tmp_path / "frag")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    orders.repartition(n_fragments).write.parquet(path)
+    return path, orders.count()
+
+
+def test_compaction_binpacks_and_preserves_rows(spark, tmp_path):
+    path, n = _fragmented_copy(spark, tmp_path)
+    stats = compact_small_files(spark, path, target_file_bytes=64 * 1024 * 1024)
+    assert stats["files_before"] >= 40
+    assert stats["files_after"] < stats["files_before"]
+    assert spark.read.parquet(path).count() == n
+
+
+def test_compaction_with_clustering_gives_disjoint_ranges(spark, tmp_path):
+    path, n = _fragmented_copy(spark, tmp_path)
+    compact_small_files(
+        spark, path, target_file_bytes=32 * 1024, cluster_by=["o_orderkey"]
+    )
+    assert spark.read.parquet(path).count() == n
+    ranges = sorted(
+        (r.key_min, r.key_max)
+        for r in file_stats(spark, path, key="o_orderkey").collect()
+    )
+    assert len(ranges) > 1  # actually split into multiple files
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo  # disjoint, ordered key ranges across files
+
+
+def test_clustered_write_prunes_rowgroups(spark, tmp_path):
+    """The physical payoff: a point predicate on the cluster key reads fewer
+    rows than the table under pyarrow row-group statistics filtering."""
+    import pyarrow.dataset as ds
+
+    path = str(tmp_path / "clustered")
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    clustered_write(li, path, cluster_by=["l_orderkey"], target_files=8)
+    dataset = ds.dataset(path, format="parquet")
+    frags = list(dataset.get_fragments(filter=ds.field("l_orderkey") == 1))
+    matching_files = {
+        f.path
+        for f in frags
+        if any(
+            rg.statistics["l_orderkey"]["min"] <= 1 <= rg.statistics["l_orderkey"]["max"]
+            for rg in f.row_groups
+        )
+    }
+    all_files = {f.path for f in dataset.get_fragments()}
+    assert len(all_files) >= 4
+    assert len(matching_files) <= 2  # key 1 lives in the first range only
+
+
+def test_file_stats_reports_fragmentation(spark, tmp_path):
+    path, n = _fragmented_copy(spark, tmp_path, n_fragments=10)
+    st = file_stats(spark, path).collect()
+    assert len(st) >= 10
+    assert sum(r.n_rows for r in st) == n

@@ -115,3 +115,58 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     # watermark horizon are suppressed
     assert got >= distinct_keys
     assert got < batch.count()
+
+
+def test_stream_stream_attribution_join(spark, tmp_path):
+    """Stream-stream interval join equals the batch join of the same
+    expression: every click matched to the same user's views within the
+    30-minute attribution window."""
+    from personal_data_lakehouse_spark.streaming.windows import (
+        attribution_join,
+        stream_events,
+    )
+
+    views_s = stream_events(spark, f"{SF_DIR}/events.parquet").filter(
+        F.col("event_type") == "view"
+    )
+    clicks_s = stream_events(spark, f"{SF_DIR}/events.parquet").filter(
+        F.col("event_type") == "click"
+    )
+    joined = attribution_join(views_s, clicks_s)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attr_join")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        (r.click_id, r.view_id)
+        for r in spark.sql("SELECT click_id, view_id FROM attr_join").collect()
+    }
+
+    ev = t(spark, SF_DIR, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
+    )
+    batch = {
+        (r.click_id, r.view_id)
+        for r in c.join(
+            v,
+            F.expr(
+                "v_user_id = user_id AND view_ts BETWEEN "
+                "click_ts - INTERVAL 30 minutes AND click_ts"
+            ),
+        ).collect()
+    }
+    assert len(batch) > 0
+    # availableNow single-batch processing can drop late rows the batch join
+    # keeps only if watermarks advance mid-run; with one batch they don't.
+    assert streamed == batch
