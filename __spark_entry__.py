@@ -43,6 +43,7 @@ import personal_data_lakehouse_spark.plans.training_ops  # noqa: F401,E402
 import personal_data_lakehouse_spark.plans.analytics_ops  # noqa: F401,E402
 import personal_data_lakehouse_spark.plans.array_ops  # noqa: F401,E402
 import personal_data_lakehouse_spark.plans.sql_surface  # noqa: F401,E402
+import personal_data_lakehouse_spark.plans.temporal_stats  # noqa: F401,E402
 
 from personal_data_lakehouse_spark.plans.registry import (  # noqa: E402
     REGISTRY,

@@ -54,6 +54,37 @@ def dedup_source(
     return source.dropDuplicates(list(keys))
 
 
+def apply_changes(
+    target: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    op_col: str = "op",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """CDC changelog application (DLT ``apply_changes`` / Debezium-consumer
+    semantics): *changes* carries the target's columns plus an operation
+    column ('I'/'U'/'D') and a monotonic sequence column; the latest change
+    per key wins, deletes remove the key, upserts replace it.
+
+    Shape: one window (latest-per-key on the — typically small — changelog)
+    + one left_anti join + one union. The anti join broadcasts the deduped
+    changelog key set against the large snapshot, so applying a day of CDC
+    to a 100 TB table costs a broadcast probe plus an append, never a
+    shuffle of the snapshot.
+    """
+    w = Window.partitionBy(*keys).orderBy(F.desc(seq_col))
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    untouched = target.join(
+        F.broadcast(latest.select(*keys)), list(keys), "left_anti"
+    )
+    applied = latest.filter(F.col(op_col) != "D").drop(op_col, seq_col)
+    return untouched.unionByName(applied)
+
+
 def merge_insert_only(
     target: DataFrame, source: DataFrame, keys: Sequence[str]
 ) -> DataFrame:

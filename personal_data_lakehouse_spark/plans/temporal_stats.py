@@ -1,0 +1,250 @@
+"""Temporal / statistical operator surface, wave 6.
+
+CDC changelog application (the operational heart of a lakehouse — the
+reference's MERGE at ingest_stocks.py:84-100 is the I/U half; this adds
+ordered U-vs-U conflict resolution and deletes), interval-overlap
+concurrency via the sweep-line trick, integer-exact z-score outlier
+detection, and exact weighted medians.
+
+Determinism notes are per-query; the common discipline: no reassociable
+float reductions (quantize → integer/decimal sums), every window ordered by
+a unique key, scale-0 decimal products sized so Spark's precision cap never
+forces a scale reduction (the value fits 38 digits; DuckDB runs the same
+math in HUGEINT which is exact to ~1.7e38).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from personal_data_lakehouse_spark.plans.registry import query, t
+
+# ---------------------------------------------------------------------------
+# CDC changelog application
+
+
+@query(
+    "q_cdc_apply",
+    oracle="""
+    WITH snap AS (SELECT o_orderkey, o_totalprice FROM orders)
+    SELECT o_orderkey, o_totalprice FROM snap
+    WHERE o_orderkey % 10 NOT IN (3, 7)
+    UNION ALL
+    SELECT o_orderkey, o_totalprice + 200 FROM snap WHERE o_orderkey % 10 = 7
+    UNION ALL
+    SELECT o_orderkey + 10000000, o_totalprice FROM snap WHERE o_orderkey % 10 = 1
+    """,
+)
+def q_cdc_apply(spark, sf_dir):
+    """Apply an ordered I/U/D changelog to a snapshot via
+    operators.merge.apply_changes (DLT apply_changes / Debezium-consumer
+    semantics). The synthetic changelog carries a delete stream (keys %10=3),
+    two conflicting updates for the same keys (%10=7 — seq 2 must win over
+    seq 1), and an insert stream of new keys; the oracle states the final
+    snapshot those changes must produce. The snapshot is never shuffled:
+    latest-per-key collapses the (small) changelog, whose key set then
+    broadcast-anti-joins the snapshot."""
+    from personal_data_lakehouse_spark.operators.merge import apply_changes
+
+    snap = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    k = F.col("o_orderkey")
+    upd1 = (
+        snap.filter(k % 10 == 7)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 100)
+        .withColumn("op", F.lit("U"))
+        .withColumn("seq", F.lit(1))
+    )
+    upd2 = (
+        snap.filter(k % 10 == 7)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 200)
+        .withColumn("op", F.lit("U"))
+        .withColumn("seq", F.lit(2))
+    )
+    dels = (
+        snap.filter(k % 10 == 3)
+        .withColumn("op", F.lit("D"))
+        .withColumn("seq", F.lit(1))
+    )
+    ins = (
+        snap.filter(k % 10 == 1)
+        .withColumn("o_orderkey", k + 10000000)
+        .withColumn("op", F.lit("I"))
+        .withColumn("seq", F.lit(1))
+    )
+    changes = upd1.unionByName(upd2).unionByName(dels).unionByName(ins)
+    return apply_changes(snap, changes, keys=["o_orderkey"])
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap concurrency (sweep line)
+
+
+@query(
+    "q_open_order_concurrency",
+    oracle="""
+    WITH span AS (
+        SELECT o.o_orderkey,
+               CAST(o.o_orderdate AS DATE) AS s,
+               CAST(MAX(l.l_shipdate) AS DATE) AS e
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderkey, CAST(o.o_orderdate AS DATE)
+    ),
+    deltas AS (
+        SELECT s AS d, 1 AS delta FROM span
+        UNION ALL
+        SELECT e + 1, -1 FROM span
+    ),
+    daily AS (SELECT d, SUM(delta) AS net FROM deltas GROUP BY d)
+    SELECT d, CAST(SUM(net) OVER (ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS open_orders
+    FROM daily
+    """,
+)
+def q_open_order_concurrency(spark, sf_dir):
+    """How many orders are open on each day — interval-overlap counting via
+    the sweep line: +1 at each order's start, −1 the day after its last
+    shipment, cumulative-summed over the date axis. The naive form is an
+    interval×calendar range join (O(orders × days)); the sweep is O(orders)
+    with one tiny aggregation keyed on date — THE scalable shape for
+    concurrency/occupancy/active-sessions metrics at 100 TB. The cumulative
+    window runs over |distinct dates| rows (thousands), not the fact table."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    span = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", F.to_date("o_orderdate").alias("s"))
+        .agg(F.max(F.to_date("l_shipdate")).alias("e"))
+    )
+    deltas = span.select(F.col("s").alias("d"), F.lit(1).alias("delta")).unionAll(
+        span.select(F.date_add("e", 1).alias("d"), F.lit(-1).alias("delta"))
+    )
+    daily = deltas.groupBy("d").agg(F.sum("delta").alias("net"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "d", F.sum("net").over(w).cast("long").alias("open_orders")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Integer-exact z-score outliers
+
+
+@query(
+    "q_zscore_outliers",
+    oracle="""
+    WITH q AS (
+        SELECT event_id, event_type,
+               CAST(round(value * 1000000) AS BIGINT) AS vq
+        FROM events
+    ),
+    st AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS HUGEINT) AS cnt,
+               CAST(SUM(CAST(vq AS HUGEINT)) AS HUGEINT) AS s,
+               CAST(SUM(CAST(vq AS HUGEINT) * CAST(vq AS HUGEINT)) AS HUGEINT) AS ss
+        FROM q GROUP BY event_type
+    )
+    SELECT q.event_id, q.event_type, q.vq,
+           CAST(st.cnt * q.vq - st.s AS BIGINT) AS dev_num
+    FROM q JOIN st USING (event_type)
+    WHERE 4 * (st.cnt * q.vq - st.s) * (st.cnt * q.vq - st.s)
+          > 9 * (st.cnt * st.ss - st.s * st.s)
+    """,
+)
+def q_zscore_outliers(spark, sf_dir):
+    """Events more than 1.5 standard deviations from their type's mean,
+    decided entirely in integer arithmetic: |v−μ|>1.5σ ⇔
+    4·(n·v−Σ)² > 9·(n·Σv²−Σ²) (since z = (n·v−Σ)/√(n·Σv²−Σ²)) — no
+    division, no sqrt, no float accumulation, so the answer is bit-identical
+    on any engine and any partition order (Spark runs it in scale-0 decimals
+    sized under the 38-digit cap; DuckDB in int128). One aggregation over
+    the events (map-side combinable) producing a per-type stats row that
+    broadcast-joins back — the two-pass shape every sane distributed
+    anomaly detector uses."""
+    ev = t(spark, sf_dir, "events")
+    q = ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 1000000, 0).cast("long").alias("vq"),
+    )
+    vq_d = F.col("vq").cast("decimal(18,0)")
+    st = q.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("vq").alias("s"),
+        F.sum(vq_d * F.col("vq").cast("decimal(19,0)")).alias("ss"),
+    )
+    j = q.join(F.broadcast(st), "event_type")
+    # dev = n·v − Σ fits a BIGINT (≤ ~1e14 at sf1); its square and the RHS
+    # run in DECIMAL(38,0) where the true values stay ≤ ~1e28.
+    dev = F.col("cnt") * F.col("vq") - F.col("s")
+    dev_sq = dev.cast("decimal(18,0)") * dev.cast("decimal(19,0)")
+    rhs = F.lit(9).cast("decimal(2,0)") * (
+        F.col("cnt").cast("decimal(9,0)") * F.col("ss")
+        - F.col("s").cast("decimal(18,0)") * F.col("s").cast("decimal(19,0)")
+    )
+    lhs = F.lit(4).cast("decimal(2,0)") * dev_sq
+    return (
+        j.filter(lhs > rhs)
+        .select("event_id", "event_type", "vq", dev.cast("long").alias("dev_num"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact weighted median
+
+
+@query(
+    "q_weighted_median",
+    oracle="""
+    WITH r AS (
+        SELECT l_returnflag AS flag, l_extendedprice AS price,
+               CAST(l_quantity AS BIGINT) AS w,
+               l_orderkey, l_linenumber
+        FROM lineitem
+    ),
+    c AS (
+        SELECT flag, price,
+               SUM(w) OVER (PARTITION BY flag
+                            ORDER BY price, l_orderkey, l_linenumber
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cumw,
+               SUM(w) OVER (PARTITION BY flag) AS total
+        FROM r
+    )
+    SELECT flag, MIN(price) AS weighted_median
+    FROM c WHERE cumw * 2 >= total GROUP BY flag
+    """,
+)
+def q_weighted_median(spark, sf_dir):
+    """Quantity-weighted median price per return flag: the price at which
+    cumulative shipped quantity crosses half the total — exact, via one
+    sort-based window per group (integer weights, so the running sum is
+    order-exact with the unique (price, orderkey, linenumber) ordering).
+    Weighted quantiles are what sketches approximate; this is the exact
+    reference implementation, one shuffle on the group key with the sort
+    reused by both windows."""
+    li = t(spark, sf_dir, "lineitem")
+    r = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").cast("long").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    win = Window.partitionBy("flag").orderBy(
+        "price", "l_orderkey", "l_linenumber"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot = Window.partitionBy("flag")
+    c = r.select(
+        "flag",
+        "price",
+        F.sum("w").over(win).alias("cumw"),
+        F.sum("w").over(tot).alias("total"),
+    )
+    return (
+        c.filter(F.col("cumw") * 2 >= F.col("total"))
+        .groupBy("flag")
+        .agg(F.min("price").alias("weighted_median"))
+    )

@@ -141,3 +141,35 @@ def test_incremental_equals_full_refresh(pipeline):
 def test_run_order_follows_ref_graph(spark):
     order = ModelRunner(spark, REFERENCE_MODELS).run_order()
     assert order.index("daily_stocks") < order.index("monthly_summary")
+
+
+def test_apply_changes_cdc_semantics(spark):
+    """CDC apply: latest seq wins, deletes drop keys, inserts add them,
+    untouched rows pass through bit-identical."""
+    from pyspark.sql import functions as F
+
+    from personal_data_lakehouse_spark.operators.merge import apply_changes
+
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, v string"
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "b1", "U", 1),
+            (2, "b2", "U", 2),  # later seq must win
+            (3, None, "D", 1),
+            (4, "d", "I", 1),
+            (4, None, "D", 2),  # insert then delete -> absent
+        ],
+        "k int, v string, op string, seq int",
+    )
+    got = {
+        r.k: r.v
+        for r in apply_changes(target, changes, keys=["k"]).collect()
+    }
+    assert got == {1: "a", 2: "b2"}
+    # empty changelog is a no-op
+    empty = changes.filter(F.lit(False))
+    assert sorted(
+        (r.k, r.v) for r in apply_changes(target, empty, keys=["k"]).collect()
+    ) == [(1, "a"), (2, "b"), (3, "c")]
