@@ -83,17 +83,20 @@ _PRIORITY = [
     "q20_excess_share_suppliers",
     "q21_sole_return_supplier",
     "q22_idle_customers",
-    # Core relational: joins, windows, reshape, subqueries, merge
-    "q_left_join_nulls",
-    "q_anti_join",
+    # Core relational: joins, windows, reshape, subqueries, merge.
+    # (Plain left/anti/semi joins and lag windows are verified inside the
+    # TPC-H set — q13 filtered LEFT, q16/q21/q22 anti, q21 EXISTS-semi — so
+    # those slots go to round-2 flagship operators instead.)
+    "q_lateral_topn",
+    "q_recursive_hierarchy",
     "q_asof_join",
     "q_range_join",
     "q_merge_upsert",
     "q_window_topk",
-    "q_window_running_lag",
+    "q_cdc_apply",
     "q_grouping_sets",
     "q_pivot",
-    "q_exists_subquery",
+    "q_zscore_outliers",
     "q_scd2_intervals",
     "q_snapshot_diff",
     "q_gap_fill_calendar",

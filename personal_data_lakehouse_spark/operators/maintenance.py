@@ -56,6 +56,74 @@ def file_stats(
     return df.groupBy("file").agg(*aggs)
 
 
+def zorder_value(cols: Sequence[str], bits: int = 16) -> "Column":
+    """Morton (Z-order) key: interleave the low *bits* of each column so a
+    sort on the result gives every participating column partial locality —
+    the multi-dimensional upgrade of single-key range clustering. Built as
+    a pure bit-arithmetic expression tree (shift/and/or), so it compiles
+    into whole-stage codegen: no UDF, no extra pass over the data.
+
+    Columns must be non-negative integers that fit *bits* bits (pre-bucket
+    wider domains: ``F.ntile`` or ``col % 2**bits``); with k columns the
+    z-value occupies k·bits ≤ 63 bits of a LongType."""
+    n = len(cols)
+    if n * bits > 63:
+        raise ValueError(f"{n} cols × {bits} bits exceeds a 64-bit z-value")
+    z = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        col = F.col(c).cast("long")
+        for i in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(col, i).bitwiseAND(F.lit(1)), i * n + j)
+            )
+    return z
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cluster_by: Sequence[str],
+    mode: str = "overwrite",
+    target_files: int | None = None,
+    bits: int = 16,
+) -> None:
+    """Write *df* Z-ORDER-clustered on *cluster_by*: range-partition + sort
+    on the interleaved key, then drop it. Point/range predicates on ANY of
+    the cluster columns skip most files/row-groups (verified against
+    pyarrow statistics in tests/test_maintenance.py) — where single-key
+    clustering only serves its leading column. Same cost as
+    ``clustered_write``: one range exchange."""
+    # Rescale every column onto the full bits-wide domain first — without
+    # this, a narrow column's high bits are constant zeros and the z-value's
+    # top bits (the ones range partitioning actually splits on) carry only
+    # the widest column, silently degrading to single-key clustering.
+    lo_hi = df.select(
+        *[F.min(c).cast("double").alias(f"__lo_{j}") for j, c in enumerate(cluster_by)],
+        *[F.max(c).cast("double").alias(f"__hi_{j}") for j, c in enumerate(cluster_by)],
+    ).first()
+    full = float((1 << bits) - 1)
+    scaled = []
+    for j, c in enumerate(cluster_by):
+        lo, hi = lo_hi[f"__lo_{j}"], lo_hi[f"__hi_{j}"]
+        span = (hi - lo) or 1.0
+        scaled.append(
+            F.floor((F.col(c).cast("double") - F.lit(lo)) * full / F.lit(span))
+            .cast("long")
+            .alias(f"__s_{j}")
+        )
+    part = df.select("*", *scaled)
+    zc = zorder_value([f"__s_{j}" for j in range(len(cluster_by))], bits=bits)
+    part = part.withColumn("__z", zc).drop(
+        *[f"__s_{j}" for j in range(len(cluster_by))]
+    )
+    part = (
+        part.repartitionByRange("__z")
+        if target_files is None
+        else part.repartitionByRange(target_files, "__z")
+    )
+    part.sortWithinPartitions("__z").drop("__z").write.mode(mode).parquet(path)
+
+
 def clustered_write(
     df: DataFrame,
     path: str,

@@ -32,3 +32,17 @@ def test_entry_contract(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
     assert set(entry_mod.oracle_sql()) <= set(entry_mod.queries())
+
+
+def test_registry_size_floor():
+    """A broken import must not silently shrink gate coverage (ADVICE r1)."""
+    assert len(REGISTRY) >= 120
+
+
+def test_priority_prefix_is_oracle_backed():
+    """The driver may hash-check only the first 50 queries() entries; every
+    one of those slots must carry an oracle (rows-only queries would waste
+    a verified slot)."""
+    names = entry_mod._ordered_names()[:50]
+    for n in names:
+        assert REGISTRY[n].oracle is not None, n

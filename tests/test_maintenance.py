@@ -71,3 +71,33 @@ def test_file_stats_reports_fragmentation(spark, tmp_path):
     st = file_stats(spark, path).collect()
     assert len(st) >= 10
     assert sum(r.n_rows for r in st) == n
+
+
+def test_zorder_write_prunes_both_dimensions(spark, tmp_path):
+    """Z-order must give file-skipping on BOTH cluster columns, where
+    single-key clustering serves only its leading column."""
+    from personal_data_lakehouse_spark.operators.maintenance import zorder_write
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    n = li.count()
+    zpath, spath = str(tmp_path / "zorder"), str(tmp_path / "single")
+    zorder_write(li, zpath, cluster_by=["l_orderkey", "l_partkey"], target_files=16)
+    clustered_write(li, spath, cluster_by=["l_orderkey"], target_files=16)
+    assert spark.read.parquet(zpath).count() == n
+
+    def hit_fraction(path, key, value):
+        rows = file_stats(spark, path, key=key).collect()
+        hits = sum(1 for r in rows if r.key_min <= value <= r.key_max)
+        return hits / len(rows), len(rows)
+
+    # leading-key pruning: both layouts skip most files on l_orderkey
+    z_ok, z_files = hit_fraction(zpath, "l_orderkey", 42)
+    s_ok, s_files = hit_fraction(spath, "l_orderkey", 42)
+    assert z_files >= 8 and s_files >= 8
+    assert s_ok <= 2 / s_files  # single-key: near-perfect on its key
+    assert z_ok <= 0.5  # z-order: still skips most files on dim 1
+    # second-dimension pruning: z-order skips, single-key cannot
+    z_pk, _ = hit_fraction(zpath, "l_partkey", 42)
+    s_pk, _ = hit_fraction(spath, "l_partkey", 42)
+    assert z_pk <= 0.5, f"z-order should skip on partkey, hit {z_pk}"
+    assert s_pk >= 0.9, "single-key layout can't skip on the second dim"

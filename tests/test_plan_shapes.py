@@ -1,0 +1,58 @@
+"""Physical-plan assertions for the wave-4/5/6 operators: the scale claims
+in docstrings (broadcasts happen, laterals decorrelate, filters and
+partition pruning reach the scan) proven by plan inspection."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import __spark_entry__  # noqa: F401  — populates REGISTRY
+from personal_data_lakehouse_spark.plans.registry import REGISTRY, t
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_lateral_topn_decorrelates(spark):
+    """The correlated LATERAL subquery must compile to a per-key group
+    limit + join — not a nested-loop re-execution per outer row."""
+    plan = _plan(REGISTRY["q_lateral_topn"].fn(spark, SF_DIR))
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_cdc_apply_broadcasts_changelog(spark):
+    plan = _plan(REGISTRY["q_cdc_apply"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_zscore_stats_row_broadcasts(spark):
+    plan = _plan(REGISTRY["q_zscore_outliers"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_higher_order_funcs_stay_codegen(spark):
+    """Array lambdas must run JVM-side: no Python eval operators."""
+    plan = _plan(REGISTRY["q_higher_order_funcs"].fn(spark, SF_DIR))
+    assert "Python" not in plan, plan
+    assert "Exchange" not in plan, plan  # pure map stage, zero shuffles
+
+
+def test_partition_pruning_reaches_scan(spark, tmp_path):
+    """A filter on the hive partition column must prune at planning time:
+    the scan's PartitionFilters carries the predicate and only matching
+    partition directories are read."""
+    path = str(tmp_path / "events_parted")
+    ev = t(spark, SF_DIR, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    ev.write.partitionBy("day").parquet(path)
+    df = spark.read.parquet(path).filter(F.col("day") == "2024-01-02")
+    plan = _plan(df)
+    assert "PartitionFilters" in plan, plan
+    # the pruned read touches exactly the matching partition's rows
+    expected = ev.filter(F.col("day") == "2024-01-02").count()
+    assert df.count() == expected
