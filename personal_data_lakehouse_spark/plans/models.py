@@ -47,8 +47,9 @@ class Model:
     name: str  # model name (ref target)
     sql: str  # templated SELECT
     target: str  # catalog table, e.g. "silver.daily_stocks"
-    materialization: str = "table"  # table | view | incremental
+    materialization: str = "table"  # table | view | incremental | insert_overwrite
     unique_key: list[str] = field(default_factory=list)
+    partition_by: list[str] = field(default_factory=list)
 
     def refs(self) -> list[str]:
         return _REF_RE.findall(self.sql)
@@ -85,7 +86,9 @@ class ModelRunner:
     def run_model(self, model: Model, full_refresh: bool = False) -> None:
         exists = self.spark.catalog.tableExists(model.target)
         incremental_run = (
-            model.materialization == "incremental" and exists and not full_refresh
+            model.materialization in ("incremental", "insert_overwrite")
+            and exists
+            and not full_refresh
         )
         sql = render(model, self.models, incremental_run)
         if model.materialization == "view":
@@ -93,9 +96,31 @@ class ModelRunner:
             return
         result: DataFrame = self.spark.sql(sql)
         if not incremental_run:
-            result.write.mode("overwrite").option(
-                "overwriteSchema", "true"
-            ).saveAsTable(model.target)
+            writer = result.write.mode("overwrite").option("overwriteSchema", "true")
+            if model.partition_by:
+                writer = writer.partitionBy(*model.partition_by)
+            writer.saveAsTable(model.target)
+        elif model.materialization == "insert_overwrite":
+            # dbt's insert_overwrite materialization: replace exactly the
+            # partitions present in the increment, leave the rest untouched —
+            # the idempotent-backfill pattern (re-running a day rewrites that
+            # day, never duplicates it). Requires partition_by; dynamic mode
+            # scopes the overwrite to partitions the increment writes.
+            if not model.partition_by:
+                raise ValueError(
+                    f"model {model.name}: insert_overwrite needs partition_by"
+                )
+            conf = "spark.sql.sources.partitionOverwriteMode"
+            prev = self.spark.conf.get(conf, "static")
+            self.spark.conf.set(conf, "dynamic")
+            try:
+                # insertInto is position-based: align to the target's layout
+                cols = self.spark.table(model.target).columns
+                result.select(*cols).write.mode("overwrite").insertInto(
+                    model.target
+                )
+            finally:
+                self.spark.conf.set(conf, prev)
         elif model.unique_key:
             merge_into_table(self.spark, model.target, result, model.unique_key)
         else:

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from personal_data_lakehouse_spark.plans.registry import query, t
+from personal_data_lakehouse_spark.plans.text_ops import _TOKS
 
 
 @query(
@@ -99,3 +100,44 @@ def q_mapinpandas_tokens(spark, sf_dir):
 # Silence the unused-import linter: F is part of the module's public shape
 # for future queries.
 _ = F
+
+
+@query(
+    "t_udtf_word_windows",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_TOKS} AS w FROM documents)
+    SELECT doc_id, CAST(i AS INT) AS chunk_id,
+           array_to_string(w[CAST(i * 50 + 1 AS INT):CAST((i + 1) * 50 AS INT)], ' ')
+               AS piece
+    FROM (SELECT doc_id, w,
+                 unnest(range(0, ((len(w) - 1) // 50) + 1)) AS i
+          FROM w)
+    """,
+)
+def t_udtf_word_windows(spark, sf_dir):
+    """Python UDTF (Spark 4 user-defined TABLE function) splitting each
+    document into 50-token windows via a LATERAL call — the row-expanding
+    Python shape that grouped-map/mapInPandas can't express (one input row
+    → many typed output rows, schema declared on the class). Executed
+    per-partition with Arrow transfer; the lateral correlation keeps it a
+    pipelined map stage (no shuffle, no state). The self-contained class
+    pickles by value — workers never import this package."""
+    from pyspark.sql.functions import udtf
+
+    from personal_data_lakehouse_spark.functions.text import normalize_text
+
+    @udtf(returnType="chunk_id int, piece string")
+    class WordWindows:
+        def eval(self, text: str):
+            toks = text.split(" ")
+            for i in range(0, len(toks), 50):
+                yield i // 50, " ".join(toks[i : i + 50])
+
+    spark.udtf.register("word_windows", WordWindows)
+    t(spark, sf_dir, "documents").select(
+        "doc_id", normalize_text("text").alias("nt")
+    ).createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, s.chunk_id, s.piece "
+        "FROM __udtf_docs d, LATERAL word_windows(nt) s"
+    )

@@ -173,3 +173,49 @@ def test_apply_changes_cdc_semantics(spark):
     assert sorted(
         (r.k, r.v) for r in apply_changes(target, empty, keys=["k"]).collect()
     ) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_insert_overwrite_replaces_only_touched_partitions(spark, tmp_path):
+    """dbt insert_overwrite semantics: re-running an increment rewrites the
+    partitions it produces and leaves every other partition untouched —
+    idempotent daily backfills without a merge key."""
+    from personal_data_lakehouse_spark.plans.models import Model, ModelRunner
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS iow")
+    spark.createDataFrame(
+        [(1, "2024-01", 10.0), (2, "2024-01", 20.0), (3, "2024-02", 30.0)],
+        "id int, month string, v double",
+    ).createOrReplaceTempView("iow_src")
+
+    model = Model(
+        name="iow_model",
+        sql="""
+        SELECT id, month, v FROM iow_src
+        {% if is_incremental() %} WHERE month = '2024-02' {% endif %}
+        """,
+        target="iow.agg",
+        materialization="insert_overwrite",
+        partition_by=["month"],
+    )
+    runner = ModelRunner(spark, [model])
+    runner.run()  # full build: both months
+    assert spark.table("iow.agg").count() == 3
+
+    # replace the 2024-02 source data; incremental run touches only 2024-02
+    spark.createDataFrame(
+        [(1, "2024-01", 99.0), (4, "2024-02", 40.0), (5, "2024-02", 50.0)],
+        "id int, month string, v double",
+    ).createOrReplaceTempView("iow_src")
+    runner.run()
+    got = sorted(
+        (r.id, r.month, r.v) for r in spark.table("iow.agg").collect()
+    )
+    # 2024-01 keeps its ORIGINAL rows (id 1 v=10, id 2) — not the changed
+    # source — proving the increment didn't rewrite that partition;
+    # 2024-02 is fully replaced (id 3 gone, ids 4,5 in).
+    assert got == [
+        (1, "2024-01", 10.0),
+        (2, "2024-01", 20.0),
+        (4, "2024-02", 40.0),
+        (5, "2024-02", 50.0),
+    ]

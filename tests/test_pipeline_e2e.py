@@ -67,3 +67,63 @@ def test_daily_pipeline_end_to_end_and_idempotent(spark):
         for r in silver.collect()
     }
     assert abs(pct[("PETR4", "2024-01-02")] - 0.05) < 1e-9
+
+
+def test_streaming_medallion_quality_clustered(spark, tmp_path):
+    """Streaming medallion glue: bronze event stream → declarative quality
+    split → clustered silver write + quarantine table, all inside one
+    foreachBatch — the streaming form of the reference's daily pipeline
+    with round-2 operators (quality.validate, maintenance.clustered_write)
+    doing the silver step."""
+    from pyspark.sql import functions as F
+
+    from personal_data_lakehouse_spark.operators.maintenance import (
+        clustered_write,
+        file_stats,
+    )
+    from personal_data_lakehouse_spark.operators.quality import validate
+    from personal_data_lakehouse_spark.plans.registry import t
+    from personal_data_lakehouse_spark.streaming.windows import stream_events
+    from tests.conftest import SF_DIR
+
+    silver = str(tmp_path / "silver")
+    quarantine = str(tmp_path / "quarantine")
+    rules = {
+        "value_present": F.col("value").isNotNull(),
+        "value_in_range": F.col("value") < 400.0,
+        "known_type": F.col("event_type") != "error",
+    }
+
+    def medallion_batch(batch, epoch_id):
+        passing, failed = validate(batch, rules)
+        clustered_write(passing, silver, cluster_by=["user_id"], target_files=4)
+        failed.write.mode("overwrite").parquet(quarantine)
+
+    q = (
+        stream_events(spark, f"{SF_DIR}/events.parquet")
+        .writeStream.foreachBatch(medallion_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    ev = t(spark, SF_DIR, "events")
+    ok = ev.filter(
+        F.col("value").isNotNull()
+        & (F.col("value") < 400.0)
+        & (F.col("event_type") != "error")
+    )
+    got_silver = spark.read.parquet(silver)
+    got_quar = spark.read.parquet(quarantine)
+    assert got_silver.count() == ok.count() > 0
+    assert got_quar.count() == ev.count() - ok.count() > 0
+    # silver came out clustered: disjoint user_id ranges across files
+    ranges = sorted(
+        (r.key_min, r.key_max)
+        for r in file_stats(spark, silver, key="user_id").collect()
+    )
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo
+    # quarantine rows carry machine-readable reasons
+    assert got_quar.filter(F.size("failed_rules") == 0).count() == 0

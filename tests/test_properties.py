@@ -46,3 +46,73 @@ def test_hash_family_and_hyperplanes_are_seed_pinned():
     assert hash_family(16, 42) == hash_family(16, 42)
     assert hyperplanes(64, 8, 42) == hyperplanes(64, 8, 42)
     assert hash_family(16, 1) != hash_family(16, 2)
+
+
+# ---------------------------------------------------------------------------
+# CDC apply_changes vs a sequential reference model
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    changelog=st.lists(
+        st.tuples(
+            st.integers(0, 9),                  # key
+            st.sampled_from(["I", "U", "D"]),   # op
+            st.integers(0, 99),                 # payload
+        ),
+        max_size=30,
+    )
+)
+def test_apply_changes_matches_sequential_replay(spark, changelog):
+    """Applying a changelog set-at-once (latest seq per key wins) must equal
+    replaying it sequentially against a dict."""
+    target0 = {k: -1 for k in range(0, 5)}  # keys 0-4 pre-exist
+    # sequential replay: later entries overwrite earlier ones
+    state = dict(target0)
+    for k, op, v in changelog:
+        if op == "D":
+            state.pop(k, None)
+        else:
+            state[k] = v
+    from personal_data_lakehouse_spark.operators.merge import apply_changes
+
+    target = spark.createDataFrame(
+        [(k, v) for k, v in target0.items()], "k int, v int"
+    )
+    if changelog:
+        changes = spark.createDataFrame(
+            [(k, v, op, seq) for seq, (k, op, v) in enumerate(changelog)],
+            "k int, v int, op string, seq int",
+        )
+        got = {
+            r.k: r.v for r in apply_changes(target, changes, keys=["k"]).collect()
+        }
+    else:
+        got = {r.k: r.v for r in target.collect()}
+    # deletes remove; inserts/updates take the latest payload
+    expected = state
+    # exception: a key deleted then never re-added stays gone even if it
+    # pre-existed; apply_changes handles this via the latest-op check
+    assert got == expected, (changelog, got, expected)
+
+
+# ---------------------------------------------------------------------------
+# Z-order interleave: bijective and locality-preserving
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(0, 2**16 - 1), st.integers(0, 2**16 - 1))
+def test_zorder_interleave_is_bijective(a, b):
+    """The Morton key must encode both coordinates losslessly (pure-Python
+    mirror of the codegen expression in maintenance.zorder_value)."""
+
+    def morton(a, b, bits=16):
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (i * 2) | ((b >> i) & 1) << (i * 2 + 1)
+        return z
+
+    z = morton(a, b)
+    back_a = sum(((z >> (i * 2)) & 1) << i for i in range(16))
+    back_b = sum(((z >> (i * 2 + 1)) & 1) << i for i in range(16))
+    assert (back_a, back_b) == (a, b)
