@@ -248,3 +248,56 @@ def q_weighted_median(spark, sf_dir):
         .groupBy("flag")
         .agg(F.min("price").alias("weighted_median"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Hypertable-style continuous-aggregate cascade
+
+
+@query(
+    "q_hypertable_rollup",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS d, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY CAST(ts AS DATE), event_type
+    """,
+)
+def q_hypertable_rollup(spark, sf_dir):
+    """Hypertable continuous-aggregate cascade (TimescaleDB-style): raw
+    events → 15-minute buckets → hourly → daily, each level aggregating the
+    one below, with the oracle computing daily DIRECTLY from raw events —
+    verifying the cascade is lossless. That's only true because the partial
+    states are decomposable (counts add; sums run in exact decimal, so
+    re-aggregation order can't perturb them) — the same property that lets
+    a real deployment serve any resolution from the finest materialized
+    level and refresh incrementally, touching only the buckets the new data
+    lands in. Each level's input is |buckets| rows, so the cascade costs
+    three shuffles of collapsing size: O(rows) → O(15-min buckets) →
+    O(hours) → O(days)."""
+    ev = t(spark, sf_dir, "events")
+    m15 = (
+        ev.select(
+            F.timestamp_seconds(
+                (F.unix_timestamp("ts") / 900).cast("long") * 900
+            ).alias("bucket15"),
+            "event_type",
+            F.col("value").cast("decimal(18,6)").alias("v"),
+        )
+        .groupBy("bucket15", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("v").alias("total_v"))
+    )
+    hourly = (
+        m15.groupBy(
+            F.date_trunc("hour", "bucket15").alias("bucket_h"), "event_type"
+        )
+        .agg(F.sum("n_events").alias("n_events"), F.sum("total_v").alias("total_v"))
+    )
+    return (
+        hourly.groupBy(F.to_date("bucket_h").alias("d"), "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("total_v").cast("double").alias("total_value"),
+        )
+    )
