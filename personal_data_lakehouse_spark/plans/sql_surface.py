@@ -177,3 +177,46 @@ def q_quality_quarantine(spark, sf_dir):
     }
     _passing, quarantined = validate(docs, rules)
     return quarantined.select("doc_id", "failed_rules", "n_failed")
+
+
+# ---------------------------------------------------------------------------
+# Explicit cross / semi joins (DataFrame-API forms)
+
+
+@query(
+    "q_cross_join",
+    oracle="""
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    """,
+)
+def q_cross_join(spark, sf_dir):
+    """Explicit Cartesian product of the two smallest dims (5 × 25 rows) —
+    the calendar×dimension scaffold shape. Deliberately BOTH-SIDES-TINY:
+    a cross join's output is |L|·|R|, so the only scale-safe uses are
+    small×small scaffolds (broadcast NL join, no shuffle) or a small side
+    against a big side (broadcast); anything else is a design error the
+    engine surfaces via spark.sql.crossJoin semantics rather than hides."""
+    r = t(spark, sf_dir, "region").select("r_name")
+    n = t(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(n)
+
+
+@query(
+    "q_semi_join_api",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+    """,
+)
+def q_semi_join_api(spark, sf_dir):
+    """DataFrame-API left_semi join (the SQL EXISTS/IN form is covered by
+    q21/q_exists_subquery): customers with at least one big order. Semi
+    joins ship NO payload from the probe side across the shuffle — at
+    100 TB the orders side reduces to a distinct key stream, the cheapest
+    possible existence check."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
