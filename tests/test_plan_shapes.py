@@ -56,3 +56,36 @@ def test_partition_pruning_reaches_scan(spark, tmp_path):
     # the pruned read touches exactly the matching partition's rows
     expected = ev.filter(F.col("day") == "2024-01-02").count()
     assert df.count() == expected
+
+
+def test_headline_exchange_budgets(spark):
+    """Shuffle-count regression net: each headline query's physical plan
+    must not grow new Exchanges (the budget is the measured count of the
+    tuned plan — a bump means a lost broadcast, lost partial-agg, or a new
+    unintended repartition)."""
+    from bench import HEADLINE
+
+    budget = {
+        "q01_pricing_summary": 2,
+        "q02_monthly_rollup": 2,
+        "q03_shipping_priority": 3,
+        "q05_region_revenue": 7,
+        "q06_revenue_forecast": 1,
+        "q07_nation_volume": 6,
+        "q_silver_cleaning": 0,
+        "q_window_topk": 1,
+        "q_grouping_sets": 1,
+        "q_tumbling_window": 2,
+        "q_asof_join": 2,
+        "q_merge_upsert": 1,
+        "t_fingerprint": 0,
+        "t_minhash_lsh_pairs": 12,
+        "t_embed_neardup": 6,
+        "s_cosine_topk": 2,
+        "s_ivf_ann_topk": 6,
+    }
+    assert set(budget) == set(HEADLINE)
+    for name, allowed in budget.items():
+        plan = _plan(REGISTRY[name].fn(spark, SF_DIR))
+        got = plan.count("Exchange")
+        assert got <= allowed, f"{name}: {got} exchanges > budget {allowed}"
