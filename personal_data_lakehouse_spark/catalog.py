@@ -50,3 +50,76 @@ def write_table(
 
 def read_table(spark: SparkSession, name: str) -> DataFrame:
     return spark.read.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Versioned tables (time-travel-lite without Delta)
+
+
+def _versions(path: str) -> list[int]:
+    import os
+    import re
+
+    if not os.path.isdir(path):
+        return []
+    pat = re.compile(r"^v(\d+)$")
+    return sorted(
+        int(m.group(1))
+        for d in os.listdir(path)
+        if (m := pat.match(d)) and os.path.isdir(os.path.join(path, d))
+    )
+
+
+def write_versioned(
+    df: DataFrame, path: str, keep: int = 3, partition_by: list[str] | None = None
+) -> int:
+    """Snapshot-versioned parquet table: each write lands in ``path/v{N}``
+    and atomically advances a ``_LATEST`` pointer file; the newest ``keep``
+    snapshots are retained. This is the Delta/Iceberg time-travel contract
+    (read any retained version, writers never disturb readers) implemented
+    with the two primitives every object store has — immutable directory
+    writes and a tiny pointer swap. Readers of version N see a fully
+    written, never-mutated directory, so concurrent write/read needs no
+    locking; retention bounds storage at keep × table size.
+
+    Returns the new version number.
+    """
+    import os
+    import shutil
+
+    versions = _versions(path)
+    new_v = (versions[-1] + 1) if versions else 1
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(os.path.join(path, f"v{new_v}"))
+    tmp = os.path.join(path, "_LATEST.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(new_v))
+    os.replace(tmp, os.path.join(path, "_LATEST"))  # atomic pointer advance
+    for old in _versions(path)[:-keep] if keep > 0 else []:
+        shutil.rmtree(os.path.join(path, f"v{old}"), ignore_errors=True)
+    return new_v
+
+
+def read_versioned(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read a snapshot: latest (via the ``_LATEST`` pointer) or a pinned
+    ``version`` — ``spark.read.parquet`` over an immutable snapshot dir."""
+    import os
+
+    if version is None:
+        with open(os.path.join(path, "_LATEST")) as f:
+            version = int(f.read().strip())
+    vdir = os.path.join(path, f"v{version}")
+    if not os.path.isdir(vdir):
+        raise FileNotFoundError(
+            f"version {version} not retained; available: {_versions(path)}"
+        )
+    return spark.read.parquet(vdir)
+
+
+def table_versions(path: str) -> list[int]:
+    """Retained snapshot versions, oldest first."""
+    return _versions(path)

@@ -57,3 +57,25 @@ def rows_to_df(
 ) -> DataFrame:
     """In-memory batch → DataFrame with an enforced schema (S2)."""
     return spark.createDataFrame(list(rows), schema=schema)
+
+
+def read_orc(
+    spark: SparkSession, path: str, schema: T.StructType | None = None, **options
+) -> DataFrame:
+    """ORC source (Spark-native vectorized reader, same pushdown/pruning
+    contract as parquet)."""
+    reader = spark.read.options(**options)
+    return reader.schema(schema).orc(path) if schema is not None else reader.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """ORC sink — column-format interop for warehouses that expect ORC."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)

@@ -220,3 +220,56 @@ def q_semi_join_api(spark, sf_dir):
     return c.join(
         o, c.c_custkey == o.o_custkey, "left_semi"
     ).select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# NOT IN vs NOT EXISTS null semantics
+
+
+@query(
+    "q_not_in_null_semantics",
+    oracle="""
+    SELECT 'not_in_with_nulls' AS variant, COUNT(*) AS n FROM customer
+    WHERE c_custkey NOT IN (
+        SELECT CASE WHEN o_orderkey % 100 = 0 THEN NULL ELSE o_custkey END
+        FROM orders)
+    UNION ALL
+    SELECT 'not_in_nulls_filtered', COUNT(*) FROM customer
+    WHERE c_custkey NOT IN (
+        SELECT CASE WHEN o_orderkey % 100 = 0 THEN NULL ELSE o_custkey END
+        FROM orders
+        WHERE CASE WHEN o_orderkey % 100 = 0 THEN NULL
+                   ELSE o_custkey END IS NOT NULL)
+    UNION ALL
+    SELECT 'not_exists', COUNT(*) FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_not_in_null_semantics(spark, sf_dir):
+    """The NOT IN null trap, stated as data: against a subquery containing
+    ANY null, ``NOT IN`` is three-valued-logic false-or-unknown for every
+    row (count = 0), while filtering the nulls or using NOT EXISTS gives
+    the intended anti-join. All three variants in one result so the
+    semantic contract is hash-verified, not just documented. Physically
+    Spark runs the null-aware NOT IN as a null-aware anti join (single
+    broadcast when the subquery is small) — same cost class as the anti
+    join, with the null check folded in."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT 'not_in_with_nulls' AS variant, COUNT(*) AS n FROM customer
+        WHERE c_custkey NOT IN (
+            SELECT CASE WHEN o_orderkey % 100 = 0 THEN NULL ELSE o_custkey END
+            FROM orders)
+        UNION ALL
+        SELECT 'not_in_nulls_filtered', COUNT(*) FROM customer
+        WHERE c_custkey NOT IN (
+            SELECT CASE WHEN o_orderkey % 100 = 0 THEN NULL ELSE o_custkey END
+            FROM orders
+            WHERE CASE WHEN o_orderkey % 100 = 0 THEN NULL
+                       ELSE o_custkey END IS NOT NULL)
+        UNION ALL
+        SELECT 'not_exists', COUNT(*) FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """
+    )

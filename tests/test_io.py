@@ -5,6 +5,7 @@ from __future__ import annotations
 import pytest
 
 from personal_data_lakehouse_spark.io.readers import read_csv
+from tests.conftest import SF_DIR
 from personal_data_lakehouse_spark.io.sanitize import (
     sanitize_column_name,
     sanitize_columns,
@@ -42,3 +43,48 @@ def test_read_csv_sanitized(spark, tmp_path):
     assert df.columns == ["data_do_pregao", "preco_r", "num_12meses"]
     row = df.collect()[0]
     assert row.preco_r == 10.5
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    from personal_data_lakehouse_spark.io.readers import read_orc, write_orc
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    path = str(tmp_path / "orders_orc")
+    write_orc(orders, path)
+    back = read_orc(spark, path)
+    assert back.count() == orders.count()
+    assert back.schema == orders.schema
+    plan = (
+        back.filter("o_orderkey = 7")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,7)]" in plan
+
+
+def test_versioned_table_time_travel(spark, tmp_path):
+    from personal_data_lakehouse_spark.catalog import (
+        read_versioned,
+        table_versions,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "vt")
+    df1 = spark.range(0, 10).withColumnRenamed("id", "k")
+    df2 = spark.range(0, 20).withColumnRenamed("id", "k")
+    df3 = spark.range(0, 30).withColumnRenamed("id", "k")
+    assert write_versioned(df1, path, keep=2) == 1
+    assert write_versioned(df2, path, keep=2) == 2
+    # latest pointer follows the newest snapshot
+    assert read_versioned(spark, path).count() == 20
+    # pinned read of a retained older version
+    assert read_versioned(spark, path, version=1).count() == 10
+    assert write_versioned(df3, path, keep=2) == 3
+    assert table_versions(path) == [2, 3]  # v1 aged out by retention
+    assert read_versioned(spark, path).count() == 30
+    assert read_versioned(spark, path, version=2).count() == 20
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        read_versioned(spark, path, version=1)

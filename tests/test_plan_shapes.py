@@ -65,6 +65,9 @@ def test_headline_exchange_budgets(spark):
     unintended repartition)."""
     from bench import HEADLINE
 
+    # cached intermediates from other tests swap scans for InMemoryTableScan
+    # and shift exchange counts — measure against the cold plan only
+    spark.catalog.clearCache()
     budget = {
         "q01_pricing_summary": 2,
         "q02_monthly_rollup": 2,
