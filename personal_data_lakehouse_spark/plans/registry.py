@@ -86,6 +86,24 @@ def finalize(df: DataFrame) -> DataFrame:
 
 _ORACLE_CACHE: dict[str, str] = {}
 _DESCRIBE_SF_DIR = "/root/testdata/sf0.001"
+_DESCRIBE_CON = None
+
+
+def _describe_con():
+    """One shared DuckDB connection for oracle DESCRIBE binding — building
+    it per query (125 connections × 10 views) wastes driver start-up time."""
+    global _DESCRIBE_CON
+    if _DESCRIBE_CON is None:
+        import duckdb
+
+        con = duckdb.connect()
+        for tbl in TABLES:
+            con.sql(
+                f"CREATE VIEW {tbl} AS SELECT * FROM "
+                f"'{_DESCRIBE_SF_DIR}/{tbl}.parquet'"
+            )
+        _DESCRIBE_CON = con
+    return _DESCRIBE_CON
 
 
 def oracle_double(name: str) -> str | None:
@@ -103,19 +121,12 @@ def oracle_double(name: str) -> str | None:
         return _ORACLE_CACHE[name]
     wrapped = q.oracle
     try:
-        import duckdb
-
-        con = duckdb.connect()
-        for tbl in TABLES:
-            con.sql(
-                f"CREATE VIEW {tbl} AS SELECT * FROM '{_DESCRIBE_SF_DIR}/{tbl}.parquet'"
-            )
+        con = _describe_con()
         desc = con.sql(f"DESCRIBE ({q.oracle})").fetchall()
         dec_cols = [row[0] for row in desc if row[1].upper().startswith("DECIMAL")]
         if dec_cols:
             repl = ", ".join(f'CAST("{c}" AS DOUBLE) AS "{c}"' for c in dec_cols)
             wrapped = f"SELECT * REPLACE ({repl}) FROM ({q.oracle}) __q"
-        con.close()
     except Exception:
         pass
     _ORACLE_CACHE[name] = wrapped
