@@ -301,3 +301,80 @@ def q_hypertable_rollup(spark, sf_dir):
             F.sum("total_v").cast("double").alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-bounded conversion funnel
+
+
+@query(
+    "q_funnel_time_bound",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(epoch_us(ts)) AS t_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click'
+          AND epoch_us(e.ts) > v.t_view
+          AND epoch_us(e.ts) <= v.t_view + 3600000000
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase'
+          AND epoch_us(e.ts) > c.t_click
+          AND epoch_us(e.ts) <= c.t_click + 86400000000
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_click_1h,
+           (SELECT COUNT(*) FROM p) AS n_purchase_24h
+    """,
+)
+def q_funnel_time_bound(spark, sf_dir):
+    """Attribution-window funnel: first view → earliest click within ONE
+    HOUR of it → earliest purchase within 24 HOURS of that click. Unlike
+    q_funnel's unbounded first-touch ordering, each step must land inside
+    its window — the semantics ad-attribution actually bills on. Three
+    chained aggregations all keyed on user_id: with the first aggregation's
+    output co-partitioned on the join key, the follow-up joins reuse the
+    partitioning (no re-shuffle of the big side at scale; each step's
+    survivor set also shrinks monotonically). Timestamps compared as epoch
+    micros — integer math, engine-exact."""
+    e = t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    ev = e.select("user_id", "event_type", us.alias("us"))
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("us") > F.col("t_view"))
+            & (F.col("us") <= F.col("t_view") + 3_600_000_000)
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("us") > F.col("t_click"))
+            & (F.col("us") <= F.col("t_click") + 86_400_000_000)
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_1h")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_24h")))
+    )

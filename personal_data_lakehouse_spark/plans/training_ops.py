@@ -403,3 +403,26 @@ def m_kmeans_centroids(spark, sf_dir):
             ((F.col("s").cast("double") / F.col("n")) / _QSCALE).alias("centroid"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (iterative — rows-only gate entry)
+
+
+@query("t_bpe_merges", oracle=None)
+def t_bpe_merges(spark, sf_dir):
+    """First 8 BPE merges learned from the corpus (functions/bpe.py):
+    driver-coordinated iteration like m_kmeans_centroids, with all per-round
+    work (pair counting, greedy merge application) running as codegen'd
+    array lambdas over the distinct-word table. Not SQL-expressible as one
+    oracle query (N data-dependent rounds), so the gate records rows-only;
+    bit-exact equivalence to a sequential reference implementation is
+    pinned in tests/test_bpe.py."""
+    from personal_data_lakehouse_spark.functions.bpe import train_bpe
+
+    docs = t(spark, sf_dir, "documents")
+    merges = train_bpe(docs, "text", n_merges=8)
+    return spark.createDataFrame(
+        [(i + 1, left, right, cnt) for i, (left, right, cnt) in enumerate(merges)],
+        "rank int, left string, right string, pair_count bigint",
+    )

@@ -36,7 +36,7 @@ def test_entry_contract(spark):
 
 def test_registry_size_floor():
     """A broken import must not silently shrink gate coverage (ADVICE r1)."""
-    assert len(REGISTRY) >= 125
+    assert len(REGISTRY) >= 127
 
 
 def test_priority_prefix_is_oracle_backed():
