@@ -92,3 +92,23 @@ def test_headline_exchange_budgets(spark):
         plan = _plan(REGISTRY[name].fn(spark, SF_DIR))
         got = plan.count("Exchange")
         assert got <= allowed, f"{name}: {got} exchanges > budget {allowed}"
+
+
+def test_analyzed_catalog_stats_drive_broadcast(spark):
+    """Catalog statistics (ANALYZE TABLE) must be recorded and feed the
+    planner's build-side choice: after analysis the 25-row dimension is
+    broadcast against the fact scan with no manual hint."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS cbo")
+    t(spark, SF_DIR, "lineitem").write.mode("overwrite").saveAsTable("cbo.li")
+    t(spark, SF_DIR, "nation").write.mode("overwrite").saveAsTable("cbo.na")
+    spark.sql("ANALYZE TABLE cbo.li COMPUTE STATISTICS")
+    spark.sql("ANALYZE TABLE cbo.na COMPUTE STATISTICS")
+    stats = (
+        spark.sql("DESC EXTENDED cbo.na")
+        .filter("col_name = 'Statistics'")
+        .collect()
+    )
+    assert stats and "25 rows" in stats[0].data_type
+    li, na = spark.table("cbo.li"), spark.table("cbo.na")
+    plan = _plan(li.join(na, li.l_suppkey % 25 == na.n_nationkey))
+    assert "BroadcastHashJoin" in plan, plan
