@@ -71,8 +71,25 @@ def apply_changes(
     changelog key set against the large snapshot, so applying a day of CDC
     to a 100 TB table costs a broadcast probe plus an append, never a
     shuffle of the snapshot.
+
+    Determinism contract: *seq_col* SHOULD be unique per key (a commit LSN /
+    Kafka offset is). When two changes do share (key, seq), the winner is
+    chosen by a full-row xxhash64 tie-break — arbitrary but stable across
+    reruns, engines, and partition layouts, never partition-order-dependent.
+    A NULL *op_col* is rejected at execution time (``assert_true``) rather
+    than silently acting as a delete: NULL would fail ``op != 'D'`` and drop
+    the row while its key still anti-joins the target row away.
     """
-    w = Window.partitionBy(*keys).orderBy(F.desc(seq_col))
+    changes = changes.withColumn(
+        "__op_ck",
+        F.assert_true(
+            F.col(op_col).isNotNull(),
+            F.lit(f"apply_changes: NULL {op_col} (must be 'I'/'U'/'D')"),
+        ),
+    ).drop("__op_ck")
+    w = Window.partitionBy(*keys).orderBy(
+        F.desc(seq_col), F.desc(F.xxhash64(*[F.col(c) for c in changes.columns]))
+    )
     latest = (
         changes.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

@@ -107,12 +107,20 @@ def _describe_con():
 
 
 def oracle_double(name: str) -> str | None:
-    """Oracle SQL for *name* with DECIMAL result columns cast to DOUBLE.
+    """Oracle SQL for *name* with result types normalized to Spark's.
 
     Mirrors finalize(): DESCRIBE the oracle under DuckDB (binds types without
-    executing) and wrap decimal columns in CAST(... AS DOUBLE) via
-    ``SELECT * REPLACE``. Falls back to the raw SQL if DuckDB or the fixture
-    dir is unavailable.
+    executing) and, via ``SELECT * REPLACE``, wrap
+
+    - DECIMAL columns in CAST(... AS DOUBLE) — a DECIMAL survives Spark's
+      toPandas as Decimal objects but leaves DuckDB's pandas path as float64;
+    - HUGEINT/UHUGEINT/UBIGINT columns in CAST(... AS BIGINT) — DuckDB binds
+      SUM(int) / CASE-sum shapes as HUGEINT, which crosses its arrow path as
+      decimal128(38,0) and its pandas path as float64, while Spark emits
+      int64: a type-tagged value-hash miss with equal numbers. All fixture
+      magnitudes fit BIGINT, so the cast is lossless.
+
+    Falls back to the raw SQL if DuckDB or the fixture dir is unavailable.
     """
     q = REGISTRY[name]
     if q.oracle is None:
@@ -123,10 +131,15 @@ def oracle_double(name: str) -> str | None:
     try:
         con = _describe_con()
         desc = con.sql(f"DESCRIBE ({q.oracle})").fetchall()
-        dec_cols = [row[0] for row in desc if row[1].upper().startswith("DECIMAL")]
-        if dec_cols:
-            repl = ", ".join(f'CAST("{c}" AS DOUBLE) AS "{c}"' for c in dec_cols)
-            wrapped = f"SELECT * REPLACE ({repl}) FROM ({q.oracle}) __q"
+        repls = []
+        for row in desc:
+            col, typ = row[0], row[1].upper()
+            if typ.startswith("DECIMAL"):
+                repls.append(f'CAST("{col}" AS DOUBLE) AS "{col}"')
+            elif typ in ("HUGEINT", "UHUGEINT", "UBIGINT"):
+                repls.append(f'CAST("{col}" AS BIGINT) AS "{col}"')
+        if repls:
+            wrapped = f"SELECT * REPLACE ({', '.join(repls)}) FROM ({q.oracle}) __q"
     except Exception:
         pass
     _ORACLE_CACHE[name] = wrapped

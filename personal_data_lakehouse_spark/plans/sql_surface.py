@@ -146,17 +146,19 @@ def q_union_by_name(spark, sf_dir):
     oracle="""
     SELECT doc_id,
            list_sort(list_filter([
-               CASE WHEN NOT (n_chars >= 150) THEN 'too_short' END,
-               CASE WHEN NOT (lang <> 'zh') THEN 'non_latin' END,
-               CASE WHEN NOT (source <> 'src0') THEN 'blocked_source' END
+               CASE WHEN NOT coalesce(n_chars >= 150, false) THEN 'too_short' END,
+               CASE WHEN NOT coalesce(lang <> 'zh', false) THEN 'non_latin' END,
+               CASE WHEN NOT coalesce(source <> 'src0', false) THEN 'blocked_source' END
            ], x -> x IS NOT NULL)) AS failed_rules,
            CAST(len(list_filter([
-               CASE WHEN NOT (n_chars >= 150) THEN 'too_short' END,
-               CASE WHEN NOT (lang <> 'zh') THEN 'non_latin' END,
-               CASE WHEN NOT (source <> 'src0') THEN 'blocked_source' END
+               CASE WHEN NOT coalesce(n_chars >= 150, false) THEN 'too_short' END,
+               CASE WHEN NOT coalesce(lang <> 'zh', false) THEN 'non_latin' END,
+               CASE WHEN NOT coalesce(source <> 'src0', false) THEN 'blocked_source' END
            ], x -> x IS NOT NULL)) AS INT) AS n_failed
     FROM documents
-    WHERE n_chars < 150 OR lang = 'zh' OR source = 'src0'
+    WHERE NOT coalesce(n_chars >= 150, false)
+       OR NOT coalesce(lang <> 'zh', false)
+       OR NOT coalesce(source <> 'src0', false)
     """,
 )
 def q_quality_quarantine(spark, sf_dir):

@@ -137,9 +137,9 @@ def q_pct_of_total(spark, sf_dir):
 @query(
     "t_pack_sequences",
     oracle=f"""
-    SELECT (cum - tok) // 512 AS seq_id,
+    SELECT CAST((cum - tok) // 512 AS BIGINT) AS seq_id,
            COUNT(*) AS n_docs,
-           SUM(tok) AS total_tokens,
+           CAST(SUM(tok) AS BIGINT) AS total_tokens,
            MIN(doc_id) AS first_doc,
            MAX(doc_id) AS last_doc
     FROM (

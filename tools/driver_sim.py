@@ -72,8 +72,13 @@ for name in sorted(qs):
     if name not in osql:
         print(f"  {name:28s} rows-only: {len(s_rows)} rows [{time.time()-t0:.1f}s]")
         continue
-    r = con.sql(osql[name])
-    d_cols, d_rows = list(r.columns), r.fetchall()
+    # Materialize DuckDB via arrow, NOT fetchall(): the real driver hashes
+    # through a pandas/arrow path where HUGEINT arrives as decimal128(38,0)
+    # (→ Decimal in to_pylist) while fetchall() gives a plain Python int —
+    # round-2's two gate misses were green locally for exactly that reason.
+    atbl = con.sql(osql[name]).arrow()
+    d_cols = atbl.column_names
+    d_rows = [tuple(d.values()) for d in atbl.to_pylist()]
     ok_schema = sorted(s_cols) == sorted(d_cols)
     ok_rows = len(s_rows) == len(d_rows)
     try:
