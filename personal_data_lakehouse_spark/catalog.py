@@ -82,13 +82,26 @@ def write_versioned(
     written, never-mutated directory, so concurrent write/read needs no
     locking; retention bounds storage at keep × table size.
 
+    Writer-writer safety: the version directory is claimed with an
+    exclusive ``os.mkdir`` (retry on EEXIST), so two concurrent writers
+    cannot both land on ``v{N}`` — the loser advances to ``v{N+1}`` and
+    both snapshots survive, last pointer-swap wins ``_LATEST``. (On a real
+    object store this maps to an atomic put-if-absent / conditional write.)
+
     Returns the new version number.
     """
     import os
     import shutil
 
+    os.makedirs(path, exist_ok=True)
     versions = _versions(path)
     new_v = (versions[-1] + 1) if versions else 1
+    while True:
+        try:
+            os.mkdir(os.path.join(path, f"v{new_v}"))
+            break
+        except FileExistsError:
+            new_v += 1
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)

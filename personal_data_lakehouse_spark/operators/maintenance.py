@@ -92,7 +92,13 @@ def zorder_write(
     the cluster columns skip most files/row-groups (verified against
     pyarrow statistics in tests/test_maintenance.py) — where single-key
     clustering only serves its leading column. Same cost as
-    ``clustered_write``: one range exchange."""
+    ``clustered_write``: one range exchange.
+
+    Empty input (min/max stats all NULL) falls back to a plain write — there
+    is nothing to cluster and the interleave arithmetic would fault on None.
+    Rows with a NULL cluster value land in the lowest z-bucket (sentinel 0)
+    instead of an unclustered NULL range partition, so they stay contiguous
+    and every non-NULL range stays tight."""
     # Rescale every column onto the full bits-wide domain first — without
     # this, a narrow column's high bits are constant zeros and the z-value's
     # top bits (the ones range partitioning actually splits on) carry only
@@ -101,15 +107,24 @@ def zorder_write(
         *[F.min(c).cast("double").alias(f"__lo_{j}") for j, c in enumerate(cluster_by)],
         *[F.max(c).cast("double").alias(f"__hi_{j}") for j, c in enumerate(cluster_by)],
     ).first()
+    if lo_hi is None or any(
+        lo_hi[f"__lo_{j}"] is None or lo_hi[f"__hi_{j}"] is None
+        for j in range(len(cluster_by))
+    ):
+        df.write.mode(mode).parquet(path)
+        return
     full = float((1 << bits) - 1)
     scaled = []
     for j, c in enumerate(cluster_by):
         lo, hi = lo_hi[f"__lo_{j}"], lo_hi[f"__hi_{j}"]
         span = (hi - lo) or 1.0
         scaled.append(
-            F.floor((F.col(c).cast("double") - F.lit(lo)) * full / F.lit(span))
-            .cast("long")
-            .alias(f"__s_{j}")
+            F.coalesce(
+                F.floor(
+                    (F.col(c).cast("double") - F.lit(lo)) * full / F.lit(span)
+                ).cast("long"),
+                F.lit(0).cast("long"),
+            ).alias(f"__s_{j}")
         )
     part = df.select("*", *scaled)
     zc = zorder_value([f"__s_{j}" for j in range(len(cluster_by))], bits=bits)
@@ -153,10 +168,17 @@ def compact_small_files(
 
     Plain compaction is shuffle-free (coalesce narrows the scan's splits
     into fewer write tasks); passing ``cluster_by`` upgrades the rewrite to
-    a clustering rewrite (one range shuffle). The swap is crash-safe the
-    same way merge_into_table's is: the live directory is renamed aside
-    first, so a failure mid-swap leaves either the old or the new directory
-    intact, never neither.
+    a clustering rewrite (one range shuffle).
+
+    Swap semantics — crash-SAFE, not crash-INVISIBLE: the data always
+    survives (a failure leaves the old directory either live or intact
+    under ``{path}__old_<hex>``, and the new one under
+    ``{path}__compact_<hex>``; recovery = ``mv`` the surviving directory
+    back to *path*), but between the two renames there is a brief window
+    where *path* does not exist and concurrent readers fail transiently.
+    Single-maintainer usage assumed, matching a table-service compaction
+    job. A zero-downtime swap needs a pointer indirection — use
+    ``catalog.write_versioned`` when readers must never observe a gap.
 
     Returns {"files_before", "files_after", "bytes"} for observability.
     """

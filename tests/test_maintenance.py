@@ -101,3 +101,60 @@ def test_zorder_write_prunes_both_dimensions(spark, tmp_path):
     s_pk, _ = hit_fraction(spath, "l_partkey", 42)
     assert z_pk <= 0.5, f"z-order should skip on partkey, hit {z_pk}"
     assert s_pk >= 0.9, "single-key layout can't skip on the second dim"
+
+
+def test_zorder_write_empty_input_falls_back(spark, tmp_path):
+    """Empty input has all-NULL min/max stats; zorder_write must degrade to a
+    plain write instead of faulting on None arithmetic."""
+    from personal_data_lakehouse_spark.operators.maintenance import zorder_write
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    empty = li.filter(F.lit(False))
+    path = str(tmp_path / "zempty")
+    zorder_write(empty, path, cluster_by=["l_orderkey", "l_partkey"])
+    assert spark.read.parquet(path).count() == 0
+
+
+def test_zorder_write_null_cluster_values_sentinel_bucket(spark, tmp_path):
+    """NULL cluster values land in the lowest z-bucket (sentinel 0), not an
+    unclustered NULL range partition: row count is preserved and non-NULL
+    key ranges stay prunable."""
+    from personal_data_lakehouse_spark.operators.maintenance import zorder_write
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").limit(5000)
+    with_nulls = li.withColumn(
+        "l_partkey",
+        F.when(F.col("l_orderkey") % 7 == 0, F.lit(None)).otherwise(
+            F.col("l_partkey")
+        ),
+    )
+    n = with_nulls.count()
+    path = str(tmp_path / "znulls")
+    zorder_write(with_nulls, path, cluster_by=["l_orderkey", "l_partkey"], target_files=8)
+    back = spark.read.parquet(path)
+    assert back.count() == n
+    assert back.filter(F.col("l_partkey").isNull()).count() == with_nulls.filter(
+        F.col("l_partkey").isNull()
+    ).count()
+
+
+def test_write_versioned_claims_version_exclusively(spark, tmp_path):
+    """Two writers that race to the same max+1 cannot clobber each other:
+    the directory claim is an exclusive mkdir, so a pre-existing v2 pushes
+    the next writer to v3 and both snapshots survive."""
+    import os
+
+    from personal_data_lakehouse_spark.catalog import (
+        read_versioned,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "vt")
+    df1 = spark.range(10).withColumnRenamed("id", "k")
+    assert write_versioned(df1, path, keep=5) == 1
+    # simulate a concurrent writer having already claimed v2
+    os.mkdir(os.path.join(path, "v2"))
+    v = write_versioned(df1.withColumn("k", F.col("k") + 100), path, keep=5)
+    assert v == 3  # skipped the claimed v2, did not overwrite it
+    assert read_versioned(spark, path).filter(F.col("k") >= 100).count() == 10
+    assert read_versioned(spark, path, version=1).count() == 10
