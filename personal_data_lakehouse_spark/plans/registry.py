@@ -149,17 +149,26 @@ def oracle_double(name: str) -> str | None:
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table (columnar parquet; Catalyst prunes/pushes down).
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; read it as nanos-since-epoch and truncate to
-    microsecond TimestampType (same truncation DuckDB applies casting
-    TIMESTAMP_NS → TIMESTAMP, so oracle comparisons stay exact).
+    ``events.ts`` is normalized to microsecond TimestampType whatever the
+    file encodes — fixture generations have shipped it as TIMESTAMP(NANOS)
+    (which Spark's vectorized reader rejects; read nanos-as-long and
+    truncate, the same truncation DuckDB applies casting TIMESTAMP_NS →
+    TIMESTAMP) and as TIMESTAMP(MICROS)/NTZ (cast to session-local; the
+    session timezone is pinned UTC so the cast is an exact identity on the
+    stored micros, matching DuckDB's naive-UTC epoch_us).
     """
     if name == "events":
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(ts_type, T.TimestampNTZType):
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -24,33 +24,41 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENT_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos-as-long (see registry.t)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _event_schema(spark: SparkSession, path: str) -> T.StructType:
+    """Schema for the events fixture as the file actually encodes ``ts``.
+
+    readStream requires an explicit schema; fixture generations have shipped
+    ``ts`` as TIMESTAMP(NANOS) (readable only as nanos-as-long) and as
+    TIMESTAMP(MICROS)/NTZ, so infer from a footer-only batch read instead of
+    hard-coding either.
+    """
+    return spark.read.parquet(path).schema
 
 
 def stream_events(spark: SparkSession, path: str) -> DataFrame:
-    """readStream over the events fixture (ns timestamps normalized to µs).
+    """readStream over the events fixture (``ts`` normalized to µs timestamps).
 
     File sources need a directory basePath; a single-file path is streamed
     as its parent directory + a pathGlobFilter (keeps fixtures read-only).
+    Nanos-as-long ``ts`` is truncated to micros; NTZ is cast to session-local
+    (exact under the UTC-pinned session) so downstream watermarks/windows
+    always see TimestampType.
     """
     import os
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENT_SCHEMA)
+    schema = _event_schema(spark, path)
+    reader = spark.readStream.schema(schema)
     if os.path.isfile(path):
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
     raw = reader.parquet(path)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.TimestampNTZType):
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def tumbling_counts(
