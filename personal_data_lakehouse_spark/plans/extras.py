@@ -869,3 +869,48 @@ def q_funnel(spark, sf_dir):
             )
         ).alias("n_view_click_purchase"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join reduction (explicit runtime-filter counterpart)
+
+
+@query(
+    "q_bloom_semi_join",
+    oracle="""
+    SELECT p_brand,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand IN ('Brand#23', 'Brand#45') AND p_size <= 15
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def q_bloom_semi_join(spark, sf_dir):
+    """Q17/Q21-family fact-dim join with an explicit bloom semi-join
+    reduction: the selective part dimension builds a distributed bloom
+    bitmap (one-row broadcast map, operators/bloomjoin.py) that prunes
+    lineitem BEFORE its join shuffle; the real join then runs on the
+    survivors, so the result is exactly the unreduced join (false
+    positives die in the join, false negatives are impossible). At 100 TB
+    this is the shape Catalyst's own runtime bloom filter injects once the
+    probe scan crosses its 10 GB threshold — here it is explicit, tested,
+    and available below the threshold."""
+    from personal_data_lakehouse_spark.operators.bloomjoin import bloom_semi_reduce
+
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#23", "Brand#45") & (F.col("p_size") <= 15)
+    )
+    reduced = bloom_semi_reduce(li, part, "l_partkey", "p_partkey")
+    return (
+        reduced.join(F.broadcast(part), reduced.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(dec("l_extendedprice")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("p_brand")
+    )

@@ -178,6 +178,57 @@ def t_pack_sequences(spark, sf_dir):
     )
 
 
+@query(
+    "t_pack_sequences_sharded",
+    oracle=f"""
+    SELECT source,
+           CAST((cum - tok) // 512 AS BIGINT) AS seq_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS total_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM (
+        SELECT doc_id, source, tok,
+               SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum
+        FROM (SELECT doc_id, source, len({_TOKS}) AS tok FROM documents) d
+    ) c
+    GROUP BY 1, 2
+    """,
+)
+def t_pack_sequences_sharded(spark, sf_dir):
+    """Sequence packing, sharded: the scale path of ``t_pack_sequences``.
+    The corpus-global variant's ``Window.orderBy(doc_id)`` funnels the
+    cumsum through ONE range-partitioned task chain at 100 TB; here the
+    window is ``partitionBy(source)`` — each shard (domain, file group,
+    date bucket …) packs independently, so the cumsum parallelizes across
+    as many tasks as there are shards and no single task ever sees more
+    than one shard's rows. Each shard gets its own seq_id space, which is
+    exactly how training shards are laid out on disk anyway (one writer
+    per shard). Same integer bin math as the global variant."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count_whitespace("text").alias("tok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    packed = docs.withColumn("cum", F.sum("tok").over(w)).withColumn(
+        "seq_id", F.expr("(cum - tok) div 512")
+    )
+    return (
+        packed.groupBy("source", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Domain-weighted mixing
 
