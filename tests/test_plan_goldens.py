@@ -1,0 +1,53 @@
+"""Golden physical-plan shapes for the headline queries.
+
+The exchange-budget test bounds shuffle COUNTS; this pins the full operator
+SHAPE (join strategy + build side, partial/final aggregate pairs, exchange
+partitioning kind, operator order). A drift that keeps the exchange count —
+e.g. BroadcastHashJoin degrading to SortMergeJoin, a partial aggregate
+vanishing, a filter hoisted above a join — fails here with a reviewable
+diff. Regenerate deliberately with ``python tools/gen_plan_goldens.py``.
+"""
+
+from __future__ import annotations
+
+import difflib
+import os
+
+import pytest
+
+import __spark_entry__  # noqa: F401  — populates REGISTRY
+from bench import HEADLINE
+from personal_data_lakehouse_spark.plans.golden import normalize_plan
+from personal_data_lakehouse_spark.plans.registry import REGISTRY
+from tests.conftest import SF_DIR
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens", "plans")
+
+# Goldens are generated against the canonical smoke fixture; other SF dirs
+# legitimately change broadcast decisions via file-size stats.
+_GOLDEN_SF = "/root/testdata/sf0.001"
+
+
+@pytest.mark.parametrize("name", HEADLINE)
+def test_plan_shape_matches_golden(spark, name):
+    if SF_DIR != _GOLDEN_SF:
+        pytest.skip("plan goldens are pinned to the sf0.001 fixture")
+    path = os.path.join(GOLDEN_DIR, f"{name}.txt")
+    assert os.path.exists(path), (
+        f"no golden for headline query {name} — run tools/gen_plan_goldens.py"
+    )
+    # cached intermediates from other tests swap FileScan for
+    # InMemoryTableScan; compare cold plans only
+    spark.catalog.clearCache()
+    got = normalize_plan(REGISTRY[name].fn(spark, SF_DIR))
+    want = open(path).read()
+    if got != want:
+        diff = "\n".join(
+            difflib.unified_diff(
+                want.splitlines(), got.splitlines(), "golden", "current", lineterm=""
+            )
+        )
+        raise AssertionError(
+            f"{name}: physical plan shape drifted from golden\n{diff}\n"
+            "If deliberate: python tools/gen_plan_goldens.py && git diff"
+        )
