@@ -6,11 +6,13 @@ JSON line {"metric": ..., "value": total_sec, "unit": "sec", "queries":
 Each query is forced through the noop sink (full computation of every output
 column, no driver-side collection) — the honest way to time a Spark plan.
 
-Timing protocol: each query executes twice; the FIRST run (recorded under
-"cold_queries") pays Catalyst analysis + whole-stage-codegen compilation
-(~1-3 s per plan, a fixed cost that amortizes to nothing over a 100 TB
-input), the SECOND run (recorded under "queries", summed into "value") is
-the steady-state plan execution — the number that scales with data volume.
+Timing protocol: each query executes once cold (recorded under
+"cold_queries" — pays Catalyst analysis + whole-stage-codegen compilation,
+~1-3 s per plan, a fixed cost that amortizes to nothing over a 100 TB
+input), then THREE warm runs; "queries" records the per-query MEDIAN
+(summed into "value") so a single host-contention spike (this VM swings up
+to 4×/query) can't masquerade as a plan regression. "warm_runs" keeps the
+raw triples for spread inspection.
 """
 
 from __future__ import annotations
@@ -63,13 +65,18 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    warm_runs: dict[str, list[float]] = {}
     for name in names:
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         cold[name] = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(round(time.perf_counter() - t0, 3))
+        warm_runs[name] = runs
+        timings[name] = sorted(runs)[1]
 
     total = round(sum(timings.values()), 3)
     print(
@@ -79,6 +86,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "warm_runs": warm_runs,
                 "cold_queries": cold,
                 "cold_total": round(sum(cold.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -1,0 +1,95 @@
+"""CLI runner: ``python -m personal_data_lakehouse_spark run-daily``.
+
+The operational surface SURVEY §2 G2 scopes out of the engine core — the
+reference runs its pipeline under Airflow's @daily/1-retry/no-catchup
+policy (``daily_lakehouse_pipeline.py:24-38``); here the same policy lives
+in scheduler.SchedulePolicy and this CLI is the tick an external cron (or a
+human) invokes:
+
+    python -m personal_data_lakehouse_spark run-daily \
+        --state /tmp/sched.json [--catchup] [--retries 1] [--full-refresh]
+
+Each tick loads the scheduler state, runs every due logical date through
+the medallion pipeline (idempotent by construction, so crash-rerun is
+safe), and writes the state back. ``--fetcher demo`` uses a deterministic
+offline quote source so the CLI is runnable in this sandbox; a real
+deployment injects an HTTP fetcher (io/rest.py contract).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from datetime import datetime, timedelta, timezone
+
+
+def _demo_fetcher(symbol: str):
+    """Deterministic offline stand-in for the REST quote API."""
+    base = sum(ord(c) for c in symbol) % 100 + 50
+    day0 = datetime(2026, 8, 1)
+    return {
+        (day0 + timedelta(days=i)).strftime("%Y-%m-%d"): {
+            "1. open": str(base + i),
+            "2. high": str(base + i + 1),
+            "3. low": str(base + i - 1),
+            "4. close": str(base + i + 0.5),
+            "5. volume": str(1000 + 10 * i),
+        }
+        for i in range(5)
+    }
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="personal_data_lakehouse_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    run = sub.add_parser("run-daily", help="scheduler tick for the daily pipeline")
+    run.add_argument("--state", default=None, help="scheduler state JSON path")
+    run.add_argument("--retries", type=int, default=1)
+    run.add_argument("--catchup", action="store_true")
+    run.add_argument("--full-refresh", action="store_true")
+    run.add_argument("--symbols", default="AAPL,MSFT")
+    run.add_argument("--fetcher", choices=["demo"], default="demo")
+    run.add_argument("--now", default=None, help="ISO timestamp override (tests)")
+    run.add_argument("--warehouse", default=None, help="warehouse directory")
+    args = p.parse_args(argv)
+
+    from personal_data_lakehouse_spark.pipelines import daily_pipeline
+    from personal_data_lakehouse_spark.scheduler import (
+        SchedulePolicy,
+        ScheduledRunner,
+    )
+    from personal_data_lakehouse_spark.session import get_spark
+
+    spark = get_spark(app_name="pdl-cli", warehouse_dir=args.warehouse)
+    symbols = [s for s in args.symbols.split(",") if s]
+
+    def task(logical_date: datetime) -> None:
+        counts = daily_pipeline(
+            spark, symbols, _demo_fetcher, full_refresh=args.full_refresh
+        )
+        print(f"{logical_date.date()}: {counts}")
+
+    runner = ScheduledRunner(
+        task=task,
+        policy=SchedulePolicy(retries=args.retries, catchup=args.catchup),
+    )
+    if args.state and os.path.exists(args.state):
+        runner.load_state_json(open(args.state).read())
+    now = (
+        datetime.fromisoformat(args.now).replace(tzinfo=timezone.utc)
+        if args.now
+        else None
+    )
+    reports = runner.tick(now)
+    for r in reports:
+        print(json.dumps(r.__dict__))
+    if args.state:
+        with open(args.state, "w") as f:
+            f.write(runner.state_json())
+    return 1 if any(r.status == "failed" for r in reports) else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
