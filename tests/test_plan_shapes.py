@@ -84,7 +84,7 @@ def test_headline_exchange_budgets(spark):
         "t_fingerprint": 0,
         "t_minhash_lsh_pairs": 12,
         "t_embed_neardup": 6,
-        "s_cosine_topk": 2,
+        "s_cosine_topk": 3,  # +1: gated min-parallelism repartition (local only)
         "s_ivf_ann_topk": 6,
     }
     assert set(budget) == set(HEADLINE)
