@@ -378,3 +378,136 @@ def q_funnel_time_bound(spark, sf_dir):
         .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_1h")))
         .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_24h")))
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling time-series features (exact integer arithmetic)
+
+
+@query(
+    "q_rolling_features",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+               CAST(floor(value * 1e6) AS BIGINT) AS vq
+        FROM events WHERE user_id % 50 = 0
+    )
+    SELECT user_id, event_id, ts_us,
+           CAST(SUM(vq) OVER w5 AS BIGINT) AS roll_sum_q,
+           CAST(COUNT(*) OVER w5 AS BIGINT) AS roll_n,
+           CAST(MIN(vq) OVER w5 AS BIGINT) AS roll_min_q,
+           CAST(MAX(vq) OVER w5 AS BIGINT) AS roll_max_q,
+           ts_us - lag(ts_us) OVER (PARTITION BY user_id
+                                    ORDER BY ts_us, event_id) AS gap_us
+    FROM e
+    WINDOW w5 AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_rolling_features(spark, sf_dir):
+    """Per-entity rolling features — 5-event moving sum/min/max and
+    inter-event gaps — the feature-engineering shape behind sessionized
+    activity scoring. ONE shuffle keyed on user_id serves every window
+    (same partitioning, two frame specs); values are quantized with
+    floor(v·1e6) so the rolling sums are exact integers (no reassociable
+    float reduction — floor of an identical IEEE product is identical on
+    any engine), and every ORDER BY carries the unique event_id tiebreak
+    so frames are deterministic under ts collisions. At 100 TB user_id
+    cardinality scales with the data — no skew, no single-partition
+    window."""
+    e = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 50 == 0)
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            F.floor(F.col("value") * F.lit(1e6)).cast("long").alias("vq"),
+        )
+    )
+    order = [F.col("ts_us"), F.col("event_id")]
+    w5 = (
+        Window.partitionBy("user_id").orderBy(*order).rowsBetween(-4, 0)
+    )
+    wlag = Window.partitionBy("user_id").orderBy(*order)
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.sum("vq").over(w5).cast("long").alias("roll_sum_q"),
+        F.count(F.lit(1)).over(w5).cast("long").alias("roll_n"),
+        F.min("vq").over(w5).cast("long").alias("roll_min_q"),
+        F.max("vq").over(w5).cast("long").alias("roll_max_q"),
+        (F.col("ts_us") - F.lag("ts_us").over(wlag)).alias("gap_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental materialized-view maintenance (algebraic state merge)
+
+
+@query(
+    "q_incremental_mv",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS total_price,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                / COUNT(*) AS DOUBLE) AS avg_price,
+           CAST(MAX(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS max_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_incremental_mv(spark, sf_dir):
+    """Incremental MV refresh proven equal to a full recompute: orders
+    split into a deterministic 'history' batch (md5 coin on o_orderkey,
+    ~75%) and a 'new' batch; each aggregates into an algebraic state
+    (COUNT / decimal SUM / MAX per month) and the states MERGE — the full
+    recompute the oracle runs never happens on the Spark side. Derived
+    AVG comes off the merged state. Refresh cost is O(batch + |groups|):
+    at 100 TB only the new batch and the group-cardinality state table
+    are touched, and the state merge shuffles rows proportional to
+    months, not orders. Exactness: decimal sums are reassociation-proof,
+    so merge(partial(A), partial(B)) is bit-equal to aggregate(A ∪ B)."""
+    from personal_data_lakehouse_spark.functions import dec
+    from personal_data_lakehouse_spark.operators.incremental import (
+        merge_states,
+        partial_state,
+    )
+
+    orders = t(spark, sf_dir, "orders").withColumn(
+        "month", F.date_trunc("month", "o_orderdate").cast("date")
+    )
+    coin = F.substring(
+        F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit(":mv")).cast("binary")),
+        1,
+        2,
+    )
+    history = orders.filter(coin < "c0")
+    fresh = orders.filter(coin >= "c0")
+
+    measures = {
+        "n_orders": ("count", "*"),
+        "total_dec": ("sum", "p_dec"),
+        "max_dec": ("max", "p_dec"),
+    }
+
+    def prep(df):
+        return df.withColumn("p_dec", dec("o_totalprice"))
+
+    state = partial_state(prep(history), ["month"], measures)
+    delta = partial_state(prep(fresh), ["month"], measures)
+    refreshed = merge_states(state, delta, ["month"], measures)
+    return refreshed.select(
+        "month",
+        "n_orders",
+        F.col("total_dec").cast("double").alias("total_price"),
+        (F.col("total_dec").cast("double") / F.col("n_orders"))
+        .cast("double")
+        .alias("avg_price"),
+        F.col("max_dec").cast("double").alias("max_price"),
+    )

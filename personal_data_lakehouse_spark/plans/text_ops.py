@@ -30,6 +30,7 @@ from personal_data_lakehouse_spark.functions.text import (
     token_count_bpe,
     token_count_whitespace,
     tokens,
+    word_shingles,
 )
 from personal_data_lakehouse_spark.plans.registry import query, t
 
@@ -392,3 +393,55 @@ def t_simhash_neardup(spark, sf_dir):
     )
 
     return simhash_neardup_pairs(t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Cross-document boilerplate span mining
+
+
+@query(
+    "t_boilerplate_spans",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({_SHINGLES}) AS s
+        FROM (SELECT doc_id, {_TOKS} AS w FROM documents) d
+    ),
+    common AS (
+        SELECT s, COUNT(DISTINCT doc_id) AS n_docs
+        FROM sh GROUP BY s HAVING COUNT(DISTINCT doc_id) >= 5
+    )
+    SELECT sh.doc_id,
+           COUNT(*) AS n_boiler_spans,
+           CAST(MAX(common.n_docs) AS BIGINT) AS max_span_reach
+    FROM sh JOIN common ON sh.s = common.s
+    GROUP BY sh.doc_id
+    """,
+)
+def t_boilerplate_spans(spark, sf_dir):
+    """Cross-document boilerplate mining: 3-word spans appearing in ≥5
+    distinct docs (headers, footers, license blurbs at production scale)
+    counted back per document — the detection step before span-level
+    boilerplate stripping in an LLM cleaning pipeline. Two passes over the
+    exploded shingles: a grouped distinct-count finds the common spans
+    (shuffle keyed on the span string — cardinality grows with corpus, no
+    skew since list_distinct caps per-doc repeats), then the span set —
+    tiny after the HAVING — broadcasts back for the per-doc rollup, so the
+    second pass never shuffles the corpus. Unlike t_contamination (corpus
+    vs held-out benchmark) this is corpus-vs-itself discovery."""
+    docs = t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(word_shingles(tokens("text"))).alias("s")
+    )
+    common = (
+        sh.groupBy("s")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 5)
+    )
+    return (
+        sh.join(F.broadcast(common), "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_boiler_spans"),
+            F.max("n_docs").cast("long").alias("max_span_reach"),
+        )
+    )

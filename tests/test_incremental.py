@@ -1,0 +1,99 @@
+"""Algebraic aggregate-state merge: merge(partial(A), partial(B)) must be
+bit-equal to aggregate(A ∪ B) for any split, including keys on one side
+only and empty batches."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from personal_data_lakehouse_spark.functions import dec
+from personal_data_lakehouse_spark.operators.incremental import (
+    merge_states,
+    partial_state,
+)
+from tests.conftest import SF_DIR
+
+MEASURES = {
+    "n": ("count", "*"),
+    "total": ("sum", "p_dec"),
+    "lo": ("min", "p_dec"),
+    "hi": ("max", "p_dec"),
+}
+
+
+def _prep(df):
+    return df.withColumn("p_dec", dec("o_totalprice"))
+
+
+def _full(orders):
+    return partial_state(_prep(orders), ["o_orderpriority"], MEASURES)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_merge_equals_full_for_any_split(spark):
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    full = _rows(_full(orders))
+    for mod in (2, 3, 7):  # several disjoint splits
+        a = orders.filter(F.col("o_orderkey") % mod == 0)
+        b = orders.filter(F.col("o_orderkey") % mod != 0)
+        merged = merge_states(
+            partial_state(_prep(a), ["o_orderpriority"], MEASURES),
+            partial_state(_prep(b), ["o_orderpriority"], MEASURES),
+            ["o_orderpriority"],
+            MEASURES,
+        )
+        assert _rows(merged) == full, f"split mod {mod} diverged"
+
+
+def test_key_on_one_side_only_passes_through(spark):
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    prios = [r[0] for r in orders.select("o_orderpriority").distinct().collect()]
+    assert len(prios) >= 2
+    a = orders.filter(F.col("o_orderpriority") == prios[0])
+    b = orders.filter(F.col("o_orderpriority") != prios[0])
+    merged = merge_states(
+        partial_state(_prep(a), ["o_orderpriority"], MEASURES),
+        partial_state(_prep(b), ["o_orderpriority"], MEASURES),
+        ["o_orderpriority"],
+        MEASURES,
+    )
+    assert _rows(merged) == _rows(_full(orders))
+
+
+def test_empty_delta_is_identity(spark):
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    state = _full(orders)
+    empty = partial_state(
+        _prep(orders.filter(F.lit(False))), ["o_orderpriority"], MEASURES
+    )
+    merged = merge_states(state, empty, ["o_orderpriority"], MEASURES)
+    assert _rows(merged) == _rows(state)
+
+
+def test_three_way_associativity(spark):
+    """merge is associative: ((A+B)+C) == (A+(B+C)) == full."""
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    parts = [
+        partial_state(
+            _prep(orders.filter(F.col("o_orderkey") % 3 == i)),
+            ["o_orderpriority"],
+            MEASURES,
+        )
+        for i in range(3)
+    ]
+    left = merge_states(
+        merge_states(parts[0], parts[1], ["o_orderpriority"], MEASURES),
+        parts[2],
+        ["o_orderpriority"],
+        MEASURES,
+    )
+    right = merge_states(
+        parts[0],
+        merge_states(parts[1], parts[2], ["o_orderpriority"], MEASURES),
+        ["o_orderpriority"],
+        MEASURES,
+    )
+    assert _rows(left) == _rows(right) == _rows(_full(orders))
