@@ -187,3 +187,85 @@ def t_embed_neardup(spark, sf_dir):
     candidates = emb.filter(F.col("vec_id") >= _N_QUERIES)
     cents = pick_centroids(emb, _CENTROID_IDS)
     return ivf_blocked_neardup(candidates, cents, threshold=_NEARDUP_THRESHOLD)
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization ADC top-k (similarity/pq.py)
+
+_PQ_QV = (
+    "list_transform(embedding, x -> "
+    "CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+)
+
+
+def _pq_d2(a: str, b: str) -> str:
+    """Exact integer L2² between subspace m (0-based) of two quantized
+    64-dim lists — the DuckDB twin of similarity.pq._D2 over slices."""
+    return (
+        f"list_reduce(list_transform(range(1, 9), "
+        f"i -> ({a}[m*8+i] - {b}[m*8+i]) * ({a}[m*8+i] - {b}[m*8+i])), "
+        f"(x, y) -> x + y)"
+    )
+
+
+@query(
+    "s_pq_adc_topk",
+    oracle=f"""
+    WITH cb AS (
+      SELECT list(qv ORDER BY vec_id) AS cbk
+      FROM (SELECT vec_id, {_PQ_QV} AS qv FROM embeddings
+            WHERE vec_id % 31 = 0 ORDER BY vec_id LIMIT 16)
+    ),
+    cand AS (SELECT vec_id, {_PQ_QV} AS qv FROM embeddings
+             WHERE vec_id >= {_N_QUERIES}),
+    enc AS (
+      SELECT vec_id,
+             list_transform(range(0, 8), m ->
+               list_position(list_transform(cbk, a -> {_pq_d2('a', 'qv')}),
+                             list_min(list_transform(cbk, a -> {_pq_d2('a', 'qv')})))
+             ) AS codes
+      FROM cand, cb
+    ),
+    q AS (
+      SELECT vec_id AS qid,
+             list_transform(range(0, 8), m ->
+               list_transform(cbk, a -> {_pq_d2('a', 'qv')})) AS lut
+      FROM (SELECT vec_id, {_PQ_QV} AS qv FROM embeddings
+            WHERE vec_id < {_N_QUERIES}) qq, cb
+    ),
+    scored AS (
+      SELECT q.qid, enc.vec_id,
+             list_reduce(list_transform(range(1, 9),
+                         m -> lut[m][codes[m]]), (x, y) -> x + y)
+                 AS adc_dist_q
+      FROM enc, q
+    ),
+    r AS (
+      SELECT qid, vec_id, adc_dist_q,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY adc_dist_q, vec_id) AS rnk
+      FROM scored
+    )
+    SELECT qid, rnk, vec_id, adc_dist_q FROM r WHERE rnk <= 5
+    """,
+)
+def s_pq_adc_topk(spark, sf_dir):
+    """PQ/ADC approximate top-5: candidates carry 8 codebook codes (32×
+    smaller than raw vectors at scale), queries carry exact per-subspace
+    lookup tables, distance = 8 integer LUT lookups per pair — the
+    IVF-PQ scoring layout (Jégou et al. 2011) as a broadcast-joined,
+    codegen'd DataFrame plan with zero Python. Integer-quantized math
+    makes the approximate result itself oracle-exact."""
+    from personal_data_lakehouse_spark.similarity.pq import (
+        adc_topk,
+        build_codebook,
+        encode,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    cb = build_codebook(emb)
+    cand = encode(emb.filter(F.col("vec_id") >= _N_QUERIES), cb)
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    return adc_topk(queries, cand, cb, k=5)
