@@ -22,23 +22,15 @@ import argparse
 import json
 import os
 import sys
-from datetime import datetime, timedelta, timezone
+from datetime import datetime, timezone
 
 
 def _demo_fetcher(symbol: str):
-    """Deterministic offline stand-in for the REST quote API."""
-    base = sum(ord(c) for c in symbol) % 100 + 50
-    day0 = datetime(2026, 8, 1)
-    return {
-        (day0 + timedelta(days=i)).strftime("%Y-%m-%d"): {
-            "1. open": str(base + i),
-            "2. high": str(base + i + 1),
-            "3. low": str(base + i - 1),
-            "4. close": str(base + i + 0.5),
-            "5. volume": str(1000 + 10 * i),
-        }
-        for i in range(5)
-    }
+    """Deterministic offline stand-in for the REST quote API (shared with
+    the stock_rest Python data source)."""
+    from personal_data_lakehouse_spark.io.pysource import demo_series
+
+    return demo_series(symbol)
 
 
 def main(argv: list[str] | None = None) -> int:

@@ -254,3 +254,45 @@ def q_approx_percentile(spark, sf_dir):
             "price_p50_approx"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# VARIANT semi-structured shredding (Spark 4 open variant type)
+
+
+@query(
+    "q_variant_shred",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS k_sum,
+           CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS k_min,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS k_max
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_variant_shred(spark, sf_dir):
+    """Semi-structured payload shredding via Spark 4's open VARIANT type:
+    ``parse_json`` builds the binary variant once, ``variant_get`` extracts
+    typed paths with no per-row JSON re-parse downstream — the engine-level
+    replacement for string get_json_object (q_json_extract keeps the
+    legacy form). Variant decode is expression-level (codegen, no Python),
+    and at 100 TB shredded variants store columnar-substructure, so the
+    extraction cost moves from query time toward write time. Aggregation
+    is the standard one-shuffle grouped form."""
+    e = t(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+    )

@@ -511,3 +511,52 @@ def q_incremental_mv(spark, sf_dir):
         .alias("avg_price"),
         F.col("max_dec").cast("double").alias("max_price"),
     )
+
+
+@query("q_hll_mv")  # rows-only: sketch estimates are engine-specific
+def q_hll_mv(spark, sf_dir):
+    """Incremental MV with a MERGEABLE DISTINCT-COUNT state: per-month
+    approx distinct customers via Apache DataSketches HLL. Exact distinct
+    is NOT algebraic (it can't merge from per-batch partials without the
+    raw keys), which is why q_incremental_mv scopes it out — HLL sketches
+    restore mergeability: each batch aggregates to a binary sketch state
+    (hll_sketch_agg), refresh unions states (hll_union_agg), estimates
+    come off the merged sketch. Same O(batch + groups) refresh cost as
+    the algebraic measures, ~1-2% standard error, engine-pinned values
+    (DataSketches ≠ DuckDB's approx_distinct, hence rows-only — the
+    merge-equals-full property and the error bound are pinned in
+    tests/test_incremental.py instead)."""
+    orders = t(spark, sf_dir, "orders").withColumn(
+        "month", F.date_trunc("month", "o_orderdate").cast("date")
+    )
+    coin = F.substring(
+        F.md5(
+            F.concat(F.col("o_orderkey").cast("string"), F.lit(":mv")).cast(
+                "binary"
+            )
+        ),
+        1,
+        2,
+    )
+    batches = [orders.filter(coin < "c0"), orders.filter(coin >= "c0")]
+    states = [
+        b.groupBy("month").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.hll_sketch_agg("o_custkey").alias("cust_sketch"),
+        )
+        for b in batches
+    ]
+    merged = (
+        states[0]
+        .unionByName(states[1])
+        .groupBy("month")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.hll_union_agg("cust_sketch").alias("cust_sketch"),
+        )
+    )
+    return merged.select(
+        "month",
+        "n_orders",
+        F.hll_sketch_estimate("cust_sketch").alias("approx_distinct_customers"),
+    ).orderBy("month")

@@ -97,3 +97,39 @@ def test_three_way_associativity(spark):
         MEASURES,
     )
     assert _rows(left) == _rows(right) == _rows(_full(orders))
+
+
+def test_hll_state_merge_equals_full_and_error_bounded(spark):
+    """Sketch-state mergeability: union of per-batch HLL states estimates
+    EXACTLY what one full-pass sketch estimates (same deterministic
+    DataSketches algorithm, same inserted set), and the estimate is within
+    5% of the true distinct count."""
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    full = (
+        orders.groupBy("o_orderpriority")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("est"))
+    )
+    parts = [
+        orders.filter(F.col("o_orderkey") % 3 == i)
+        .groupBy("o_orderpriority")
+        .agg(F.hll_sketch_agg("o_custkey").alias("s"))
+        for i in range(3)
+    ]
+    merged = (
+        parts[0]
+        .unionByName(parts[1])
+        .unionByName(parts[2])
+        .groupBy("o_orderpriority")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("s")).alias("est"))
+    )
+    got = {r[0]: r[1] for r in merged.collect()}
+    want = {r[0]: r[1] for r in full.collect()}
+    assert got == want  # merge-of-partials ≡ full-pass sketch
+    exact = {
+        r[0]: r[1]
+        for r in orders.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey"))
+        .collect()
+    }
+    for k, est in got.items():
+        assert abs(est - exact[k]) / exact[k] < 0.05, (k, est, exact[k])

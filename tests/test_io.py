@@ -88,3 +88,34 @@ def test_versioned_table_time_travel(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         read_versioned(spark, path, version=1)
+
+
+def test_python_datasource_stock_rest(spark):
+    """Spark-4 Python Data Source: registered format, one partition per
+    symbol (distributed fetch), rows match the driver-side io/rest.py
+    parse for the same series."""
+    from personal_data_lakehouse_spark.io.pysource import (
+        StockRestDataSource,
+        demo_series,
+    )
+    from personal_data_lakehouse_spark.io.rest import parse_time_series
+
+    spark.dataSource.register(StockRestDataSource)
+    df = (
+        spark.read.format("stock_rest")
+        .option("symbols", "AAPL,MSFT,GOOG")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 3  # fetch fan-out = symbol count
+    got = {
+        (r.ticker, r.date): (r.open, r.high, r.low, r.close, r.volume)
+        for r in df.collect()
+    }
+    want = {}
+    for sym in ["AAPL", "MSFT", "GOOG"]:
+        for row in parse_time_series(sym, demo_series(sym)):
+            want[(row["ticker"], row["date"])] = (
+                row["open"], row["high"], row["low"], row["close"],
+                row["volume"],
+            )
+    assert got == want and len(got) == 15
