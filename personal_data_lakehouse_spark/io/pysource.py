@@ -25,7 +25,12 @@ pickled to workers, so it must stay self-contained (stdlib only).
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql import types as T
 
 STOCK_SOURCE_SCHEMA = T.StructType(
@@ -106,3 +111,59 @@ class StockRestDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return StockRestReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return StockRestStreamReader(self.options)
+
+
+class StockRestStreamReader(SimpleDataSourceStreamReader):
+    """Streaming half of stock_rest: each micro-batch ingests the next
+    trading day for every symbol (offset = day index into the feed).
+
+    SimpleDataSourceStreamReader is the driver-side variant — right for a
+    rate-limited quote API where one process polls and Spark fans the rows
+    out; for per-symbol executor-side fetch at scale, promote to
+    DataSourceStreamReader with per-symbol partitions exactly as the batch
+    reader does. Offsets checkpoint like any source: a restarted query
+    resumes at the committed day.
+    """
+
+    def __init__(self, options):
+        self._symbols = [
+            s.strip()
+            for s in options.get("symbols", "").split(",")
+            if s.strip()
+        ]
+        if not self._symbols:
+            raise ValueError("stock_rest: the 'symbols' option is required")
+        self._n_days = int(options.get("days", "5"))
+
+    def initialOffset(self):
+        return {"day": 0}
+
+    def read(self, start):
+        day = start["day"]
+        if day >= self._n_days:
+            return iter([]), {"day": day}
+        rows = []
+        for symbol in self._symbols:
+            series = demo_series(symbol, n_days=self._n_days)
+            date_str = sorted(series)[day]
+            v = series[date_str]
+            rows.append(
+                (
+                    symbol,
+                    date_str,
+                    float(v["1. open"]),
+                    float(v["2. high"]),
+                    float(v["3. low"]),
+                    float(v["4. close"]),
+                    int(v["5. volume"]),
+                )
+            )
+        # the runtime calls next() on the result — must be an iterator
+        return iter(rows), {"day": day + 1}
+
+    def readBetweenOffsets(self, start, end):
+        rows, _ = self.read(start)
+        return rows

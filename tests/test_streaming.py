@@ -183,3 +183,43 @@ def test_transform_with_state_guard(spark, events_stream):
         pytest.skip("protobuf present — covered by test_stateful_v2.py")
     with pytest.raises(RuntimeError, match="protobuf"):
         stateful_v2.rolling_features_stream(events_stream)
+
+
+def test_python_datasource_streaming_stock_rest(spark, tmp_path):
+    """Streaming stock_rest: day-indexed offsets produce one micro-batch
+    per trading day; the drained table equals the batch source's rows."""
+    from personal_data_lakehouse_spark.io.pysource import StockRestDataSource
+
+    spark.dataSource.register(StockRestDataSource)
+    stream = (
+        spark.readStream.format("stock_rest")
+        .option("symbols", "AAPL,MSFT")
+        .option("days", "4")
+        .load()
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stock_stream_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.ticker, r.date): (r.open, r.close, r.volume)
+        for r in spark.sql("SELECT * FROM stock_stream_out").collect()
+    }
+    batch = (
+        spark.read.format("stock_rest")
+        .option("symbols", "AAPL,MSFT")
+        .load()
+    )
+    want = {
+        (r.ticker, r.date): (r.open, r.close, r.volume)
+        for r in batch.collect()
+        if r.date <= "2026-08-04"  # first 4 days of the 5-day demo feed
+    }
+    assert got == want and len(got) == 8
