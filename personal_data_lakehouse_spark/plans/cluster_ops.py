@@ -200,8 +200,12 @@ def t_repetition_ratio(spark, sf_dir):
     aggregations, both keyed by doc_id (bigram explode stays within the
     doc's partition; map-side partial aggregation collapses the counts
     before the shuffle).  Documents with < 2 words produce no bigrams and
-    drop out, matching the oracle's inner unnest."""
-    d = t(spark, sf_dir, "documents")
+    drop out, matching the oracle's inner unnest. spread() fans the
+    CPU-bound bigram explode across cores when the scan is one split
+    (no-op at scale)."""
+    from personal_data_lakehouse_spark.operators.partitioning import spread
+
+    d = spread(t(spark, sf_dir, "documents"))
     w = tokens("text")
     bigrams = F.when(
         F.size(w) >= 2,

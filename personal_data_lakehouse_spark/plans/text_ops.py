@@ -427,8 +427,14 @@ def t_boilerplate_spans(spark, sf_dir):
     skew since list_distinct caps per-doc repeats), then the span set —
     tiny after the HAVING — broadcasts back for the per-doc rollup, so the
     second pass never shuffles the corpus. Unlike t_contamination (corpus
-    vs held-out benchmark) this is corpus-vs-itself discovery."""
-    docs = t(spark, sf_dir, "documents")
+    vs held-out benchmark) this is corpus-vs-itself discovery.
+
+    spread(): the shingle construction is CPU-bound string work, so an
+    unsplittable single-row-group scan must be fanned across cores first
+    (no-op at scale where the scan already yields many splits)."""
+    from personal_data_lakehouse_spark.operators.partitioning import spread
+
+    docs = spread(t(spark, sf_dir, "documents"))
     sh = docs.select(
         "doc_id", F.explode(word_shingles(tokens("text"))).alias("s")
     )

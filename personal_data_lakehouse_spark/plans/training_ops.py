@@ -289,8 +289,12 @@ def t_contamination(spark, sf_dir):
     One explode + one hash join on the shingle string + one grouped distinct
     count. At 100 TB the benchmark side is tiny and broadcast, so the scan
     cost is the corpus explode alone — the same shape production decontam
-    (e.g. 13-gram overlap vs eval sets) runs."""
-    docs = t(spark, sf_dir, "documents")
+    (e.g. 13-gram overlap vs eval sets) runs. spread() fans the
+    CPU-bound shingle explode across cores when the scan is one split
+    (no-op at scale)."""
+    from personal_data_lakehouse_spark.operators.partitioning import spread
+
+    docs = spread(t(spark, sf_dir, "documents"))
     sh = docs.select(
         "doc_id", F.explode(word_shingles(tokens("text"))).alias("s")
     )
