@@ -49,3 +49,42 @@ def validate(
     passing = v.filter(F.col("n_failed") == 0).drop("failed_rules", "n_failed")
     quarantined = v.filter(F.col("n_failed") > 0)
     return passing, quarantined
+
+
+def observed_write(
+    df: DataFrame,
+    rules: Mapping[str, Column],
+    writer,
+    observation_name: str = "quality",
+) -> dict[str, int]:
+    """Write *df* while collecting quality metrics IN THE SAME PASS via
+    ``df.observe`` — the scale-correct form of a post-write count gate.
+
+    A classic gate (`write; if table.count() < floor: fail`) re-scans the
+    output; at 100 TB that second scan costs as much as the write.
+    ``observe`` accumulates the metrics on the task side during the write
+    job itself (Spark's Observation API), so the gate is free: returns
+    ``{"n_rows": ..., "n_failed_rows": ..., "failed_<rule>": ...}`` for
+    the caller to assert on (e.g. ``pipelines``' count gate, A4).
+
+    *writer* is a callable invoked with the observed DataFrame; it must
+    trigger exactly one action (e.g. ``lambda d: d.write.parquet(path)``).
+    """
+    from pyspark.sql import Observation
+
+    v = with_validation(df, rules)
+    obs = Observation(observation_name)
+    metrics = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("n_failed") > 0).cast("long")).alias("n_failed_rows"),
+    ]
+    metrics += [
+        F.sum(F.array_contains("failed_rules", name).cast("long")).alias(
+            f"failed_{name}"
+        )
+        for name in rules
+    ]
+    observed = v.observe(obs, *metrics).drop("failed_rules", "n_failed")
+    writer(observed)
+    got = obs.get
+    return {k: int(v or 0) for k, v in got.items()}

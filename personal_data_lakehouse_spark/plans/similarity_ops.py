@@ -269,3 +269,90 @@ def s_pq_adc_topk(spark, sf_dir):
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
     return adc_topk(queries, cand, cb, k=5)
+
+
+@query(
+    "s_ivf_pq_topk",
+    oracle=f"""
+    WITH {_CELLS_SQL},
+    cb AS (
+      SELECT list(qv ORDER BY vec_id) AS cbk
+      FROM (SELECT vec_id, {_PQ_QV} AS qv FROM embeddings
+            WHERE vec_id % 31 = 0 ORDER BY vec_id LIMIT 16)
+    ),
+    enc AS (
+      SELECT cells.vec_id, cells.cell,
+             list_transform(e, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000)
+                                         AS BIGINT)) AS cq,
+             list_transform(range(0, 8), m ->
+               list_position(list_transform(cbk, a -> {_pq_d2('a', 'qv')}),
+                             list_min(list_transform(cbk, a -> {_pq_d2('a', 'qv')})))
+             ) AS codes
+      FROM cells, cb,
+           LATERAL (SELECT list_transform(cells.e, x ->
+                      CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv) t
+    ),
+    qasg AS (SELECT qid, qe, cid, {_cos('qe', 'ce')} AS csim
+             FROM (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+                   WHERE vec_id < {_N_QUERIES}) q, cents),
+    probes AS (SELECT qid, qe, cid AS cell FROM (
+                   SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                       ORDER BY csim DESC, cid) AS crnk FROM qasg)
+               WHERE crnk <= 2),
+    qlut AS (
+      SELECT qid, cell,
+             list_transform(qe, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000)
+                                          AS BIGINT)) AS qq,
+             list_transform(range(0, 8), m ->
+               list_transform(cbk, a -> {_pq_d2('a', 'qv')})) AS lut
+      FROM probes, cb,
+           LATERAL (SELECT list_transform(probes.qe, x ->
+                      CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv) t
+    ),
+    adc AS (
+      SELECT qlut.qid, enc.vec_id, enc.cq, qlut.qq,
+             list_reduce(list_transform(range(1, 9),
+                         m -> lut[m][codes[m]]), (x, y) -> x + y) AS adc_dist_q
+      FROM enc JOIN qlut ON enc.cell = qlut.cell
+    ),
+    short AS (
+      SELECT * FROM (
+        SELECT qid, vec_id, cq, qq,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY adc_dist_q, vec_id) AS srnk
+        FROM adc) WHERE srnk <= 30
+    ),
+    rer AS (
+      SELECT qid, vec_id,
+             list_reduce(list_transform(range(1, 65),
+                         i -> (cq[i] - qq[i]) * (cq[i] - qq[i])),
+                         (x, y) -> x + y) AS d2_q
+      FROM short
+    )
+    SELECT qid, rnk, vec_id, d2_q FROM (
+      SELECT qid, vec_id, d2_q,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY d2_q, vec_id) AS rnk
+      FROM rer) WHERE rnk <= 5
+    """,
+)
+def s_ivf_pq_topk(spark, sf_dir):
+    """Production ANN cascade in one plan: IVF coarse cells prune the pair
+    space (one candidate shuffle on cell, nprobe=2 per query), PQ codes
+    score the in-cell pairs with 8 LUT lookups each, and the 30-deep
+    shortlist re-ranks with exact integer L2 — the Jégou-style IVF-PQ
+    topology whose every distance is a BIGINT, making the whole cascade
+    hash-comparable against the SQL oracle."""
+    from personal_data_lakehouse_spark.similarity.pq import (
+        build_codebook,
+        ivf_pq_topk,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    cents = pick_centroids(emb, _CENTROID_IDS)
+    cb = build_codebook(emb)
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    candidates = emb.filter(F.col("vec_id") >= _N_QUERIES)
+    return ivf_pq_topk(queries, candidates, cents, cb, k=5, nprobe=2, shortlist=30)

@@ -110,6 +110,36 @@ def encode(
     return with_cb.withColumn("codes", codes).drop("__qv", _CB_COL)
 
 
+# ADC score: codes are 1-based (array_position); element_at is the
+# 1-based accessor ([] would be 0-based in Spark SQL)
+ADC_SCORE = (
+    "aggregate(zip_with(__lut, codes, (t, c) -> element_at(t, c)), "
+    "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+)
+
+
+def with_luts(
+    queries: DataFrame,
+    codebook: DataFrame,
+    query_vec: str = "qe",
+    keep_quantized: bool = False,
+) -> DataFrame:
+    """Attach ``__lut: array<array<bigint>>`` (M×K exact L2² of the query's
+    subvectors to every codebook entry) — the per-query table ADC scoring
+    reads instead of touching raw candidate vectors. ``keep_quantized``
+    additionally retains ``__qq`` for an exact re-rank stage downstream."""
+    q = queries.withColumn("__qq", _quantized(query_vec)).crossJoin(
+        F.broadcast(codebook)
+    )
+    lut_d2 = _D2.format(a=_sub_expr("a", "m"), b=_sub_expr("__qq", "m"))
+    luts = F.expr(
+        f"transform(sequence(0, {M_SUBSPACES - 1}), m -> "
+        f"transform({_CB_COL}, a -> {lut_d2}))"
+    )
+    q = q.withColumn("__lut", luts).drop(_CB_COL, query_vec)
+    return q if keep_quantized else q.drop("__qq")
+
+
 def adc_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -124,27 +154,72 @@ def adc_topk(
     every codebook entry per subspace); a candidate's distance is the sum
     of M LUT lookups selected by its codes. Ties (same quantized distance)
     break on candidate id."""
-    q = queries.withColumn("__qq", _quantized(query_vec)).crossJoin(
-        F.broadcast(codebook)
-    )
-    lut_d2 = _D2.format(a=_sub_expr("a", "m"), b=_sub_expr("__qq", "m"))
-    luts = F.expr(
-        f"transform(sequence(0, {M_SUBSPACES - 1}), m -> "
-        f"transform({_CB_COL}, a -> {lut_d2}))"
-    )
-    q = q.withColumn("__lut", luts).select(query_id, "__lut")
+    q = with_luts(queries, codebook, query_vec).select(query_id, "__lut")
     scored = candidates.crossJoin(F.broadcast(q)).withColumn(
-        "adc_dist_q",
-        F.expr(
-            # codes are 1-based (array_position); element_at is the
-            # 1-based accessor ([] would be 0-based in Spark SQL)
-            "aggregate(zip_with(__lut, codes, (t, c) -> element_at(t, c)), "
-            "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
-        ),
+        "adc_dist_q", F.expr(ADC_SCORE)
     )
     w = Window.partitionBy(query_id).orderBy("adc_dist_q", cand_id)
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select(query_id, "rnk", cand_id, "adc_dist_q")
+    )
+
+
+def ivf_pq_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    cents: DataFrame,
+    codebook: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    shortlist: int = 30,
+    query_id: str = "qid",
+    query_vec: str = "qe",
+    cand_id: str = "vec_id",
+    cand_vec: str = "embedding",
+) -> DataFrame:
+    """The full production ANN topology in one plan: IVF coarse pruning →
+    PQ/ADC in-cell scoring → exact re-rank of the shortlist.
+
+    1. candidates shuffle ONCE on their nearest coarse cell (IVF); queries
+       probe ``nprobe`` cells — the pair space shrinks by ~k_cells/nprobe;
+    2. inside probed cells, pairs are scored by M LUT lookups against the
+       candidates' PQ codes (no raw candidate vectors touched);
+    3. the per-query ``shortlist`` best ADC candidates get an exact
+       integer-L2 re-rank, producing the final top-k.
+
+    At 100 TB stage 2 reads only codes (32× smaller scans) and stage 3
+    touches ``shortlist`` rows per query. Every distance is an exact
+    BIGINT with id tie-breaks, so the whole cascade is oracle-replayable.
+    """
+    from personal_data_lakehouse_spark.similarity.ivf import assign_cells
+
+    cells = assign_cells(candidates, cents, cand_id, cand_vec, n=1)
+    enc = encode(cells, codebook, vec_col=cand_vec).withColumn(
+        "__cq", _quantized(cand_vec)
+    )
+    probes = assign_cells(queries, cents, query_id, query_vec, n=nprobe)
+    qside = with_luts(probes, codebook, query_vec, keep_quantized=True).select(
+        query_id, "cell", "__lut", "__qq"
+    )
+    scored = enc.join(F.broadcast(qside), on="cell").withColumn(
+        "adc_dist_q", F.expr(ADC_SCORE)
+    )
+    w_short = Window.partitionBy(query_id).orderBy("adc_dist_q", cand_id)
+    short = scored.withColumn("srnk", F.row_number().over(w_short)).filter(
+        F.col("srnk") <= shortlist
+    )
+    rerank = short.withColumn(
+        "d2_q",
+        F.expr(
+            "aggregate(zip_with(__cq, __qq, (x, y) -> (x - y) * (x - y)), "
+            "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        ),
+    )
+    w_final = Window.partitionBy(query_id).orderBy("d2_q", cand_id)
+    return (
+        rerank.withColumn("rnk", F.row_number().over(w_final))
+        .filter(F.col("rnk") <= k)
+        .select(query_id, "rnk", cand_id, "d2_q")
     )

@@ -33,3 +33,37 @@ def test_null_predicate_counts_as_failure(spark):
     got = {r.id: r.n_failed for r in v.collect()}
     # NULL comparison result must quarantine, not pass
     assert got == {1: 0, 2: 1, 3: 1}
+
+
+def test_observed_write_single_pass_metrics(spark, tmp_path):
+    """observe() collects the gate metrics during the write action itself —
+    values must equal a direct recount, with no second scan issued by the
+    operator (the only job is the write)."""
+    from pyspark.sql import functions as F
+
+    from personal_data_lakehouse_spark.operators.quality import observed_write
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rules = {
+        "long_enough": F.col("n_chars") >= 150,
+        "known_source": F.col("source") != "src0",
+    }
+    out = str(tmp_path / "observed_out")
+    metrics = observed_write(
+        docs, rules, lambda d: d.write.mode("overwrite").parquet(out)
+    )
+    n = docs.count()
+    n_fail = docs.filter(
+        (F.col("n_chars") < 150) | (F.col("source") == "src0")
+    ).count()
+    assert metrics["n_rows"] == n
+    assert metrics["n_failed_rows"] == n_fail
+    assert metrics["failed_long_enough"] == docs.filter(
+        F.col("n_chars") < 150
+    ).count()
+    assert metrics["failed_known_source"] == docs.filter(
+        F.col("source") == "src0"
+    ).count()
+    # the written table carries every input row (observation is pass-through)
+    assert spark.read.parquet(out).count() == n
