@@ -129,3 +129,29 @@ def extract_features(media: DataFrame) -> DataFrame:
             )
 
     return spread(media).mapInPandas(decode, schema=FEATURE_SCHEMA)
+
+
+def read_media_dir(spark, path: str, glob: str = "*") -> DataFrame:
+    """Ingest raw media files via Spark's built-in ``binaryFile`` source —
+    the on-ramp from an object-store bucket of images/audio into the
+    binary-column layout the rest of this module operates on.
+
+    Emits (path, modificationTime, length, content) per file; we project
+    to the module's payload/metadata shape. File-level metadata filters
+    (size caps, path patterns) are pushed to the source — a ``length <
+    10MB`` predicate prunes oversized blobs WITHOUT reading their bytes
+    (binaryFile supports pushdown on path/length/modificationTime). At
+    100 TB, pair with ``spark.sql.files.maxPartitionBytes`` so many small
+    files bin-pack into tasks; one task per tiny file is scheduler death.
+    """
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )
+    return raw.select(
+        F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1).alias("file_name"),
+        F.col("length").alias("n_bytes"),
+        F.col("modificationTime").alias("modified_at"),
+        F.col("content").alias("payload"),
+    )

@@ -55,3 +55,27 @@ def test_extract_features_batch_shape(spark, media):
 def test_real_decoder_is_clearly_stubbed():
     with pytest.raises(NotImplementedError, match="pillow|image"):
         decode_image(b"\x89PNG fake")
+
+
+def test_binaryfile_ingestion_and_length_pushdown(spark, tmp_path):
+    """binaryFile on-ramp: bytes round-trip exactly, and a length predicate
+    prunes files at the SOURCE (PushedFilters in the scan, not a post-read
+    filter on content)."""
+    import os
+
+    from personal_data_lakehouse_spark.multimodal.columns import read_media_dir
+
+    d = str(tmp_path / "media")
+    os.makedirs(d)
+    blobs = {f"img_{i}.bin": bytes([i]) * (100 * (i + 1)) for i in range(4)}
+    for name, payload in blobs.items():
+        with open(os.path.join(d, name), "wb") as f:
+            f.write(payload)
+
+    media = read_media_dir(spark, d, glob="*.bin")
+    got = {r.file_name: bytes(r.payload) for r in media.collect()}
+    assert got == blobs  # exact byte round-trip
+    small = media.filter(F.col("n_bytes") <= 200)
+    assert {r.file_name for r in small.collect()} == {"img_0.bin", "img_1.bin"}
+    plan = small._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "length" in plan
