@@ -23,12 +23,23 @@ from tests.conftest import SF_DIR
 
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens", "plans")
 
+# round-3 flagship operators pinned alongside the bench HEADLINE set
+GOLDEN_EXTRA = [
+    "q_bloom_semi_join",
+    "s_pq_adc_topk",
+    "s_ivf_pq_topk",
+    "q_incremental_mv",
+    "t_boilerplate_spans",
+    "q_rolling_features",
+    "q_variant_shred",
+]
+
 # Goldens are generated against the canonical smoke fixture; other SF dirs
 # legitimately change broadcast decisions via file-size stats.
 _GOLDEN_SF = "/root/testdata/sf0.001"
 
 
-@pytest.mark.parametrize("name", HEADLINE)
+@pytest.mark.parametrize("name", HEADLINE + GOLDEN_EXTRA)
 def test_plan_shape_matches_golden(spark, name):
     if SF_DIR != _GOLDEN_SF:
         pytest.skip("plan goldens are pinned to the sf0.001 fixture")

@@ -25,14 +25,17 @@ GOLDEN_DIR = os.path.join(
 def main() -> None:
     import __spark_entry__  # noqa: F401  — populates REGISTRY
     from bench import HEADLINE
+    from tests.test_plan_goldens import GOLDEN_EXTRA
     from personal_data_lakehouse_spark.plans.golden import normalize_plan
     from personal_data_lakehouse_spark.plans.registry import REGISTRY
     from personal_data_lakehouse_spark.session import get_spark
 
     spark = get_spark(app_name="gen-plan-goldens")
-    spark.catalog.clearCache()
     os.makedirs(GOLDEN_DIR, exist_ok=True)
-    for name in HEADLINE:
+    for name in HEADLINE + GOLDEN_EXTRA:
+        # per-query cache clear: an earlier query's persist() would
+        # otherwise swap FileScans for InMemoryTableScans in this golden
+        spark.catalog.clearCache()
         shape = normalize_plan(REGISTRY[name].fn(spark, SF_DIR))
         path = os.path.join(GOLDEN_DIR, f"{name}.txt")
         with open(path, "w") as f:
