@@ -228,3 +228,65 @@ def t_repetition_ratio(spark, sf_dir):
             "top_bigram_share"
         ),
     )
+
+
+@query(
+    "t_dedup_keep_best",
+    oracle="""
+    WITH RECURSIVE __CTES__,
+    edges AS (
+        SELECT id_a, id_b FROM lsh_pairs
+        WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+              / len(list_distinct(list_concat(sh_a, sh_b))) >= 0.5
+    ), sym AS (
+        SELECT id_a AS a, id_b AS b FROM edges
+        UNION
+        SELECT id_b AS a, id_a AS b FROM edges
+    ), reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
+    ), cc AS (
+        SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+    ), scored AS (
+        SELECT cc.doc_id, cc.cluster_id, d.n_chars,
+               ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                  ORDER BY d.n_chars DESC, cc.doc_id) AS qrnk,
+               COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        FROM cc JOIN documents d ON cc.doc_id = d.doc_id
+    )
+    SELECT cluster_id, doc_id AS keep_doc, n_chars AS kept_n_chars,
+           CAST(cluster_size AS BIGINT) AS cluster_size
+    FROM scored WHERE qrnk = 1 AND cluster_size > 1
+    """,
+)
+def t_dedup_keep_best(spark, sf_dir):
+    """Canonicalization with a QUALITY preference: within each near-dup
+    cluster keep the highest-quality copy (longest text, doc_id
+    tie-break) instead of t_dedup_clusters' arbitrary min-id survivor —
+    the real pipeline decision (dedup keeps the best-formatted crawl of a
+    page, not the first-seen one). One extra broadcast-joinable pass over
+    the (sparse) cluster labels; only multi-doc clusters emit (singletons
+    have nothing to decide)."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(docs).filter(F.col("jaccard") >= 0.5)
+    labeled = dedup_clusters(docs, pairs)
+    scored = labeled.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("qrnk", F.row_number().over(w))
+        .filter((F.col("qrnk") == 1) & (F.col("cluster_size") > 1))
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keep_doc"),
+            F.col("n_chars").alias("kept_n_chars"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+        )
+    )
+
+
+REGISTRY["t_dedup_keep_best"].oracle = REGISTRY["t_dedup_keep_best"].oracle.replace(
+    "__CTES__", _lsh_ctes()
+)

@@ -481,3 +481,40 @@ def t_bpe_merges(spark, sf_dir):
         [(i + 1, left, right, cnt) for i, (left, right, cnt) in enumerate(merges)],
         "rank int, left string, right string, pair_count bigint",
     )
+
+
+@query(
+    "t_sample_token_budget",
+    oracle=f"""
+    SELECT doc_id, tok,
+           CAST(cum AS BIGINT) AS cum_tokens
+    FROM (
+        SELECT doc_id, tok,
+               SUM(tok) OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum
+        FROM (SELECT doc_id, len({_TOKS}) AS tok FROM documents) d
+    ) c
+    WHERE cum <= 10000
+    """,
+)
+def t_sample_token_budget(spark, sf_dir):
+    """Token-budget sampling: take documents in md5-shuffled order until
+    the running token count hits the budget — how a fixed-size training
+    mix is drawn from a larger corpus ("give me 10B tokens of this
+    source"). The md5 order is a deterministic shuffle: layout- and
+    engine-independent, and stable as the corpus grows (a doc's position
+    never depends on partitioning). One ordered window + a filter; for
+    100 TB budgets, run it per shard (the t_pack_sequences_sharded
+    pattern) and budget each shard proportionally."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", token_count_whitespace("text").alias("tok")
+    )
+    w = Window.orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        docs.withColumn("cum_tokens", F.sum("tok").over(w).cast("long"))
+        .filter(F.col("cum_tokens") <= 10000)
+        .select("doc_id", "tok", "cum_tokens")
+    )
