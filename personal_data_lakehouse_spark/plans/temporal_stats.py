@@ -560,3 +560,82 @@ def q_hll_mv(spark, sf_dir):
         "n_orders",
         F.hll_sketch_estimate("cust_sketch").alias("approx_distinct_customers"),
     ).orderBy("month")
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift (total-variation distance, logarithm-free)
+
+
+@query(
+    "q_drift_tvd",
+    oracle="""
+    WITH e AS (
+        SELECT CAST(floor(value / 50) AS BIGINT) AS bucket,
+               substr(md5(CAST(event_id AS VARCHAR)), 1, 1) < '8' AS in_a
+        FROM events
+    ),
+    b AS (
+        SELECT bucket,
+               CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+        FROM e GROUP BY bucket
+    ),
+    tot AS (SELECT CAST(SUM(n_a) AS BIGINT) AS ta,
+                   CAST(SUM(n_b) AS BIGINT) AS tb FROM b)
+    SELECT bucket, n_a, n_b,
+           CAST(n_a AS DOUBLE) / ta AS p_a,
+           CAST(n_b AS DOUBLE) / tb AS p_b,
+           CAST(abs(n_a * tb - n_b * ta) AS DOUBLE) / (ta * tb) AS abs_diff,
+           CAST(CAST(SUM(CAST(abs(n_a * tb - n_b * ta) AS BIGINT)) OVER ()
+                     AS DOUBLE) / (2.0 * ta * tb) AS DOUBLE) AS tvd
+    FROM b, tot
+    """,
+)
+def q_drift_tvd(spark, sf_dir):
+    """Distribution-drift monitor between two deterministic halves of the
+    event stream (md5-coin split — in production: yesterday vs today, or
+    holdout vs candidate corpus): per-bucket counts, probabilities, and
+    the total-variation distance ½·Σ|p−q|. TVD instead of PSI/KL on
+    purpose — it needs no logarithm; and the Σ runs over the INTEGER
+    numerators |n_a·tb − n_b·ta| (one double division at the end), so no
+    float reduction exists whose order could differ between engines (a
+    window SUM of doubles is partition-order-dependent — that exact miss
+    was caught building this query). One grouped count over the stream +
+    a 10-row window for the scalar; at 100 TB the bucket histogram is the
+    only shuffle and it's map-side combined."""
+    e = t(spark, sf_dir, "events").select(
+        F.floor(F.col("value") / 50).cast("long").alias("bucket"),
+        (
+            F.substring(
+                F.md5(F.col("event_id").cast("string").cast("binary")), 1, 1
+            )
+            < "8"
+        ).alias("in_a"),
+    )
+    b = e.groupBy("bucket").agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("in_a"), 0).otherwise(1)).cast("long").alias("n_b"),
+    )
+    tot = b.agg(
+        F.sum("n_a").cast("long").alias("ta"),
+        F.sum("n_b").cast("long").alias("tb"),
+    )
+    j = b.crossJoin(F.broadcast(tot))
+    p_a = F.col("n_a").cast("double") / F.col("ta")
+    p_b = F.col("n_b").cast("double") / F.col("tb")
+    num = F.abs(F.col("n_a") * F.col("tb") - F.col("n_b") * F.col("ta"))
+    w = Window.partitionBy()
+    return j.select(
+        "bucket",
+        "n_a",
+        "n_b",
+        p_a.alias("p_a"),
+        p_b.alias("p_b"),
+        (num.cast("double") / (F.col("ta") * F.col("tb"))).alias("abs_diff"),
+        (
+            F.sum(num.cast("long")).over(w).cast("double")
+            / (F.lit(2.0) * F.col("ta") * F.col("tb"))
+        )
+        .cast("double")
+        .alias("tvd"),
+    )

@@ -79,7 +79,10 @@ def test_state_carries_across_micro_batches(spark, tmp_path):
     back into ListState from the first — equal to the batch window over
     the union."""
     ev = t(spark, SF_DIR, "events")
-    median_ts = ev.approxQuantile("ts", [0.5], 0.0)[0]
+    median_us = ev.select(
+        F.unix_micros("ts").alias("us")
+    ).approxQuantile("us", [0.5], 0.0)[0]
+    median_ts = F.timestamp_micros(F.lit(int(median_us)))
     d = str(tmp_path / "two_batches")
     os.makedirs(d, exist_ok=True)
     # lexicographic file order = processing order for the file source

@@ -223,3 +223,74 @@ def test_python_datasource_streaming_stock_rest(spark, tmp_path):
         if r.date <= "2026-08-04"  # first 4 days of the 5-day demo feed
     }
     assert got == want and len(got) == 8
+
+
+def test_merge_sink_restart_from_checkpoint_no_duplicates(spark, tmp_path):
+    """Exactly-once across RESTARTS: run the merge sink over batch 1, stop,
+    add batch 2, restart from the SAME checkpoint — the second run must
+    process only the new file, and replaying the whole pipeline a third
+    time (same checkpoint, no new data) must change nothing. The MERGE
+    sink + checkpointed offsets together give effective exactly-once."""
+    import os
+
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    ev = t(spark, SF_DIR, "events")
+    # split by EVENT TIME: batch 2 must not be behind batch 1's advanced
+    # watermark, or the 30-min watermark correctly drops it as late
+    median_us = ev.select(
+        F.unix_micros("ts").alias("us")
+    ).approxQuantile("us", [0.5], 0.0)[0]
+    median_ts = F.timestamp_micros(F.lit(int(median_us)))
+    ev.filter(F.col("ts") <= median_ts).coalesce(1).write.parquet(
+        f"{src_dir}/b=0"
+    )
+    spark.sql("DROP TABLE IF EXISTS default.restart_counts")
+    schema = spark.read.parquet(src_dir).schema
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src_dir)
+        agg = tumbling_counts(stream).select(
+            "window_start", "event_type", "n_events", "total_value"
+        )
+        q = merge_sink(
+            agg,
+            "default.restart_counts",
+            keys=["window_start", "event_type"],
+            checkpoint=ckpt,
+        ).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()  # batch 1 only
+    spark.catalog.refreshTable("default.restart_counts")
+    n1 = spark.table("default.restart_counts").count()
+    ev.filter(F.col("ts") > median_ts).coalesce(1).write.parquet(
+        f"{src_dir}/b=1"
+    )
+    run_once()  # restart: picks up only b=1 from checkpointed offsets
+    spark.catalog.refreshTable("default.restart_counts")
+    merged = spark.table("default.restart_counts")
+    want = (
+        spark.read.parquet(src_dir)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    assert merged.count() == want.count() >= n1
+    got = {
+        (r.window_start, r.event_type): r.n_events for r in merged.collect()
+    }
+    for r in want.select(
+        F.col("window.start").alias("ws"), "event_type", "n_events"
+    ).collect():
+        assert got[(r.ws, r.event_type)] == r.n_events
+    run_once()  # idempotent replay: no new offsets, no state change
+    spark.catalog.refreshTable("default.restart_counts")
+    again = {
+        (r.window_start, r.event_type): r.n_events
+        for r in spark.table("default.restart_counts").collect()
+    }
+    assert again == got
