@@ -32,6 +32,9 @@ GOLDEN_EXTRA = [
     "t_boilerplate_spans",
     "q_rolling_features",
     "q_variant_shred",
+    "q_drift_tvd",
+    "t_sample_token_budget",
+    "t_dedup_keep_best",
 ]
 
 # Goldens are generated against the canonical smoke fixture; other SF dirs
