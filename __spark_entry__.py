@@ -117,6 +117,13 @@ _PRIORITY = [
     "m_frame_sample",
 ]
 
+# Round-4 rotation backlog (added after this round's window was frozen;
+# all green under tools/driver_sim at sf0.001/0.01/0.1): q_variant_shred,
+# s_pq_adc_topk, s_ivf_pq_topk, t_boilerplate_spans, q_rolling_features,
+# q_incremental_mv, t_sample_token_budget, t_dedup_keep_best, q_drift_tvd
+# (+ rows-only q_hll_mv). Put these first in the next window, then refill
+# with re-verification slots.
+
 
 def _ordered_names() -> list[str]:
     missing = [n for n in _PRIORITY if n not in REGISTRY]

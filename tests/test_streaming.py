@@ -294,3 +294,32 @@ def test_merge_sink_restart_from_checkpoint_no_duplicates(spark, tmp_path):
         for r in spark.table("default.restart_counts").collect()
     }
     assert again == got
+
+
+def test_stream_static_dimension_join(spark, events_stream):
+    """Stream-static join: a streaming fact enriched by a static dimension
+    (re-read per micro-batch, no state) — the standard streaming
+    dimension-lookup shape. Result must equal the batch join."""
+    dim = spark.range(0, 2000).select(
+        F.col("id").alias("user_id"),
+        (F.col("id") % 5).cast("string").alias("segment"),
+    )
+    enriched = (
+        events_stream.join(F.broadcast(dim), "user_id")
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    _run_to_memory(enriched, "stream_static_out")
+    got = {
+        r.segment: r.n_events
+        for r in spark.sql("SELECT * FROM stream_static_out").collect()
+    }
+    want = {
+        r.segment: r.n_events
+        for r in t(spark, SF_DIR, "events")
+        .join(dim, "user_id")
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
