@@ -54,75 +54,79 @@ from personal_data_lakehouse_spark.plans.registry import (  # noqa: E402
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # The correctness gate evaluates queries in dict order and caps at the FIRST
-# 50 (rounds 1 and 2 each recorded exactly 50). Verified rows from earlier
-# rounds stay credited (VERDICT r2 legend: pass-r1 counts), so the window
-# ROTATES each round to maximize cumulative driver-verified coverage:
-# round 3's window = the 2 rows that failed r2's gate (HUGEINT oracle typing,
-# since fixed — re-proving them green) + all 48 oracle-backed queries never
-# yet evaluated by the driver (r1 ∪ r2 covered the other 77). After this
-# round every oracle-bearing registry query has a driver correctness row.
-# Rows-only queries (no oracle, weaker check) stay out of the window.
+# 50. Verified rows from earlier rounds stay credited, so the window ROTATES
+# each round to maximize cumulative driver-verified coverage.
+# Round 4's window (per VERDICT r3 item 1):
+#   (a) q_quality_quarantine after the array_join hashability fix;
+#   (b) the 11 round-3-late queries never driver-checked (incl. the two
+#       rows-only ones — rows_match is still signal, VERDICT item 8);
+#   (c) the 9 queries whose only driver row is the r1 decimal-era hash-miss;
+#   (d) queries NEW this round (never evaluated);
+#   (e) refill: flagship/bench re-verification + r1-only-proven rows.
+# After this window every registered query has >=1 driver row and every
+# oracle-backed query from rounds 1-3 has >=1 green row.
 _PRIORITY = [
-    # r2 gate failures, root-caused and fixed (oracle HUGEINT → BIGINT)
-    "q12_priority_split",
-    "t_pack_sequences",
-    # never driver-verified, oracle-backed (r3 rotation)
-    "q_scalar_subquery",
-    "q_percentiles",
-    "q_corr",
-    "q_explode_arrays",
-    "q_unpivot",
-    "q_window_range_frame",
-    "q_ranking_functions",
-    "q_pivot_wide",
-    "q_histogram",
-    "q_sessionize",
-    "q_retention_cohort",
-    "q_funnel",
-    "q_bloom_semi_join",
-    "t_dedup_clusters",
-    "t_sample_bernoulli_hash",
-    "t_sample_stratified",
-    "t_repetition_ratio",
-    "q_mapinpandas_tokens",
-    "t_udtf_word_windows",
-    "q_pct_of_total",
-    "t_pack_sequences_sharded",
-    "t_mix_weighted",
-    "q_ntile_cume",
-    "q_first_last_frames",
-    "q_mode_per_group",
-    "q_regr_slope",
-    "q_latest_per_key",
-    "q_salted_two_stage_agg",
-    "q_event_dedup",
-    "t_chunk_documents",
-    "t_pii_scrub",
-    "t_doc_term_rarity",
-    "q_higher_order_funcs",
-    "q_posexplode_tokens",
-    "q_map_roundtrip",
-    "t_char_trigram_profile",
-    "t_bigram_familiarity",
-    "q_union_by_name",
+    # (a) the one red r3 row, fixed: array<string> -> comma-joined string
     "q_quality_quarantine",
-    "q_cross_join",
-    "q_semi_join_api",
-    "q_not_in_null_semantics",
-    "q_open_order_concurrency",
-    "q_weighted_median",
-    "q_hypertable_rollup",
-    "q_funnel_time_bound",
-    "m_binary_meta",
-    "m_frame_sample",
+    # (b) round-3 backlog, never driver-evaluated
+    "q_variant_shred",
+    "s_pq_adc_topk",
+    "s_ivf_pq_topk",
+    "t_boilerplate_spans",
+    "q_rolling_features",
+    "q_incremental_mv",
+    "t_sample_token_budget",
+    "t_dedup_keep_best",
+    "q_drift_tvd",
+    "q_hll_mv",  # rows-only by design (sketch output)
+    "t_bpe_merges",  # rows-only by design (bit-exact vs reference in pytest)
+    # (c) only driver row is the round-1 decimal-presentation miss; green
+    # locally ever since the double-cast fix — re-proving under the real gate
+    "q02_monthly_rollup",
+    "q_silver_cleaning",
+    "q_merge_insert_only",
+    "q_watermark_incremental",
+    "q_rollup",
+    "q_cube",
+    "q_json_extract",
+    "q_left_join_nulls",
+    "q_window_running_lag",
+    # (d) new this round (uncommented as each lands)
+    # "q_stream_static_enrich",
+    # "q_time_travel_diff",
+    # "t_dedup_minhash_dupcount",
+    # "t_robust_scale_features",
+    # "q_skew_salted_join",
+    # "t_ngram_lm_perplexity",
+    # "q_interval_align",
+    # "t_tfidf_topterms",
+    # "t_length_histogram_log2",
+    # (e) refill: bench flagships + r1-only-proven re-verification
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_region_revenue",
+    "q06_revenue_forecast",
+    "q07_nation_volume",
+    "q_window_topk",
+    "q_grouping_sets",
+    "q_tumbling_window",
+    "q_asof_join",
+    "q_merge_upsert",
+    "t_fingerprint",
+    "t_minhash_lsh_pairs",
+    "t_embed_neardup",
+    "s_cosine_topk",
+    "s_ivf_ann_topk",
+    "q_sort_limit",
+    "q_set_ops",
+    "q_date_functions",
+    # ---- 50-query window cap falls here; the rest re-verify only if the
+    # driver evaluates more than 50 ----
+    "q_string_functions",
+    "q_timezone_convert",
+    "q_case_null_handling",
+    "s_srp_ann_topk",
 ]
-
-# Round-4 rotation backlog (added after this round's window was frozen;
-# all green under tools/driver_sim at sf0.001/0.01/0.1): q_variant_shred,
-# s_pq_adc_topk, s_ivf_pq_topk, t_boilerplate_spans, q_rolling_features,
-# q_incremental_mv, t_sample_token_budget, t_dedup_keep_best, q_drift_tvd
-# (+ rows-only q_hll_mv). Put these first in the next window, then refill
-# with re-verification slots.
 
 
 def _ordered_names() -> list[str]:

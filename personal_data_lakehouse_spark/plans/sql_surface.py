@@ -145,11 +145,11 @@ def q_union_by_name(spark, sf_dir):
     "q_quality_quarantine",
     oracle="""
     SELECT doc_id,
-           list_sort(list_filter([
+           array_to_string(list_sort(list_filter([
                CASE WHEN NOT coalesce(n_chars >= 150, false) THEN 'too_short' END,
                CASE WHEN NOT coalesce(lang <> 'zh', false) THEN 'non_latin' END,
                CASE WHEN NOT coalesce(source <> 'src0', false) THEN 'blocked_source' END
-           ], x -> x IS NOT NULL)) AS failed_rules,
+           ], x -> x IS NOT NULL)), ',') AS failed_rules,
            CAST(len(list_filter([
                CASE WHEN NOT coalesce(n_chars >= 150, false) THEN 'too_short' END,
                CASE WHEN NOT coalesce(lang <> 'zh', false) THEN 'non_latin' END,
@@ -168,7 +168,12 @@ def q_quality_quarantine(spark, sf_dir):
     Live Tables expectations / dbt tests semantics, done as a dataflow
     split instead of a post-hoc assertion. Rules here mirror a latin-script
     training-data intake: minimum length, supported script, source
-    allowlist."""
+    allowlist.
+
+    Presentation note (round-4 fix): the driver's canonicalizer hashes
+    through pandas and cannot sort object-list columns, so the
+    array<string> is joined to one comma-separated string on BOTH sides
+    (array_sort upstream makes the join order deterministic)."""
     from personal_data_lakehouse_spark.operators.quality import validate
 
     docs = t(spark, sf_dir, "documents")
@@ -178,7 +183,11 @@ def q_quality_quarantine(spark, sf_dir):
         "blocked_source": F.col("source") != "src0",
     }
     _passing, quarantined = validate(docs, rules)
-    return quarantined.select("doc_id", "failed_rules", "n_failed")
+    return quarantined.select(
+        "doc_id",
+        F.array_join("failed_rules", ",").alias("failed_rules"),
+        "n_failed",
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -585,8 +585,10 @@ def q_hll_mv(spark, sf_dir):
     SELECT bucket, n_a, n_b,
            CAST(n_a AS DOUBLE) / ta AS p_a,
            CAST(n_b AS DOUBLE) / tb AS p_b,
-           CAST(abs(n_a * tb - n_b * ta) AS DOUBLE) / (ta * tb) AS abs_diff,
-           CAST(CAST(SUM(CAST(abs(n_a * tb - n_b * ta) AS BIGINT)) OVER ()
+           CAST(abs(CAST(n_a AS HUGEINT) * tb - CAST(n_b AS HUGEINT) * ta)
+                AS DOUBLE) / (CAST(ta AS DOUBLE) * tb) AS abs_diff,
+           CAST(CAST(SUM(abs(CAST(n_a AS HUGEINT) * tb
+                             - CAST(n_b AS HUGEINT) * ta)) OVER ()
                      AS DOUBLE) / (2.0 * ta * tb) AS DOUBLE) AS tvd
     FROM b, tot
     """,
@@ -600,9 +602,13 @@ def q_drift_tvd(spark, sf_dir):
     numerators |n_a·tb − n_b·ta| (one double division at the end), so no
     float reduction exists whose order could differ between engines (a
     window SUM of doubles is partition-order-dependent — that exact miss
-    was caught building this query). One grouped count over the stream +
-    a 10-row window for the scalar; at 100 TB the bucket histogram is the
-    only shuffle and it's map-side combined."""
+    was caught building this query). The numerators are computed in 128-bit
+    integer space — DECIMAL(38,0) Spark-side, HUGEINT in the oracle —
+    because at the 100 TB scale this targets (counts ~1e12, totals ~1e13)
+    the BIGINT product n_a·tb exceeds 2^63; int128 is exact to ~1.7e38.
+    One grouped count over the stream + a 10-row window for the scalar; at
+    100 TB the bucket histogram is the only shuffle and it's map-side
+    combined."""
     e = t(spark, sf_dir, "events").select(
         F.floor(F.col("value") / 50).cast("long").alias("bucket"),
         (
@@ -623,19 +629,23 @@ def q_drift_tvd(spark, sf_dir):
     j = b.crossJoin(F.broadcast(tot))
     p_a = F.col("n_a").cast("double") / F.col("ta")
     p_b = F.col("n_b").cast("double") / F.col("tb")
-    num = F.abs(F.col("n_a") * F.col("tb") - F.col("n_b") * F.col("ta"))
+    # decimal(19,0) operands -> decimal(38,0) products/difference: the whole
+    # numerator stays in exact int128 space (no BIGINT wrap, no float drift)
+    dec = "decimal(19,0)"
+    num = F.abs(
+        F.col("n_a").cast(dec) * F.col("tb").cast(dec)
+        - F.col("n_b").cast(dec) * F.col("ta").cast(dec)
+    )
     w = Window.partitionBy()
+    denom = F.col("ta").cast("double") * F.col("tb").cast("double")
     return j.select(
         "bucket",
         "n_a",
         "n_b",
         p_a.alias("p_a"),
         p_b.alias("p_b"),
-        (num.cast("double") / (F.col("ta") * F.col("tb"))).alias("abs_diff"),
-        (
-            F.sum(num.cast("long")).over(w).cast("double")
-            / (F.lit(2.0) * F.col("ta") * F.col("tb"))
-        )
+        (num.cast("double") / denom).alias("abs_diff"),
+        (F.sum(num).over(w).cast("double") / (F.lit(2.0) * denom))
         .cast("double")
         .alias("tvd"),
     )

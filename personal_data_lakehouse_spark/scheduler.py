@@ -19,8 +19,9 @@ Semantics implemented (each pinned by tests/test_scheduler.py):
   LATEST due interval runs — earlier ones are recorded as skipped, exactly
   Airflow's no-catchup backfill suppression.
 - **retries=N + retry_delay**: a failing task callable re-runs up to N
-  times; the delay is surfaced to the caller via the run report (sleeping
-  is the invoker's job — keeps tests instant and the runner pure).
+  times with ``retry_delay`` applied between attempts via an injectable
+  ``sleep`` (tests substitute a recording no-op, so they stay instant;
+  the delay is also surfaced on the final failed report).
 - **depends_on_past=False**: a failed day does not block the next tick.
 
 The task itself is idempotent by construction (pipelines.run_daily replays
@@ -35,6 +36,7 @@ All state is a single JSON document the caller persists wherever it likes
 from __future__ import annotations
 
 import json
+import time as _time
 import traceback
 from dataclasses import dataclass, field
 from datetime import datetime, timedelta, timezone
@@ -92,6 +94,10 @@ class ScheduledRunner:
     task: Callable[[datetime], None]
     policy: SchedulePolicy = field(default_factory=SchedulePolicy)
     last_success: datetime | None = None
+    # Applied BETWEEN attempts (Airflow retries+retry_delay semantics).
+    # Injectable so tests (and cron-style invokers that prefer to reschedule
+    # instead of block) can substitute a recording no-op.
+    sleep: Callable[[float], None] = field(default=_time.sleep)
 
     def tick(self, now: datetime | None = None) -> list[RunReport]:
         """One scheduler heartbeat: run everything due at *now*."""
@@ -120,6 +126,8 @@ class ScheduledRunner:
                 )
             except Exception:
                 last_err = traceback.format_exc(limit=3)
+                if attempt <= self.policy.retries:
+                    self.sleep(self.policy.retry_delay.total_seconds())
         return RunReport(
             logical_date.isoformat(),
             "failed",

@@ -104,7 +104,9 @@ def _make_processor(window: int):
                     )
                 )
             self._tail.clear()
-            for row in buf[-(window - 1):]:
+            # window=1 needs no carry-over; buf[-(1-1):] would be buf[-0:]
+            # == the WHOLE buffer, growing state per key without bound.
+            for row in (buf[-(window - 1):] if window > 1 else []):
                 self._tail.appendValue(row)
             yield pd.DataFrame(
                 out_rows,

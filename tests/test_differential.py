@@ -41,8 +41,13 @@ def test_registry_size_floor():
 
 def test_priority_prefix_is_oracle_backed():
     """The driver may hash-check only the first 50 queries() entries; every
-    one of those slots must carry an oracle (rows-only queries would waste
-    a verified slot)."""
+    one of those slots must carry an oracle, EXCEPT the explicitly wired
+    rows-only sketch/tokenizer queries (VERDICT r3 item 8: a rows_match row
+    is still signal for ops whose output is non-SQL-expressible — they get
+    a slot once, this round)."""
+    rows_only_wired = {"q_hll_mv", "t_bpe_merges"}
     names = entry_mod._ordered_names()[:50]
     for n in names:
+        if n in rows_only_wired:
+            continue
         assert REGISTRY[n].oracle is not None, n

@@ -50,6 +50,14 @@ def test_plan_shape_matches_golden(spark, name):
     assert os.path.exists(path), (
         f"no golden for headline query {name} — run tools/gen_plan_goldens.py"
     )
+    # spread()/min-parallelism gates key on defaultParallelism; on a 1-core
+    # runner the repartition correctly never fires, so goldens pinning its
+    # RoundRobinPartitioning Exchange would mismatch despite correct code.
+    if (
+        spark.sparkContext.defaultParallelism < 2
+        and "RoundRobinPartitioning" in open(path).read()
+    ):
+        pytest.skip("golden pins a parallelism-gated exchange; 1-core runner")
     # cached intermediates from other tests swap FileScan for
     # InMemoryTableScan; compare cold plans only
     spark.catalog.clearCache()

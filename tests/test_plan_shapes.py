@@ -91,6 +91,8 @@ def test_headline_exchange_budgets(spark):
     for name, allowed in budget.items():
         plan = _plan(REGISTRY[name].fn(spark, SF_DIR))
         got = plan.count("Exchange")
+        # budgets are upper bounds, so parallelism-gated repartitions simply
+        # not firing on a 1-core runner stays within budget by construction
         assert got <= allowed, f"{name}: {got} exchanges > budget {allowed}"
 
 

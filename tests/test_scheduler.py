@@ -60,21 +60,28 @@ def test_retry_once_then_succeed():
         if len(calls) == 1:
             raise RuntimeError("transient")
 
-    r = ScheduledRunner(task=flaky, last_success=dt(2026, 8, 10))
+    slept = []
+    r = ScheduledRunner(task=flaky, last_success=dt(2026, 8, 10), sleep=slept.append)
     [report] = r.tick(dt(2026, 8, 12))
     assert report.status == "success" and report.attempts == 2
     assert r.last_success == dt(2026, 8, 11)
+    # retry_delay applied BETWEEN the two attempts (Airflow semantics)
+    assert slept == [300.0]
 
 
 def test_exhausted_retries_report_failure_and_do_not_advance():
     def always_fails(d):
         raise RuntimeError("boom")
 
-    r = ScheduledRunner(task=always_fails, last_success=dt(2026, 8, 10))
+    slept = []
+    r = ScheduledRunner(
+        task=always_fails, last_success=dt(2026, 8, 10), sleep=slept.append
+    )
     [report] = r.tick(dt(2026, 8, 12))
     assert report.status == "failed"
     assert report.attempts == 2  # 1 try + retries=1
     assert report.retry_delay_s == 300.0
+    assert slept == [300.0]  # one delay between the two attempts, none after
     assert "boom" in report.error
     assert r.last_success == dt(2026, 8, 10)  # unchanged
     # depends_on_past=False: the NEXT day still runs despite the failure

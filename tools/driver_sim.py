@@ -35,6 +35,18 @@ class DecimalLeak(Exception):
     """
 
 
+class ListLeak(Exception):
+    """A result column reached the driver as a Python list/tuple/dict.
+
+    Round-3 lesson: the real driver canonicalizes through pandas
+    sort_values, which throws `TypeError: unhashable type: 'list'` on
+    object-list columns (q_quality_quarantine was the one red r3 row).
+    The engine's contract is scalar-only HASHED outputs — join arrays to
+    strings (array_join / array_to_string) before the final projection.
+    Rows-only queries are exempt (never hashed).
+    """
+
+
 def canon(v):
     if v is None: return "N"
     if isinstance(v, decimal.Decimal):
@@ -44,7 +56,8 @@ def canon(v):
     if isinstance(v, int): return f"i:{v}"
     if hasattr(v, "isoformat"):
         return f"t:{v.isoformat()}" if STRICT else f"t:{v.isoformat()[:26]}"
-    if isinstance(v, (list, tuple)): return "[" + ",".join(canon(x) for x in v) + "]"
+    if isinstance(v, (list, tuple, dict)):
+        raise ListLeak(f"non-scalar value of type {type(v).__name__} in result set")
     return f"s:{v}"
 
 def vhash(cols, rows):
@@ -83,9 +96,9 @@ for name in sorted(qs):
     ok_rows = len(s_rows) == len(d_rows)
     try:
         ok_hash = vhash(s_cols, s_rows) == vhash(d_cols, d_rows)
-    except DecimalLeak as e:
+    except (DecimalLeak, ListLeak) as e:
         fails += 1
-        print(f"  {name:28s} FAIL decimal-leak: {e}")
+        print(f"  {name:28s} FAIL {type(e).__name__}: {e}")
         continue
     status = "OK " if (ok_schema and ok_rows and ok_hash) else "FAIL"
     if status == "FAIL":
