@@ -44,6 +44,7 @@ import personal_data_lakehouse_spark.plans.analytics_ops  # noqa: F401,E402
 import personal_data_lakehouse_spark.plans.array_ops  # noqa: F401,E402
 import personal_data_lakehouse_spark.plans.sql_surface  # noqa: F401,E402
 import personal_data_lakehouse_spark.plans.temporal_stats  # noqa: F401,E402
+import personal_data_lakehouse_spark.plans.round4_ops  # noqa: F401,E402
 
 from personal_data_lakehouse_spark.plans.registry import (  # noqa: E402
     REGISTRY,
@@ -91,16 +92,15 @@ _PRIORITY = [
     "q_json_extract",
     "q_left_join_nulls",
     "q_window_running_lag",
-    # (d) new this round (uncommented as each lands)
-    # "q_stream_static_enrich",
-    # "q_time_travel_diff",
-    # "t_dedup_minhash_dupcount",
-    # "t_robust_scale_features",
-    # "q_skew_salted_join",
-    # "t_ngram_lm_perplexity",
-    # "q_interval_align",
-    # "t_tfidf_topterms",
-    # "t_length_histogram_log2",
+    # (d) new this round (plans/round4_ops.py)
+    "q_stream_static_enrich",
+    "q_time_travel_diff",
+    "t_robust_scale_features",
+    "q_skew_salted_join",
+    "q_interval_align",
+    "t_tfidf_topterms",
+    "t_length_histogram_log2",
+    "q_event_transitions",
     # (e) refill: bench flagships + r1-only-proven re-verification
     "q01_pricing_summary",
     "q03_shipping_priority",
@@ -120,11 +120,11 @@ _PRIORITY = [
     "q_sort_limit",
     "q_set_ops",
     "q_date_functions",
-    # ---- 50-query window cap falls here; the rest re-verify only if the
-    # driver evaluates more than 50 ----
     "q_string_functions",
     "q_timezone_convert",
     "q_case_null_handling",
+    # ---- 50-query window cap falls here; the rest re-verify only if the
+    # driver evaluates more than 50 ----
     "s_srp_ann_topk",
 ]
 

@@ -1,0 +1,474 @@
+"""Round-4 operator extensions: stream-static enrichment, time-travel diff,
+robust feature scaling, skew-salted joins, interval/calendar alignment,
+TF-IDF term mining, log2 length histograms, and event-transition matrices.
+
+Each query keeps the engine's correctness contract (colocated DuckDB oracle,
+scalar-only deterministic outputs) and its scale contract (no driver-side
+loops, broadcasts declared explicitly on every dimension side, integer-exact
+arithmetic wherever a float reduction could become partition-order
+dependent).
+
+Reference parity: the stream-static join is the streaming form of the
+reference's silver dimension-enrichment join (reference
+pipelines/stock_api/transforme_stock_silver.py joins ticker metadata onto
+the fact stream); the time-travel diff exercises the snapshot/time-travel
+surface the reference gets from Delta (ingest_stocks.py Delta writes),
+reimplemented by catalog.write_versioned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from personal_data_lakehouse_spark.functions.text import tokens
+from personal_data_lakehouse_spark.plans.registry import query, t
+from personal_data_lakehouse_spark.plans.text_ops import _TOKS
+
+# ---------------------------------------------------------------------------
+# Stream-static dimension enrichment (SURVEY §2.9 extension)
+
+
+@query(
+    "q_stream_static_enrich",
+    oracle="""
+    SELECT n.n_name AS nation, COUNT(*) AS n_events,
+           MIN(e.event_id) AS first_event, MAX(e.event_id) AS last_event
+    FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+    GROUP BY 1
+    """,
+)
+def q_stream_static_enrich(spark, sf_dir):
+    """Stream-static dimension join, run as a REAL streaming query: the
+    events fixture is consumed via readStream (availableNow), each
+    micro-batch is enriched against a static broadcast dimension (nation,
+    re-read per batch — the standard streaming dimension-lookup, no state),
+    aggregated in complete mode into a memory sink, and the sink table is
+    returned. The oracle is the equivalent batch join — stream-static
+    semantics guarantee batch equivalence for a finite source, which is
+    exactly what this row proves under the driver's hash.
+
+    At scale the dimension side is broadcast (map-side hash join inside
+    every micro-batch, no shuffle of the stream); the aggregation state is
+    bounded by |nation| = 25 groups."""
+    import uuid
+
+    from personal_data_lakehouse_spark.streaming.windows import stream_events
+
+    dim = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk"), F.col("n_name").alias("nation")
+    )
+    s = stream_events(spark, f"{sf_dir}/events.parquet")
+    enriched = (
+        s.withColumn("nk", F.col("user_id") % 25)
+        .join(F.broadcast(dim), "nk")
+        .groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+        )
+    )
+    name = f"ssenrich_{uuid.uuid4().hex[:8]}"
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Time travel: versioned snapshots diffed through the catalog
+
+
+@query(
+    "q_time_travel_diff",
+    oracle="""
+    WITH v1 AS (
+        SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 <> 0
+    ),
+    v2 AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 4 <> 0
+    )
+    SELECT CASE WHEN a.o_orderkey IS NULL THEN 'insert'
+                WHEN b.o_orderkey IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type,
+           COUNT(*) AS n,
+           MIN(COALESCE(a.o_orderkey, b.o_orderkey)) AS min_key,
+           MAX(COALESCE(a.o_orderkey, b.o_orderkey)) AS max_key
+    FROM v1 a FULL JOIN v2 b ON a.o_orderkey = b.o_orderkey
+    WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+       OR a.o_totalprice <> b.o_totalprice
+    GROUP BY 1
+    """,
+)
+def q_time_travel_diff(spark, sf_dir):
+    """Time travel end-to-end: two deterministic snapshots of orders are
+    written through ``catalog.write_versioned`` (immutable ``v{N}`` dirs +
+    atomic ``_LATEST`` pointer — the Delta/Iceberg contract on plain object
+    storage), read back BY VERSION NUMBER via ``read_versioned``, and
+    diffed into per-change-type counts. The oracle computes the same diff
+    straight from the fixture, so a green row proves the whole versioned
+    write→pointer→pinned-read machinery preserves data exactly.
+
+    The price perturbation is one exact IEEE add; the diff is one
+    co-partitioned full-outer join — at 100 TB the same single shuffle any
+    snapshot diff costs."""
+    import tempfile
+
+    from personal_data_lakehouse_spark.catalog import (
+        read_versioned,
+        write_versioned,
+    )
+
+    orders = t(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix="ttd_")
+    v1 = orders.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    v2 = orders.filter(F.col("o_orderkey") % 4 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 1.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    n1 = write_versioned(v1, base, keep=4)
+    n2 = write_versioned(v2, base, keep=4)
+    a = read_versioned(spark, base, version=n1).select(
+        F.col("o_orderkey").alias("k1"), F.col("o_totalprice").alias("p1")
+    )
+    b = read_versioned(spark, base, version=n2).select(
+        F.col("o_orderkey").alias("k2"), F.col("o_totalprice").alias("p2")
+    )
+    j = a.join(b, a.k1 == b.k2, "full_outer")
+    change = (
+        F.when(F.col("k1").isNull(), F.lit("insert"))
+        .when(F.col("k2").isNull(), F.lit("delete"))
+        .when(F.col("p1") != F.col("p2"), F.lit("update"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(change.alias("change_type"), F.coalesce("k1", "k2").alias("k"))
+        .filter(F.col("change_type") != "unchanged")
+        .groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("min_key"),
+            F.max("k").alias("max_key"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust feature scaling (median/IQR) per group
+
+
+@query(
+    "t_robust_scale_features",
+    oracle="""
+    WITH s AS (
+        SELECT source,
+               quantile_cont(n_chars, 0.5) AS med,
+               quantile_cont(n_chars, 0.75) - quantile_cont(n_chars, 0.25)
+                   AS iqr,
+               COUNT(*) AS n_docs
+        FROM documents GROUP BY source
+    )
+    SELECT d.source,
+           ROUND(s.med, 6) AS med,
+           ROUND(s.iqr, 6) AS iqr,
+           CAST(SUM(CASE WHEN abs(d.n_chars - s.med) > 1.5 * s.iqr
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           s.n_docs AS n_docs
+    FROM documents d JOIN s USING (source)
+    GROUP BY 1, 2, 3, 5
+    """,
+)
+def t_robust_scale_features(spark, sf_dir):
+    """Robust (median/IQR) scaling stats per source + outlier counts — the
+    feature-normalization step of a training-data pipeline done with
+    outlier-resistant statistics instead of mean/std. Quantiles are exact
+    linear interpolation (type 7) in BOTH engines; the inputs are integers
+    and the interpolation fractions are quarters, so med/iqr are exact
+    multiples of 0.25 in double and the outlier comparison
+    |x − med| > 1.5·iqr is float-exact — no boundary drift. Per-group
+    stats are broadcast back onto the corpus (map-side join); at 100 TB
+    switch the exact percentile to approx_percentile's KLL sketch, same
+    query shape."""
+    docs = t(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.expr("percentile(n_chars, 0.5D)").alias("med"),
+        (
+            F.expr("percentile(n_chars, 0.75D)")
+            - F.expr("percentile(n_chars, 0.25D)")
+        ).alias("iqr"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    joined = docs.join(F.broadcast(s), "source")
+    outlier = (
+        F.abs(F.col("n_chars") - F.col("med")) > F.lit(1.5) * F.col("iqr")
+    ).cast("long")
+    return (
+        joined.groupBy(
+            "source",
+            F.round("med", 6).alias("med"),
+            F.round("iqr", 6).alias("iqr"),
+            "n_docs",
+        )
+        .agg(F.sum(outlier).alias("n_outliers"))
+        .select("source", "med", "iqr", "n_outliers", "n_docs")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skew-salted join (operators.partitioning.salted_join, oracle-proven)
+
+
+@query(
+    "q_skew_salted_join",
+    oracle="""
+    WITH dim(event_type, category) AS (VALUES
+        ('click', 'browse'), ('view', 'browse'),
+        ('purchase', 'convert'), ('signup', 'convert'), ('error', 'ops'))
+    SELECT d.category,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT e.user_id) AS n_users,
+           MIN(e.event_id) AS first_event,
+           MAX(e.event_id) AS last_event
+    FROM events e JOIN dim d USING (event_type)
+    GROUP BY 1
+    """,
+)
+def q_skew_salted_join(spark, sf_dir):
+    """Hot-key join through ``operators.partitioning.salted_join``, proven
+    against the plain-join oracle. ``event_type`` has 5 distinct values
+    over the whole stream — the pathological skew case where every shuffle
+    partition of a vanilla hash join lands on at most 5 tasks. The salted
+    form sprays each hot key over ``salt`` tasks (deterministic per-row
+    salt, dimension replicated salt×) and MUST produce byte-identical
+    results to the unsalted join — which is precisely what the driver's
+    hash verifies here. AQE's skew-join split handles sort-merge cases at
+    runtime; explicit salting is for the shapes AQE can't touch
+    (broadcast-ineligible dims under windows/aggregations)."""
+    from personal_data_lakehouse_spark.operators.partitioning import salted_join
+
+    events = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    dim = spark.createDataFrame(
+        [
+            ("click", "browse"),
+            ("view", "browse"),
+            ("purchase", "convert"),
+            ("signup", "convert"),
+            ("error", "ops"),
+        ],
+        ["event_type", "category"],
+    )
+    j = salted_join(events, dim, on=["event_type"], how="inner", salt=8)
+    return j.groupBy("category").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interval ↔ calendar alignment (per-month overlap of order windows)
+
+
+@query(
+    "q_interval_align",
+    oracle="""
+    WITH w AS (
+        SELECT o_orderkey,
+               CAST(o_orderdate AS DATE) AS d0,
+               CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS d1
+        FROM orders
+    ),
+    e AS (
+        SELECT o_orderkey, d0, CAST(d1 AS DATE) AS d1,
+               CAST(unnest(generate_series(
+                   date_trunc('month', d0),
+                   date_trunc('month', d0 + INTERVAL 29 DAY),
+                   INTERVAL 1 MONTH)) AS DATE) AS m
+        FROM w
+    )
+    SELECT m AS month,
+           COUNT(*) AS n_orders,
+           CAST(SUM(date_diff('day',
+                    greatest(m, d0),
+                    least(CAST(m + INTERVAL 1 MONTH AS DATE), d1)))
+                AS BIGINT) AS overlap_days
+    FROM e GROUP BY 1
+    """,
+)
+def q_interval_align(spark, sf_dir):
+    """Interval-to-calendar alignment: each order owns a 30-day window
+    [orderdate, orderdate+30); the window is split across the calendar
+    months it touches and the per-month overlap days are summed — the
+    proration shape behind revenue recognition, SLA attribution, and
+    time-weighted rollups. All arithmetic is integer day counts (datediff
+    of clamped bounds), so both engines agree exactly. The month spine is
+    generated per row (≤2 rows out per order for a 30-day window — bounded
+    fan-out, no join against a materialized calendar), then one grouped
+    sum: a single shuffle of O(months) groups at any scale."""
+    o = t(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("d0"),
+        F.date_add(F.to_date("o_orderdate"), 30).alias("d1"),
+    )
+    e = o.withColumn(
+        "m",
+        F.explode(
+            F.expr(
+                "sequence(trunc(d0, 'MM'), trunc(date_add(d0, 29), 'MM'), "
+                "interval 1 month)"
+            )
+        ),
+    )
+    overlap = F.datediff(
+        F.least(F.add_months(F.col("m"), 1), F.col("d1")),
+        F.greatest(F.col("m"), F.col("d0")),
+    )
+    return e.groupBy(F.col("m").alias("month")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(overlap).cast("long").alias("overlap_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per source (linear-idf, float-exact)
+
+
+@query(
+    "t_tfidf_topterms",
+    oracle=f"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, source, unnest(list_distinct({_TOKS})) AS term
+        FROM documents
+    ),
+    ft AS (SELECT * FROM tok WHERE length(term) >= 3),
+    tf AS (SELECT source, term, COUNT(*) AS tf FROM ft GROUP BY 1, 2),
+    df AS (SELECT term, COUNT(*) AS df FROM ft GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_total FROM documents)
+    SELECT source, term, tf, df,
+           CAST(tf * n_total AS DOUBLE) / df AS score
+    FROM tf JOIN df USING (term), n
+    QUALIFY row_number() OVER (PARTITION BY source
+                               ORDER BY score DESC, term) <= 5
+    """,
+)
+def t_tfidf_topterms(spark, sf_dir):
+    """Characteristic vocabulary per source: document-frequency TF-IDF with
+    a LINEAR idf (tf · N / df) instead of the log form — deliberately, so
+    the score is one exact integer product divided once (correctly rounded
+    → bit-identical across engines), where ln() is libm-dependent and
+    engine-hash-unsafe. Ranking is (score desc, term asc) — fully
+    deterministic. Term stats are two grouped counts over the exploded
+    distinct-terms relation (map-side combinable); the corpus-wide df
+    table is vocabulary-sized, so the join back is broadcast-able at
+    100 TB, and the top-5 window runs on the tiny (source, term) aggregate,
+    never the corpus."""
+    docs = t(spark, sf_dir, "documents")
+    ft = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(F.array_distinct(tokens("text"))).alias("term"),
+        )
+        .filter(F.length("term") >= 3)
+        .distinct()
+    )
+    tf = ft.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = ft.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            (F.col("tf") * F.col("n_total")).cast("double") / F.col("df"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("score"), F.col("term"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 5)
+        .select("source", "term", "tf", "df", "score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Log2 length histogram (integer-exact bucketing via binary digit count)
+
+
+@query(
+    "t_length_histogram_log2",
+    oracle="""
+    SELECT length(bin(n_chars)) - 1 AS log2_bucket,
+           COUNT(*) AS n_docs,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents GROUP BY 1
+    """,
+)
+def t_length_histogram_log2(spark, sf_dir):
+    """Corpus length histogram on log2 buckets — the standard first look at
+    a training corpus's length distribution (power-of-two shard sizing,
+    truncation-point choice). The bucket is the binary digit count of
+    n_chars minus one — INTEGER-exact floor(log2(x)) on both engines,
+    where float log2() would misbucket exact powers of two on whichever
+    engine rounds last-ulp differently. One grouped aggregation,
+    map-side combined, ~60 groups max (2^63)."""
+    docs = t(spark, sf_dir, "documents")
+    bucket = (F.length(F.bin(F.col("n_chars"))) - 1).alias("log2_bucket")
+    return docs.groupBy(bucket).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-transition matrix (behavioral Markov counts)
+
+
+@query(
+    "q_event_transitions",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events
+    )
+    SELECT prev AS prev_type, event_type AS next_type, COUNT(*) AS n
+    FROM s WHERE prev IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def q_event_transitions(spark, sf_dir):
+    """Per-user event-transition counts (the Markov transition matrix of
+    the behavioral stream): lag(event_type) within each user's timeline,
+    then grouped pair counts — session-flow analytics and the input to
+    next-event prediction features. The window partitions by user_id (no
+    global sort; parallel across users, exactly the sessionize shape) with
+    (ts, event_id) ordering — event_id makes tied timestamps
+    deterministic. Output is |event_type|² rows regardless of scale."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    return s.groupBy(
+        F.col("prev").alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
