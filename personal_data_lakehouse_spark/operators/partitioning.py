@@ -62,5 +62,9 @@ def salted_join(
     replicated = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )
-    out = salted.join(replicated, on=[*skeys, "_salt"], how=how)
+    # The contract is "small enough to replicate salt×" — say so to the
+    # planner. Without the hint, Generate's unknown output stats can flip
+    # the build side by fixture size (observed at sf0.001: Catalyst
+    # broadcast the SKEWED side because its file was smaller).
+    out = salted.join(F.broadcast(replicated), on=[*skeys, "_salt"], how=how)
     return out.drop("_salt")

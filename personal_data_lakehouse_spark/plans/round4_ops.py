@@ -372,11 +372,14 @@ def t_tfidf_topterms(spark, sf_dir):
     the score is one exact integer product divided once (correctly rounded
     → bit-identical across engines), where ln() is libm-dependent and
     engine-hash-unsafe. Ranking is (score desc, term asc) — fully
-    deterministic. Term stats are two grouped counts over the exploded
-    distinct-terms relation (map-side combinable); the corpus-wide df
-    table is vocabulary-sized, so the join back is broadcast-able at
-    100 TB, and the top-5 window runs on the tiny (source, term) aggregate,
-    never the corpus."""
+    deterministic. The corpus is exploded ONCE: tf = docs-per-(source,
+    term), and since every doc belongs to exactly one source, the
+    corpus-wide df(term) is Σ_source tf(source, term) — computed as a
+    WINDOW over the vocabulary-sized tf aggregate (a join back to a
+    second-scan df branch would make Catalyst explode the corpus twice;
+    DataFrame branches share no subplans without an explicit persist).
+    Both the df window and the top-5 window run on the (source, term)
+    aggregate, never the corpus."""
     docs = t(spark, sf_dir, "documents")
     ft = (
         docs.select(
@@ -388,10 +391,10 @@ def t_tfidf_topterms(spark, sf_dir):
         .distinct()
     )
     tf = ft.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = ft.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    df_w = Window.partitionBy("term")
     scored = (
-        tf.join(df_, "term")
+        tf.withColumn("df", F.sum("tf").over(df_w).cast("long"))
         .crossJoin(F.broadcast(n))
         .withColumn(
             "score",

@@ -35,6 +35,16 @@ GOLDEN_EXTRA = [
     "q_drift_tvd",
     "t_sample_token_budget",
     "t_dedup_keep_best",
+    # round-4 operators (q_stream_static_enrich excluded: it returns the
+    # memory-sink table, so its batch plan is a degenerate LocalTableScan;
+    # its real plan is the streaming one, covered by tests/test_streaming)
+    "q_time_travel_diff",
+    "t_robust_scale_features",
+    "q_skew_salted_join",
+    "q_interval_align",
+    "t_tfidf_topterms",
+    "t_length_histogram_log2",
+    "q_event_transitions",
 ]
 
 # Goldens are generated against the canonical smoke fixture; other SF dirs
