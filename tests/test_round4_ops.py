@@ -1,0 +1,128 @@
+"""Invariant tests for the round-4 operators — properties the differential
+gate can't express (conservation laws, equivalence of the two-pass prefix
+sum to the naive single-window form, streaming/batch agreement beyond one
+fixture)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+import __spark_entry__  # noqa: F401  — populates REGISTRY
+from personal_data_lakehouse_spark.plans.registry import REGISTRY, t
+from tests.conftest import SF_DIR
+
+
+def test_interval_align_conserves_window_days(spark):
+    """Every order owns exactly 30 days, so the per-month overlaps must sum
+    to 30 × n_orders — the proration never loses or double-counts a day."""
+    out = REGISTRY["q_interval_align"].fn(spark, SF_DIR)
+    got = out.agg(F.sum("overlap_days").alias("days")).first()["days"]
+    n_orders = t(spark, SF_DIR, "orders").count()
+    assert got == 30 * n_orders
+
+
+def test_pack_sequences_two_pass_equals_naive_window(spark):
+    """The bucketed two-pass prefix sum must be bit-identical to the naive
+    corpus-global window cumsum it replaced (integers — no tolerance)."""
+    from personal_data_lakehouse_spark.functions.text import (
+        token_count_whitespace,
+    )
+
+    docs = t(spark, SF_DIR, "documents").select(
+        "doc_id", token_count_whitespace("text").alias("tok")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    naive = (
+        docs.withColumn("cum", F.sum("tok").over(w))
+        .withColumn("seq_id", F.expr("(cum - tok) div 512"))
+        .groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+    got = REGISTRY["t_pack_sequences"].fn(spark, SF_DIR)
+    cols = ["seq_id", "n_docs", "total_tokens", "first_doc", "last_doc"]
+    assert sorted(map(tuple, got.select(cols).collect())) == sorted(
+        map(tuple, naive.select(cols).collect())
+    )
+
+
+def test_event_transitions_count_conservation(spark):
+    """Σ transition counts = Σ per-user (n_events − 1): each user's timeline
+    of k events yields exactly k−1 transitions."""
+    out = REGISTRY["q_event_transitions"].fn(spark, SF_DIR)
+    got = out.agg(F.sum("n").alias("n")).first()["n"]
+    per_user = (
+        t(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg((F.count(F.lit(1)) - 1).alias("k"))
+        .agg(F.sum("k").alias("n"))
+        .first()["n"]
+    )
+    assert got == per_user
+
+
+def test_robust_scale_outliers_bounded(spark):
+    """Outlier counts are sane: bounded by the group size, and zero IQR
+    groups (constant-ish) flag everything off-median."""
+    rows = REGISTRY["t_robust_scale_features"].fn(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0 <= r["n_outliers"] <= r["n_docs"]
+        assert r["iqr"] >= 0.0
+
+
+def test_tfidf_topterms_is_top5_per_source(spark):
+    """≤5 terms per source, scores within a source non-increasing under the
+    (score desc, term asc) order, and every score positive."""
+    rows = REGISTRY["t_tfidf_topterms"].fn(spark, SF_DIR).collect()
+    by_source: dict[str, list] = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(r)
+    assert by_source
+    for terms in by_source.values():
+        assert 1 <= len(terms) <= 5
+        ordered = sorted(terms, key=lambda r: (-r["score"], r["term"]))
+        assert [t_["term"] for t_ in ordered] == [
+            t_["term"] for t_ in sorted(
+                terms, key=lambda r: (-r["score"], r["term"])
+            )
+        ]
+        for r in terms:
+            assert r["score"] > 0.0
+            assert r["df"] >= r["tf"] >= 1
+
+
+def test_length_histogram_buckets_partition_corpus(spark):
+    """Buckets tile the corpus: counts sum to |documents| and each bucket's
+    min/max stay inside [2^b, 2^(b+1))."""
+    rows = REGISTRY["t_length_histogram_log2"].fn(spark, SF_DIR).collect()
+    n_docs = t(spark, SF_DIR, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    for r in rows:
+        b = r["log2_bucket"]
+        assert (1 << b) <= r["min_chars"] <= r["max_chars"] < (1 << (b + 1))
+
+
+def test_time_travel_diff_retention_and_pointer(spark, tmp_path):
+    """write_versioned retention: keep=2 over 3 writes prunes v1, keeps
+    v2/v3 readable, and _LATEST tracks the newest version."""
+    from personal_data_lakehouse_spark.catalog import (
+        read_versioned,
+        write_versioned,
+    )
+
+    base = str(tmp_path / "tt")
+    for i in (1, 2, 3):
+        df = spark.range(i).select(F.col("id").alias("v"))
+        assert write_versioned(df, base, keep=2) == i
+    assert read_versioned(spark, base).count() == 3  # _LATEST → v3
+    assert read_versioned(spark, base, version=2).count() == 2
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        read_versioned(spark, base, version=1)
