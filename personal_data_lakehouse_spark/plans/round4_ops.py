@@ -475,3 +475,146 @@ def q_event_transitions(spark, sf_dir):
         F.col("prev").alias("prev_type"),
         F.col("event_type").alias("next_type"),
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Incremental ingest dedup (new batch vs existing corpus)
+
+
+@query(
+    "t_dedup_incremental",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id, source,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+        FROM documents
+    ),
+    corpus AS (SELECT DISTINCT fp FROM f WHERE source <> 'src0'),
+    batch AS (SELECT doc_id, fp FROM f WHERE source = 'src0')
+    SELECT b.doc_id, b.fp,
+           CASE WHEN c.fp IS NOT NULL THEN 'dup_corpus'
+                WHEN b.doc_id <> MIN(b.doc_id) OVER (PARTITION BY b.fp)
+                    THEN 'dup_batch'
+                ELSE 'new' END AS status
+    FROM batch b LEFT JOIN corpus c USING (fp)
+    """,
+)
+def t_dedup_incremental(spark, sf_dir):
+    """Ingest-time dedup of a NEW batch against the EXISTING corpus — the
+    content-level analog of the reference's dedup-on-append MERGE
+    (ingest_stocks.py whenNotMatchedInsertAll keyed on (ticker, date)),
+    applied the way a training-data intake does it: batch docs whose
+    fingerprint already exists in the corpus are 'dup_corpus', duplicates
+    WITHIN the batch keep the min-doc_id copy ('dup_batch' for the rest),
+    survivors are 'new'. src0 plays the incoming batch; every other source
+    is the corpus.
+
+    Scale: the corpus side is reduced to DISTINCT fingerprints before the
+    join (ids-only intermediate, the same discipline as the LSH pipeline),
+    so the single fp-keyed shuffle carries 16 bytes/doc; the in-batch
+    window partitions by fingerprint (parallel, no global order). In
+    production the corpus fingerprint set is the incrementally-maintained
+    table this query's output appends to."""
+    from personal_data_lakehouse_spark.functions.text import fingerprint
+
+    f = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", fingerprint("text").alias("fp")
+    )
+    corpus = (
+        f.filter(F.col("source") != "src0").select("fp").distinct()
+        .withColumn("in_corpus", F.lit(True))
+    )
+    batch = f.filter(F.col("source") == "src0").select("doc_id", "fp")
+    w = Window.partitionBy("fp")
+    status = (
+        F.when(F.col("in_corpus"), F.lit("dup_corpus"))
+        .when(
+            F.col("doc_id") != F.min("doc_id").over(w), F.lit("dup_batch")
+        )
+        .otherwise(F.lit("new"))
+    )
+    return (
+        batch.join(corpus, "fp", "left")
+        .select("doc_id", "fp", status.alias("status"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-intake funnel (staged retention in ONE pass)
+
+
+@query(
+    "t_intake_funnel",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id, n_chars, lang,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, fp,
+               (n_chars >= 150) AS r1,
+               (n_chars >= 150 AND lang <> 'zh') AS r2
+        FROM f
+    ),
+    s AS (
+        SELECT doc_id, r1, r2,
+               (r2 AND doc_id = MIN(CASE WHEN r2 THEN doc_id END)
+                            OVER (PARTITION BY fp)) AS r3
+        FROM r
+    ),
+    x AS (
+        SELECT doc_id, r1, r2, r3,
+               (r3 AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c')
+                   AS r4
+        FROM s
+    )
+    SELECT stage, n_docs FROM (
+        SELECT 0 AS stage, COUNT(*) AS n_docs FROM x
+        UNION ALL SELECT 1, COUNT(*) FILTER (WHERE r1) FROM x
+        UNION ALL SELECT 2, COUNT(*) FILTER (WHERE r2) FROM x
+        UNION ALL SELECT 3, COUNT(*) FILTER (WHERE r3) FROM x
+        UNION ALL SELECT 4, COUNT(*) FILTER (WHERE r4) FROM x
+    ) u
+    """,
+)
+def t_intake_funnel(spark, sf_dir):
+    """Corpus-intake funnel: the composed training-data pipeline — length
+    gate → language gate → exact dedup (min-id survivor among gate
+    survivors) → 75% hash-sample — evaluated as per-stage retention counts
+    in ONE corpus pass. Each document gets monotone reach flags r1..r4
+    (computed in a single projection + one fingerprint-partitioned window
+    for the dedup stage), then a single aggregation emits the funnel.
+    This is the shape to prefer over materializing four intermediate
+    tables: at 100 TB it is one scan + one 16-byte-key shuffle + one
+    5-row result, and the flags double as the routing columns a real
+    intake would write. The sampling stage reuses the md5-keyed
+    layout-independent coin from t_sample_bernoulli_hash."""
+    from personal_data_lakehouse_spark.functions.text import fingerprint
+
+    f = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        "lang",
+        fingerprint("text").alias("fp"),
+    )
+    r1 = F.col("n_chars") >= 150
+    r2 = r1 & (F.col("lang") != "zh")
+    w = Window.partitionBy("fp")
+    keep_id = F.min(F.when(r2, F.col("doc_id"))).over(w)
+    r3 = r2 & (F.col("doc_id") == keep_id)
+    coin = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "c"
+    r4 = r3 & coin
+    x = f.select(
+        r1.alias("r1"), r2.alias("r2"), r3.alias("r3"), r4.alias("r4")
+    )
+    agg = x.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(F.col("r1").cast("long")).alias("n1"),
+        F.sum(F.col("r2").cast("long")).alias("n2"),
+        F.sum(F.col("r3").cast("long")).alias("n3"),
+        F.sum(F.col("r4").cast("long")).alias("n4"),
+    )
+    return agg.selectExpr(
+        "stack(5, 0, n0, 1, n1, 2, n2, 3, n3, 4, n4) AS (stage, n_docs)"
+    )

@@ -45,6 +45,8 @@ GOLDEN_EXTRA = [
     "t_tfidf_topterms",
     "t_length_histogram_log2",
     "q_event_transitions",
+    "t_dedup_incremental",
+    "t_intake_funnel",
 ]
 
 # Goldens are generated against the canonical smoke fixture; other SF dirs
