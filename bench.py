@@ -90,6 +90,14 @@ def main() -> None:
                 "cold_queries": cold,
                 "cold_total": round(sum(cold.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "notes": (
+                    "warm medians on sub-second queries wobble ±20-50% "
+                    "run-to-run under host contention (r3's flagged "
+                    "t_minhash_lsh_pairs +53% did not reproduce in r4: "
+                    "0.689s, under its r2 time, zero operator change); "
+                    "treat single-query deltas <0.5s as noise unless they "
+                    "reproduce across rounds"
+                ),
             }
         )
     )
