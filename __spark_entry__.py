@@ -103,6 +103,8 @@ _PRIORITY = [
     "q_event_transitions",
     "t_dedup_incremental",
     "t_intake_funnel",
+    "t_train_val_test_split",
+    "t_leakage_safe_split",
     # (e) refill: bench flagships + r1-only-proven re-verification
     "q01_pricing_summary",
     "q03_shipping_priority",
@@ -121,10 +123,10 @@ _PRIORITY = [
     "s_ivf_ann_topk",
     "q_sort_limit",
     "q_set_ops",
-    "q_date_functions",
-    "q_string_functions",
     # ---- 50-query window cap falls here; the rest re-verify only if the
     # driver evaluates more than 50 ----
+    "q_date_functions",
+    "q_string_functions",
     "q_timezone_convert",
     "q_case_null_handling",
     "s_srp_ann_topk",

@@ -618,3 +618,105 @@ def t_intake_funnel(spark, sf_dir):
     return agg.selectExpr(
         "stack(5, 0, n0, 1, n1, 2, n2, 3, n3, 4, n4) AS (stage, n_docs)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split
+
+
+@query(
+    "t_train_val_test_split",
+    oracle="""
+    WITH a AS (
+        SELECT source,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+                        THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                        THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT source, split, COUNT(*) AS n_docs
+    FROM a GROUP BY 1, 2
+    """,
+)
+def t_train_val_test_split(spark, sf_dir):
+    """Deterministic ~80/10/10 train/val/test assignment: the first md5
+    byte of the doc id is a uniform coin ('cd' = 205/256 ≈ 80.1%, 'e6' =
+    230/256 ≈ 89.8%), so membership is a pure function of the id —
+    layout-independent, re-runnable, and stable when the corpus grows
+    (existing docs never switch splits, the property random-split
+    repartition-based sampling lacks). Zero shuffle for the assignment
+    itself; the per-(source, split) audit counts are one map-side-combined
+    aggregation."""
+    coin = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(coin < "cd", F.lit("train"))
+        .when(coin < "e6", F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        t(spark, sf_dir, "documents")
+        .select("source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe split (duplicate groups never straddle train/test)
+
+
+@query(
+    "t_leakage_safe_split",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+        FROM documents
+    ),
+    a AS (
+        SELECT doc_id, fp,
+               CASE WHEN substr(md5(fp), 1, 2) < 'cd' THEN 'train'
+                    WHEN substr(md5(fp), 1, 2) < 'e6' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM f
+    )
+    SELECT split,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT fp) AS n_groups,
+           CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS n_dup_docs
+    FROM a GROUP BY 1
+    """,
+)
+def t_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe split: the coin is keyed on the CONTENT fingerprint,
+    not the doc id, so every copy of a duplicated document lands in the
+    same split — a train/test boundary can never run through a duplicate
+    group (the classic eval-contamination bug of id-keyed splits; for
+    near-dup safety, key the same coin on the LSH cluster representative
+    from t_dedup_clusters instead). Assignment is again a pure map; the
+    audit (docs vs distinct groups per split) is one aggregation with a
+    distinct-count on the 16-byte fingerprint."""
+    from personal_data_lakehouse_spark.functions.text import fingerprint
+
+    f = t(spark, sf_dir, "documents").select(
+        "doc_id", fingerprint("text").alias("fp")
+    )
+    coin = F.substring(F.md5(F.col("fp")), 1, 2)
+    split = (
+        F.when(coin < "cd", F.lit("train"))
+        .when(coin < "e6", F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        f.select(split.alias("split"), "fp")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("n_groups"),
+            (F.count(F.lit(1)) - F.countDistinct("fp"))
+            .cast("long")
+            .alias("n_dup_docs"),
+        )
+    )

@@ -47,6 +47,8 @@ GOLDEN_EXTRA = [
     "q_event_transitions",
     "t_dedup_incremental",
     "t_intake_funnel",
+    "t_train_val_test_split",
+    "t_leakage_safe_split",
 ]
 
 # Goldens are generated against the canonical smoke fixture; other SF dirs

@@ -126,3 +126,52 @@ def test_time_travel_diff_retention_and_pointer(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         read_versioned(spark, base, version=1)
+
+
+def test_leakage_safe_split_never_splits_a_group(spark):
+    """No content fingerprint may appear in two splits — the invariant the
+    aggregate query can't show directly. Exercised on the fixture AND on a
+    synthetic frame with guaranteed duplicate groups (sf0.001 has no exact
+    dups, which would make the fixture check vacuous on its own)."""
+    from personal_data_lakehouse_spark.functions.text import fingerprint
+
+    def straddlers(assigned):
+        return (
+            assigned.groupBy("fp")
+            .agg(F.countDistinct("split").alias("k"))
+            .filter(F.col("k") > 1)
+            .count()
+        )
+
+    coin = F.substring(F.md5(F.col("fp")), 1, 2)
+    split = (
+        F.when(coin < "cd", F.lit("train"))
+        .when(coin < "e6", F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    fixture = (
+        t(spark, SF_DIR, "documents")
+        .select(fingerprint("text").alias("fp"))
+        .select("fp", split.alias("split"))
+    )
+    assert straddlers(fixture) == 0
+    # synthetic: 100 groups × 3 copies each — dup groups guaranteed
+    synth = (
+        spark.range(300)
+        .select(F.md5((F.col("id") % 100).cast("string")).alias("fp"))
+        .select("fp", split.alias("split"))
+    )
+    assert straddlers(synth) == 0
+    assert synth.groupBy("fp").count().filter(F.col("count") > 1).count() == 100
+
+
+def test_split_fractions_roughly_80_10_10(spark):
+    """The md5 coin realizes ~80/10/10 (loose tolerance — the property is
+    determinism, not exact proportions)."""
+    rows = REGISTRY["t_train_val_test_split"].fn(spark, SF_DIR).collect()
+    by_split: dict[str, int] = {}
+    for r in rows:
+        by_split[r["split"]] = by_split.get(r["split"], 0) + r["n_docs"]
+    total = sum(by_split.values())
+    assert 0.6 < by_split["train"] / total < 0.95
+    assert by_split.get("val", 0) > 0 and by_split.get("test", 0) > 0
