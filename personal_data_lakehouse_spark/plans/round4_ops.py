@@ -70,14 +70,22 @@ def q_stream_static_enrich(spark, sf_dir):
         )
     )
     name = f"ssenrich_{uuid.uuid4().hex[:8]}"
-    q = (
-        enriched.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # The state-store shuffle width bakes into the (fresh, temp) checkpoint
+    # at start; 25 groups need nowhere near a vanilla session's 200
+    # partitions. Scoped set/restore — the session belongs to the driver.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            enriched.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 

@@ -101,9 +101,12 @@ def test_three_way_associativity(spark):
 
 def test_hll_state_merge_equals_full_and_error_bounded(spark):
     """Sketch-state mergeability: union of per-batch HLL states estimates
-    EXACTLY what one full-pass sketch estimates (same deterministic
-    DataSketches algorithm, same inserted set), and the estimate is within
-    5% of the true distinct count."""
+    what one full-pass sketch estimates. Bit-equality holds only while the
+    sketches stay in sparse mode (sf0.001); past that, DataSketches' union
+    runs through an HLL_8 target representation and the merged estimate
+    can differ from the single-pass one by well under 1% (observed ~0.8%
+    at sf0.01) — so the contract asserted here is: merged ≈ full within
+    2%, and BOTH within 5% of the true distinct count."""
     orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
     full = (
         orders.groupBy("o_orderpriority")
@@ -124,12 +127,15 @@ def test_hll_state_merge_equals_full_and_error_bounded(spark):
     )
     got = {r[0]: r[1] for r in merged.collect()}
     want = {r[0]: r[1] for r in full.collect()}
-    assert got == want  # merge-of-partials ≡ full-pass sketch
+    assert set(got) == set(want)
+    for k, est in got.items():
+        assert abs(est - want[k]) / want[k] < 0.02, (k, est, want[k])
     exact = {
         r[0]: r[1]
         for r in orders.groupBy("o_orderpriority")
         .agg(F.countDistinct("o_custkey"))
         .collect()
     }
-    for k, est in got.items():
-        assert abs(est - exact[k]) / exact[k] < 0.05, (k, est, exact[k])
+    for k in got:
+        for est in (got[k], want[k]):
+            assert abs(est - exact[k]) / exact[k] < 0.05, (k, est, exact[k])
