@@ -66,6 +66,10 @@ def main(argv: list[str] | None = None) -> int:
     runner = ScheduledRunner(
         task=task,
         policy=SchedulePolicy(retries=args.retries, catchup=args.catchup),
+        # The CLI is a cron-style tick invoker: retry immediately rather
+        # than blocking the tick for retry_delay (a daemonized invoker
+        # that wants real spacing passes time.sleep — the default).
+        sleep=lambda _s: None,
     )
     if args.state and os.path.exists(args.state):
         runner.load_state_json(open(args.state).read())

@@ -26,6 +26,7 @@ def salted_join(
     on: Sequence[str],
     how: str = "inner",
     salt: int = 16,
+    broadcast_small: bool = False,
 ) -> DataFrame:
     """Skew-resistant equi-join: salt the skewed side, replicate the other.
 
@@ -62,9 +63,13 @@ def salted_join(
     replicated = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )
-    # The contract is "small enough to replicate salt×" — say so to the
-    # planner. Without the hint, Generate's unknown output stats can flip
-    # the build side by fixture size (observed at sf0.001: Catalyst
-    # broadcast the SKEWED side because its file was smaller).
-    out = salted.join(F.broadcast(replicated), on=[*skeys, "_salt"], how=how)
+    # broadcast_small=True pins the build side for dims known to fit in a
+    # broadcast (Generate's unknown output stats can otherwise flip the
+    # build side by fixture size — observed at sf0.001, where Catalyst
+    # broadcast the SKEWED side because its file was smaller). Leave it
+    # False for the operator's other regime: a dim too big to broadcast
+    # but cheap to replicate salt× through the shuffle.
+    if broadcast_small:
+        replicated = F.broadcast(replicated)
+    out = salted.join(replicated, on=[*skeys, "_salt"], how=how)
     return out.drop("_salt")

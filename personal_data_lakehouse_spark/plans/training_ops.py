@@ -174,7 +174,11 @@ def t_pack_sequences(spark, sf_dir):
     docs = t(spark, sf_dir, "documents").select(
         "doc_id", token_count_whitespace("text").alias("tok")
     )
-    b = docs.withColumn("bucket", F.expr("doc_id div 4096"))
+    # persist: the bucket-sums branch and the join branch share no subplan
+    # in Catalyst, so without this the corpus scan + tokenization (the
+    # dominant cost) would run twice. The cached projection is 2 longs +
+    # the bucket per doc; on a cluster this becomes a written intermediate.
+    b = docs.withColumn("bucket", F.expr("doc_id div 4096")).persist()
     bucket_sums = b.groupBy("bucket").agg(F.sum("tok").alias("bsum"))
     prior = (
         Window.orderBy("bucket")

@@ -77,24 +77,41 @@ def test_robust_scale_outliers_bounded(spark):
 
 
 def test_tfidf_topterms_is_top5_per_source(spark):
-    """≤5 terms per source, scores within a source non-increasing under the
-    (score desc, term asc) order, and every score positive."""
+    """The returned rows per source must BE the top-5 of an independently
+    recomputed full (source, term, score) relation under (score desc,
+    term asc) — not just any 5 plausible-looking rows."""
+    from personal_data_lakehouse_spark.functions.text import tokens
+
+    docs = t(spark, SF_DIR, "documents")
+    ft = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(F.array_distinct(tokens("text"))).alias("term"),
+        )
+        .filter(F.length("term") >= 3)
+        .distinct()
+        .collect()
+    )
+    n_total = docs.count()
+    tf: dict[tuple, int] = {}
+    df: dict[str, set] = {}
+    for r in ft:
+        tf[(r["source"], r["term"])] = tf.get((r["source"], r["term"]), 0) + 1
+        df.setdefault(r["term"], set()).add(r["doc_id"])
+    full: dict[str, list] = {}
+    for (source, term), tfv in tf.items():
+        score = (tfv * n_total) / len(df[term])
+        full.setdefault(source, []).append((-score, term))
+    want = {
+        s: [(term, -neg) for neg, term in sorted(v)[:5]]
+        for s, v in full.items()
+    }
     rows = REGISTRY["t_tfidf_topterms"].fn(spark, SF_DIR).collect()
-    by_source: dict[str, list] = {}
-    for r in rows:
-        by_source.setdefault(r["source"], []).append(r)
-    assert by_source
-    for terms in by_source.values():
-        assert 1 <= len(terms) <= 5
-        ordered = sorted(terms, key=lambda r: (-r["score"], r["term"]))
-        assert [t_["term"] for t_ in ordered] == [
-            t_["term"] for t_ in sorted(
-                terms, key=lambda r: (-r["score"], r["term"])
-            )
-        ]
-        for r in terms:
-            assert r["score"] > 0.0
-            assert r["df"] >= r["tf"] >= 1
+    got: dict[str, list] = {}
+    for r in sorted(rows, key=lambda r: (-r["score"], r["term"])):
+        got.setdefault(r["source"], []).append((r["term"], r["score"]))
+    assert got == want
 
 
 def test_length_histogram_buckets_partition_corpus(spark):
