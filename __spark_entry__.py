@@ -105,6 +105,7 @@ _PRIORITY = [
     "t_intake_funnel",
     "t_train_val_test_split",
     "t_leakage_safe_split",
+    "q_table_profile",
     # (e) refill: bench flagships + r1-only-proven re-verification
     "q01_pricing_summary",
     "q03_shipping_priority",
@@ -122,9 +123,9 @@ _PRIORITY = [
     "s_cosine_topk",
     "s_ivf_ann_topk",
     "q_sort_limit",
-    "q_set_ops",
     # ---- 50-query window cap falls here; the rest re-verify only if the
     # driver evaluates more than 50 ----
+    "q_set_ops",
     "q_date_functions",
     "q_string_functions",
     "q_timezone_convert",

@@ -739,3 +739,67 @@ def t_leakage_safe_split(spark, sf_dir):
             .alias("n_dup_docs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Table profiling (ANALYZE TABLE surface, one pass)
+
+
+@query(
+    "q_table_profile",
+    oracle="""
+    SELECT 'o_custkey' AS column_name, COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nulls,
+           COUNT(DISTINCT o_custkey) AS n_distinct,
+           CAST(MIN(o_custkey) AS VARCHAR) AS min_value,
+           CAST(MAX(o_custkey) AS VARCHAR) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*),
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           COUNT(DISTINCT o_orderstatus),
+           CAST(MIN(o_orderstatus) AS VARCHAR),
+           CAST(MAX(o_orderstatus) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*),
+           CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           COUNT(DISTINCT o_orderpriority),
+           CAST(MIN(o_orderpriority) AS VARCHAR),
+           CAST(MAX(o_orderpriority) AS VARCHAR)
+    FROM orders
+    """,
+)
+def q_table_profile(spark, sf_dir):
+    """Column profiling (the ANALYZE TABLE / dbt-docs stats surface): one
+    aggregation emits rows/nulls/distincts/min/max per profiled column,
+    unpivoted to one row per column. All distinct counts run in the SAME
+    aggregate (Spark plans multi-distinct via a single Expand + two-stage
+    aggregation — still one scan of the table); min/max are cast to
+    strings so heterogeneous column types share one result schema. At
+    100 TB swap COUNT(DISTINCT) for approx_count_distinct (HLL++, one
+    pass, mergeable) — same query shape; exact distincts are used here
+    because the differential oracle demands bit-equality."""
+    o = t(spark, sf_dir, "orders")
+    cols = ["o_custkey", "o_orderstatus", "o_orderpriority"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__rows, {c}__nulls, {c}__nd, {c}__min, {c}__max"
+        for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(column_name, n_rows, n_nulls, n_distinct, min_value, max_value)"
+    )

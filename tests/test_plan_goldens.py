@@ -49,6 +49,7 @@ GOLDEN_EXTRA = [
     "t_intake_funnel",
     "t_train_val_test_split",
     "t_leakage_safe_split",
+    "q_table_profile",
 ]
 
 # Goldens are generated against the canonical smoke fixture; other SF dirs
