@@ -66,10 +66,12 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #   (e) refill: flagship/bench re-verification + r1-only-proven rows.
 # After this window every registered query has >=1 driver row and every
 # oracle-backed query from rounds 1-3 has >=1 green row.
-# Round-5 rotation guidance: if this round's 50 all come back green, there
-# is no remaining never-proven backlog — point the r5 window at (a) any r4
-# reds first, (b) queries new in r5, (c) the oldest green rows
-# (pass-r1-era), which have gone longest without re-proof.
+# Round-5 rotation guidance: if this round's 50 all come back green, the
+# only never-proven backlog is t_split_leakage_audit (added after this
+# window froze; green under driver_sim at sf0.001/0.01) — point the r5
+# window at (a) any r4 reds, (b) t_split_leakage_audit + queries new in
+# r5, (c) the oldest green rows (pass-r1-era), which have gone longest
+# without re-proof.
 _PRIORITY = [
     # (a) the one red r3 row, fixed: array<string> -> comma-joined string
     "q_quality_quarantine",

@@ -803,3 +803,88 @@ def q_table_profile(spark, sf_dir):
         f"stack({len(cols)}, {stack_args}) AS "
         "(column_name, n_rows, n_nulls, n_distinct, min_value, max_value)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Split-leakage audit (quantifies what the fp-keyed split prevents)
+
+
+@query(
+    "t_split_leakage_audit",
+    oracle=f"""
+    WITH f AS (SELECT doc_id, md5({_NORM}) AS fp FROM documents),
+    a AS (
+        SELECT fp,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+                        THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                        THEN 'val'
+                    ELSE 'test' END AS s_id,
+               CASE WHEN substr(md5(fp), 1, 2) < 'cd' THEN 'train'
+                    WHEN substr(md5(fp), 1, 2) < 'e6' THEN 'val'
+                    ELSE 'test' END AS s_fp
+        FROM f
+    ),
+    g AS (
+        SELECT fp, COUNT(DISTINCT s_id) AS k_id,
+               COUNT(DISTINCT s_fp) AS k_fp, COUNT(*) AS n
+        FROM a GROUP BY fp
+    )
+    SELECT 'by_id' AS scheme,
+           CAST(SUM(CASE WHEN k_id > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_straddling_groups,
+           CAST(SUM(CASE WHEN k_id > 1 THEN n ELSE 0 END) AS BIGINT)
+               AS n_docs_at_risk
+    FROM g
+    UNION ALL
+    SELECT 'by_fp',
+           CAST(SUM(CASE WHEN k_fp > 1 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN k_fp > 1 THEN n ELSE 0 END) AS BIGINT)
+    FROM g
+    """,
+)
+def t_split_leakage_audit(spark, sf_dir):
+    """Split-leakage audit: assign every document under BOTH split schemes
+    (id-keyed and fingerprint-keyed, same md5 coins as
+    t_train_val_test_split / t_leakage_safe_split) and count duplicate
+    groups that straddle a split boundary under each. The id-keyed scheme
+    leaks wherever the corpus contains duplicates; the fp-keyed scheme is
+    structurally zero — and this query PROVES both numbers against the
+    oracle rather than asserting them. This is the eval-contamination
+    report a training pipeline publishes alongside its splits. One grouped
+    aggregation over the fingerprint (the same 16-byte-key shuffle as
+    exact dedup) + a 2-row rollup."""
+    from personal_data_lakehouse_spark.functions.text import fingerprint
+
+    f = t(spark, sf_dir, "documents").select(
+        "doc_id", fingerprint("text").alias("fp")
+    )
+
+    def coin3(col):
+        c = F.substring(F.md5(col), 1, 2)
+        return (
+            F.when(c < "cd", F.lit("train"))
+            .when(c < "e6", F.lit("val"))
+            .otherwise(F.lit("test"))
+        )
+
+    a = f.select(
+        "fp",
+        coin3(F.col("doc_id").cast("string")).alias("s_id"),
+        coin3(F.col("fp")).alias("s_fp"),
+    )
+    g = a.groupBy("fp").agg(
+        F.countDistinct("s_id").alias("k_id"),
+        F.countDistinct("s_fp").alias("k_fp"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    def audit(kcol, name):
+        return g.agg(
+            F.lit(name).alias("scheme"),
+            F.sum((F.col(kcol) > 1).cast("long")).alias("n_straddling_groups"),
+            F.sum(F.when(F.col(kcol) > 1, F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("n_docs_at_risk"),
+        ).select("scheme", "n_straddling_groups", "n_docs_at_risk")
+
+    return audit("k_id", "by_id").unionByName(audit("k_fp", "by_fp"))

@@ -50,6 +50,7 @@ GOLDEN_EXTRA = [
     "t_train_val_test_split",
     "t_leakage_safe_split",
     "q_table_profile",
+    "t_split_leakage_audit",
 ]
 
 # Goldens are generated against the canonical smoke fixture; other SF dirs
