@@ -45,6 +45,7 @@ import personal_data_lakehouse_spark.plans.array_ops  # noqa: F401,E402
 import personal_data_lakehouse_spark.plans.sql_surface  # noqa: F401,E402
 import personal_data_lakehouse_spark.plans.temporal_stats  # noqa: F401,E402
 import personal_data_lakehouse_spark.plans.round4_ops  # noqa: F401,E402
+import personal_data_lakehouse_spark.plans.round4b_ops  # noqa: F401,E402
 
 from personal_data_lakehouse_spark.plans.registry import (  # noqa: E402
     REGISTRY,
@@ -67,11 +68,14 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # After this window every registered query has >=1 driver row and every
 # oracle-backed query from rounds 1-3 has >=1 green row.
 # Round-5 rotation guidance: if this round's 50 all come back green, the
-# only never-proven backlog is t_split_leakage_audit (added after this
-# window froze; green under driver_sim at sf0.001/0.01) — point the r5
-# window at (a) any r4 reds, (b) t_split_leakage_audit + queries new in
-# r5, (c) the oldest green rows (pass-r1-era), which have gone longest
-# without re-proof.
+# never-proven backlog is the queries added after this window froze (all
+# green under driver_sim at sf0.001/0.01): t_split_leakage_audit plus the
+# round4b wave (q_gapfill_locf, q_asof_tolerance, q_skew_diagnosis,
+# t_neardup_verified, t_curriculum_order, m_pagerank_top20,
+# q_dbt_schema_tests). Point the r5
+# window at (a) any
+# r4 reds, (b) that backlog + queries new in r5, (c) the oldest green rows
+# (pass-r1-era), which have gone longest without re-proof.
 _PRIORITY = [
     # (a) the one red r3 row, fixed: array<string> -> comma-joined string
     "q_quality_quarantine",

@@ -1,0 +1,181 @@
+"""Invariant tests for the round-4 wave-2 operators — properties the
+differential gate can't express: grid completeness and LOCF monotonicity
+for the gap filler, tolerance-subset relations for the as-of join, exact
+permutation-ness of the curriculum order, and candidate⊇verified for the
+edit-distance stage."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import __spark_entry__  # noqa: F401  — populates REGISTRY
+from personal_data_lakehouse_spark.plans.registry import REGISTRY, t
+from tests.conftest import SF_DIR
+
+
+def test_gapfill_grid_is_dense_and_locf_complete(spark):
+    """Every (user, hour) in the span appears exactly once; after the first
+    observation per user there are no NULL filled values; filled equals
+    observed wherever an observation exists."""
+    out = REGISTRY["q_gapfill_locf"].fn(spark, SF_DIR).persist()
+    try:
+        users = out.select("user_id").distinct().count()
+        hours = out.select("hour_us").distinct().count()
+        assert out.count() == users * hours  # dense grid, no dup cells
+        # observed rows carry their own value
+        assert (
+            out.filter(
+                F.col("v_obs").isNotNull()
+                & (F.col("v_filled") != F.col("v_obs"))
+            ).count()
+            == 0
+        )
+        # NULL fills only before a user's first observation
+        first_obs = (
+            out.filter(F.col("v_obs").isNotNull())
+            .groupBy("user_id")
+            .agg(F.min("hour_us").alias("first_us"))
+        )
+        bad = (
+            out.join(first_obs, "user_id")
+            .filter(
+                F.col("v_filled").isNull() & (F.col("hour_us") >= F.col("first_us"))
+            )
+            .count()
+        )
+        assert bad == 0
+    finally:
+        out.unpersist()
+
+
+def test_asof_tolerance_is_subset_of_unbounded_asof(spark):
+    """With the gap predicate the matches are exactly the unbounded as-of
+    matches within 3 days — never a different (earlier) purchase."""
+    unb = REGISTRY["q_asof_join"].fn(spark, SF_DIR).select(
+        "event_id", F.col("matched_ts_us").alias("u_ts"),
+        F.col("matched_value").alias("u_val"),
+    )
+    tol = REGISTRY["q_asof_tolerance"].fn(spark, SF_DIR)
+    j = tol.join(unb, "event_id").persist()
+    try:
+        # every tolerant match equals the unbounded match
+        assert (
+            j.filter(
+                F.col("matched_ts_us").isNotNull()
+                & (F.col("matched_ts_us") != F.col("u_ts"))
+            ).count()
+            == 0
+        )
+        # a match was dropped iff the unbounded gap exceeded 3 days
+        three_days_us = 3 * 86400 * 1_000_000
+        dropped = j.filter(
+            F.col("matched_ts_us").isNull() & F.col("u_ts").isNotNull()
+        )
+        assert (
+            dropped.filter(
+                F.col("error_ts_us") - F.col("u_ts") <= three_days_us
+            ).count()
+            == 0
+        )
+    finally:
+        j.unpersist()
+
+
+def test_skew_diagnosis_internal_consistency(spark):
+    row = REGISTRY["q_skew_diagnosis"].fn(spark, SF_DIR).first()
+    assert row["min_cnt"] <= row["p50_cnt"] <= row["p90_cnt"] <= row["max_cnt"]
+    # exact cross-check against a direct computation
+    cnts = (
+        t(spark, SF_DIR, "orders").groupBy("o_custkey").count().persist()
+    )
+    try:
+        assert row["n_keys"] == cnts.count()
+        assert row["n_rows"] == t(spark, SF_DIR, "orders").count()
+        assert row["max_cnt"] == cnts.agg(F.max("count")).first()[0]
+        assert (
+            row["mean_cnt_x1000"] == row["n_rows"] * 1000 // row["n_keys"]
+        )
+    finally:
+        cnts.unpersist()
+
+
+def test_neardup_verified_covers_all_candidates(spark):
+    """The verify stage neither invents nor drops candidate pairs, and
+    verified pairs satisfy the integer acceptance inequality."""
+    cand = REGISTRY["t_minhash_lsh_pairs"].fn(spark, SF_DIR)
+    ver = REGISTRY["t_neardup_verified"].fn(spark, SF_DIR).persist()
+    try:
+        assert ver.count() == cand.count()
+        assert (
+            ver.select("id_a", "id_b")
+            .exceptAll(cand.select("id_a", "id_b"))
+            .count()
+            == 0
+        )
+        assert ver.filter(F.col("edit_distance") < 0).count() == 0
+    finally:
+        ver.unpersist()
+
+
+def test_dbt_schema_tests_detect_and_pass(spark):
+    """The battery reports one row per declared test; the deliberately
+    narrowed accepted_values check counts exactly the 'error' events (the
+    machinery detects), while key/FK checks on the clean fixtures pass."""
+    rows = {
+        (r["table_name"], r["column_name"], r["test_name"]): r["n_violations"]
+        for r in REGISTRY["q_dbt_schema_tests"].fn(spark, SF_DIR).collect()
+    }
+    assert len(rows) == 8
+    n_err = (
+        t(spark, SF_DIR, "events").filter(F.col("event_type") == "error").count()
+    )
+    assert (
+        rows[("events", "event_type", "accepted_values:click|view|purchase|signup")]
+        == n_err
+    )
+    assert rows[("orders", "o_orderkey", "unique")] == 0
+    assert rows[("orders", "o_custkey", "relationships:customer.c_custkey")] == 0
+    assert rows[("lineitem", "l_orderkey", "relationships:orders.o_orderkey")] == 0
+
+
+def test_pagerank_mass_and_determinism(spark):
+    """Integer floor-div PageRank never creates mass (every rank is teleport
+    base + floored in-flow), ranks are ≥ the teleport base, and a re-run is
+    bit-identical (the determinism the fixed-point arithmetic buys)."""
+    from personal_data_lakehouse_spark.plans.round4b_ops import (
+        _PR_BASE,
+    )
+
+    a = REGISTRY["m_pagerank_top20"].fn(spark, SF_DIR).collect()
+    b = REGISTRY["m_pagerank_top20"].fn(spark, SF_DIR).collect()
+    assert a == b
+    assert len(a) == 20
+    assert all(r["rank_scaled"] >= _PR_BASE for r in a)
+    ranks = [r["rank_scaled"] for r in a]
+    assert ranks == sorted(ranks, reverse=True)
+    assert {r["node_type"] for r in a} <= {"customer", "supplier"}
+
+
+def test_curriculum_order_is_a_bucket_monotone_permutation(spark):
+    """pos is a permutation of 1..N and never interleaves buckets: every
+    bucket-b position is greater than every bucket-(b-1) position."""
+    out = REGISTRY["t_curriculum_order"].fn(spark, SF_DIR).persist()
+    try:
+        n = out.count()
+        assert out.select("pos").distinct().count() == n
+        mm = out.agg(F.min("pos"), F.max("pos")).first()
+        assert (mm[0], mm[1]) == (1, n)
+        ranges = (
+            out.groupBy("bucket")
+            .agg(F.min("pos").alias("lo"), F.max("pos").alias("hi"),
+                 F.count(F.lit(1)).alias("cnt"))
+            .orderBy("bucket")
+            .collect()
+        )
+        prev_hi = 0
+        for r in ranges:
+            assert r["lo"] == prev_hi + 1
+            assert r["hi"] == r["lo"] + r["cnt"] - 1
+            prev_hi = r["hi"]
+    finally:
+        out.unpersist()
