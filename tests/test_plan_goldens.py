@@ -51,6 +51,16 @@ GOLDEN_EXTRA = [
     "t_leakage_safe_split",
     "q_table_profile",
     "t_split_leakage_audit",
+    # round-4 wave 2 (m_pagerank_top20 excluded: its loop builds fresh
+    # persisted lineage per call, so the cold-plan shape is stable but the
+    # generator's clearCache interacts with the in-plan persist; covered by
+    # the rerun-determinism test instead)
+    "q_gapfill_locf",
+    "q_asof_tolerance",
+    "q_skew_diagnosis",
+    "t_neardup_verified",
+    "t_curriculum_order",
+    "q_dbt_schema_tests",
 ]
 
 # Goldens are generated against the canonical smoke fixture; other SF dirs
