@@ -20,6 +20,46 @@ def spread(df: DataFrame) -> DataFrame:
     return df.repartition(target) if df.rdd.getNumPartitions() < target else df
 
 
+def sharded_global_positions(
+    df: DataFrame,
+    bucket_col: str,
+    skey_col: str,
+    id_col: str,
+    shard_chars: int = 2,
+) -> DataFrame:
+    """Total 1-based global position by (bucket, skey, id) WITHOUT a
+    corpus-global window — the distributed two-pass prefix-sum shape.
+
+    shard = the first ``shard_chars`` characters of ``skey_col`` (expected
+    hex-uniform, e.g. an md5). Because the shard is a PREFIX of the sort
+    key, ordering by (bucket, shard, skey, id) equals ordering by
+    (bucket, skey, id): per-shard local order concatenates into the global
+    order. Pass 1 counts rows per (bucket, shard) and prefix-sums those
+    counts (a window over ~|buckets|·16^shard_chars rows, broadcast back);
+    pass 2 ranks within each (bucket, shard) — parallel across shards.
+    Returns ``df`` plus a ``pos`` column."""
+    from pyspark.sql import Window
+
+    base = df.withColumn("_shard", F.substring(skey_col, 1, shard_chars))
+    counts = base.groupBy(bucket_col, "_shard").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    prior = Window.orderBy(bucket_col, "_shard").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        bucket_col,
+        "_shard",
+        F.coalesce(F.sum("_n").over(prior), F.lit(0)).alias("_offset"),
+    )
+    intra = Window.partitionBy(bucket_col, "_shard").orderBy(skey_col, id_col)
+    return (
+        base.join(F.broadcast(offsets), [bucket_col, "_shard"])
+        .withColumn("pos", F.row_number().over(intra) + F.col("_offset"))
+        .drop("_shard", "_offset")
+    )
+
+
 def salted_join(
     skewed: DataFrame,
     small: DataFrame,

@@ -339,6 +339,10 @@ def t_curriculum_order(spark, sf_dir):
     the global order), intra-rank windows parallelize across
     (bucket, shard), and the shard offsets come from a ~1024-row exclusive
     prefix sum that is broadcast back."""
+    from personal_data_lakehouse_spark.operators.partitioning import (
+        sharded_global_positions,
+    )
+
     base = t(spark, sf_dir, "documents").select(
         "doc_id",
         F.when(F.col("n_chars") < 150, 0)
@@ -349,26 +353,9 @@ def t_curriculum_order(spark, sf_dir):
         F.md5(
             F.concat(F.col("doc_id").cast("string"), F.lit(":cur")).cast("binary")
         ).alias("skey"),
-    ).withColumn("shard", F.substring("skey", 1, 2))
-    counts = base.groupBy("bucket", "shard").agg(F.count(F.lit(1)).alias("n"))
-    prior = Window.orderBy("bucket", "shard").rowsBetween(
-        Window.unboundedPreceding, -1
     )
-    offsets = counts.select(
-        "bucket",
-        "shard",
-        F.coalesce(F.sum("n").over(prior), F.lit(0)).alias("offset"),
-    )
-    intra = (
-        Window.partitionBy("bucket", "shard").orderBy("skey", "doc_id")
-    )
-    return (
-        base.join(F.broadcast(offsets), ["bucket", "shard"])
-        .select(
-            "doc_id",
-            "bucket",
-            (F.row_number().over(intra) + F.col("offset")).alias("pos"),
-        )
+    return sharded_global_positions(base, "bucket", "skey", "doc_id").select(
+        "doc_id", "bucket", "pos"
     )
 
 

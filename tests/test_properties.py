@@ -49,6 +49,45 @@ def test_hash_family_and_hyperplanes_are_seed_pinned():
 
 
 # ---------------------------------------------------------------------------
+# Two-pass sharded global positions vs the naive corpus-global window
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 10**6)),  # (bucket, id-ish)
+        min_size=1,
+        max_size=40,
+        unique_by=lambda r: r[1],
+    )
+)
+def test_sharded_positions_equal_naive_global_window(spark, rows):
+    """sharded_global_positions must be bit-identical to ROW_NUMBER() over
+    the naive global ORDER BY (bucket, skey, id) for any bucket/key data —
+    the prefix-shard decomposition may not reorder, drop, or collide."""
+    from pyspark.sql import Window
+
+    from personal_data_lakehouse_spark.operators.partitioning import (
+        sharded_global_positions,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, "bucket int, id long").withColumn(
+        "skey", F.md5(F.col("id").cast("string").cast("binary"))
+    )
+    got = {
+        r["id"]: r["pos"]
+        for r in sharded_global_positions(df, "bucket", "skey", "id").collect()
+    }
+    naive_w = Window.orderBy("bucket", "skey", "id")
+    want = {
+        r["id"]: r["pos"]
+        for r in df.withColumn("pos", F.row_number().over(naive_w)).collect()
+    }
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
 # CDC apply_changes vs a sequential reference model
 
 
