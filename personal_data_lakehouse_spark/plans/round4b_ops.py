@@ -360,6 +360,142 @@ def t_curriculum_order(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Temperature-scaled corpus rebalancing (α = 0.5 source re-weighting)
+
+
+@query(
+    "t_mix_temperature",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               CASE WHEN CAST(substr(source, 4) AS INT) < 10 THEN 'web'
+                    WHEN CAST(substr(source, 4) AS INT) < 15 THEN 'books'
+                    ELSE 'code' END AS domain
+        FROM documents
+    ), c AS (
+        SELECT domain, COUNT(*) AS n_s FROM d GROUP BY 1
+    ), m AS (
+        SELECT MIN(n_s) AS min_n FROM c
+    ), thr AS (
+        SELECT domain, n_s, min_n,
+               CAST(FLOOR(65536 * sqrt(CAST(min_n AS DOUBLE) / n_s)) AS BIGINT)
+                   AS th
+        FROM c, m
+    )
+    SELECT d.doc_id, d.domain
+    FROM d JOIN thr ON d.domain = thr.domain
+    WHERE thr.n_s = thr.min_n
+       OR substr(md5(CAST(d.doc_id AS VARCHAR) || ':tmix'), 1, 4)
+          < lower(lpad(to_hex(th), 4, '0'))
+    """,
+)
+def t_mix_temperature(spark, sf_dir):
+    """Temperature-scaled source rebalancing (α = 0.5): each document keeps
+    with probability sqrt(min_n / n_s), so over-represented sources are
+    sqrt-downsampled toward the smallest source — the standard
+    temperature-mixing step (α between uniform and proportional) of a
+    multi-source training corpus, made deterministic: the coin is the md5
+    of the doc id against a per-source integer threshold.
+
+    Exactness: the threshold chain is one double division, one sqrt, one
+    multiply, one floor — every op correctly-rounded IEEE in both engines,
+    so Spark and the oracle derive identical thresholds; the comparison is
+    then string-ordinal on 4 hex chars. α = 0.5 is chosen precisely
+    because sqrt IS correctly rounded — pow(x, 0.7) is not and would
+    drift between libm implementations.
+
+    Scale: per-domain counts (|domains| rows) broadcast back onto the
+    corpus; the keep decision is a map-side filter — zero shuffles of the
+    corpus itself. (The fixture's sources are uniform by construction, so
+    the domains are a skewed regrouping of them — web 2× books/code — to
+    make the rebalance demonstrably non-vacuous.)"""
+    src_no = F.substring("source", 4, 10).cast("int")
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(src_no < 10, "web")
+        .when(src_no < 15, "books")
+        .otherwise("code")
+        .alias("domain"),
+    )
+    counts = d.groupBy("domain").agg(F.count(F.lit(1)).alias("n_s"))
+    minn = counts.agg(F.min("n_s").alias("min_n"))
+    thr = counts.crossJoin(F.broadcast(minn)).select(
+        "domain",
+        "n_s",
+        "min_n",
+        F.floor(
+            F.lit(65536) * F.sqrt(F.col("min_n").cast("double") / F.col("n_s"))
+        )
+        .cast("long")
+        .alias("th"),
+    )
+    coin = F.substring(
+        F.md5(
+            F.concat(F.col("doc_id").cast("string"), F.lit(":tmix")).cast("binary")
+        ),
+        1,
+        4,
+    )
+    keep = (F.col("n_s") == F.col("min_n")) | (
+        coin < F.lower(F.lpad(F.hex(F.col("th")), 4, "0"))
+    )
+    return d.join(F.broadcast(thr), "domain").filter(keep).select(
+        "doc_id", "domain"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-label embedding centroids (vector mean pooling)
+
+
+@query(
+    "s_label_centroids",
+    oracle="""
+    SELECT label, pos, COUNT(*) AS n_members,
+           (CAST(SUM(q) AS DOUBLE) / COUNT(*)) / 1000000 AS centroid
+    FROM (
+        SELECT label, pos,
+               CAST(FLOOR(CAST(embedding[pos + 1] AS DOUBLE) * 1000000)
+                    AS BIGINT) AS q
+        FROM embeddings, range(64) r(pos)
+    )
+    GROUP BY 1, 2
+    """,
+)
+def s_label_centroids(spark, sf_dir):
+    """Class centroids: the mean embedding per label and dimension — the
+    vector pooling step behind nearest-class-mean classification and
+    cluster seeding. Components are quantized to ×1e6 integers before the
+    sum (float32→double widening first, per the engine's float32 rule), so
+    the reduce is an exact BIGINT sum in any partition order; the mean is
+    two correctly-rounded double divisions applied identically in the
+    oracle.
+
+    Scale: posexplode fans each vector into 64 rows and the aggregation
+    shuffles on (label, pos) — |labels|·64 groups, map-side combined."""
+    emb = t(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "comp"))
+        .select(
+            "label",
+            "pos",
+            F.floor(F.col("comp").cast("double") * 1_000_000)
+            .cast("long")
+            .alias("q"),
+        )
+        .groupBy("label", "pos")
+        .agg(F.count(F.lit(1)).alias("n_members"), F.sum("q").alias("s"))
+        .select(
+            "label",
+            "pos",
+            "n_members",
+            ((F.col("s").cast("double") / F.col("n_members")) / F.lit(1_000_000))
+            .alias("centroid"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # dbt-style schema tests (unique / not_null / relationships / accepted_values)
 
 

@@ -61,6 +61,8 @@ GOLDEN_EXTRA = [
     "t_neardup_verified",
     "t_curriculum_order",
     "q_dbt_schema_tests",
+    "t_mix_temperature",
+    "s_label_centroids",
 ]
 
 # Goldens are generated against the canonical smoke fixture; other SF dirs

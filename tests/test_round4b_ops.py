@@ -117,6 +117,73 @@ def test_neardup_verified_covers_all_candidates(spark):
         ver.unpersist()
 
 
+def test_mix_temperature_keeps_min_domain_and_downsamples_rest(spark):
+    """The smallest domain survives intact; larger domains keep ≈
+    sqrt(min_n/n_s) of their docs (md5-coin binomial, generous tolerance);
+    the sample is a subset of the corpus and deterministic."""
+    out = REGISTRY["t_mix_temperature"].fn(spark, SF_DIR).persist()
+    try:
+        kept = {
+            r["domain"]: r["cnt"]
+            for r in out.groupBy("domain").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        }
+        src_no = F.substring("source", 4, 10).cast("int")
+        totals = {
+            r["domain"]: r["cnt"]
+            for r in t(spark, SF_DIR, "documents")
+            .select(
+                F.when(src_no < 10, "web")
+                .when(src_no < 15, "books")
+                .otherwise("code")
+                .alias("domain")
+            )
+            .groupBy("domain")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        min_n = min(totals.values())
+        for dom, n_s in totals.items():
+            if n_s == min_n:
+                assert kept[dom] == n_s  # smallest domain: keep all
+            else:
+                expect = (min_n / n_s) ** 0.5
+                frac = kept[dom] / n_s
+                assert abs(frac - expect) < 0.15, (dom, frac, expect)
+        again = REGISTRY["t_mix_temperature"].fn(spark, SF_DIR)
+        assert out.exceptAll(again).count() == 0 and again.exceptAll(out).count() == 0
+    finally:
+        out.unpersist()
+
+
+def test_label_centroids_shape_and_bounds(spark):
+    """One row per (label, dim); member counts sum to |embeddings| per dim;
+    each centroid lies within the label's component min/max envelope."""
+    out = REGISTRY["s_label_centroids"].fn(spark, SF_DIR).persist()
+    try:
+        emb = t(spark, SF_DIR, "embeddings")
+        n_vec = emb.count()
+        n_labels = emb.select("label").distinct().count()
+        assert out.count() == n_labels * 64
+        per_dim = out.groupBy("pos").agg(F.sum("n_members").alias("s"))
+        assert per_dim.filter(F.col("s") != n_vec).count() == 0
+        env = (
+            emb.select("label", F.posexplode("embedding").alias("pos", "c"))
+            .groupBy("label", "pos")
+            .agg(F.min("c").alias("lo"), F.max("c").alias("hi"))
+        )
+        viol = (
+            out.join(env, ["label", "pos"])
+            .filter(
+                (F.col("centroid") < F.col("lo").cast("double") - 1e-6)
+                | (F.col("centroid") > F.col("hi").cast("double") + 1e-6)
+            )
+            .count()
+        )
+        assert viol == 0
+    finally:
+        out.unpersist()
+
+
 def test_dbt_schema_tests_detect_and_pass(spark):
     """The battery reports one row per declared test; the deliberately
     narrowed accepted_values check counts exactly the 'error' events (the
