@@ -37,10 +37,18 @@ def sharded_global_positions(
     order. Pass 1 counts rows per (bucket, shard) and prefix-sums those
     counts (a window over ~|buckets|·16^shard_chars rows, broadcast back);
     pass 2 ranks within each (bucket, shard) — parallel across shards.
-    Returns ``df`` plus a ``pos`` column."""
+    Returns ``df`` plus a ``pos`` column.
+
+    NULL handling matches the naive window's ASC NULLS FIRST: a NULL
+    ``skey_col`` lands in shard '' (which sorts before every hex prefix),
+    and the offsets join is null-safe on the bucket so NULL buckets rank
+    first instead of silently dropping out of the permutation."""
     from pyspark.sql import Window
 
-    base = df.withColumn("_shard", F.substring(skey_col, 1, shard_chars))
+    base = df.withColumn(
+        "_shard",
+        F.coalesce(F.substring(skey_col, 1, shard_chars), F.lit("")),
+    )
     counts = base.groupBy(bucket_col, "_shard").agg(
         F.count(F.lit(1)).alias("_n")
     )
@@ -48,15 +56,19 @@ def sharded_global_positions(
         Window.unboundedPreceding, -1
     )
     offsets = counts.select(
-        bucket_col,
-        "_shard",
+        F.col(bucket_col).alias("_ob"),
+        F.col("_shard").alias("_os"),
         F.coalesce(F.sum("_n").over(prior), F.lit(0)).alias("_offset"),
     )
     intra = Window.partitionBy(bucket_col, "_shard").orderBy(skey_col, id_col)
     return (
-        base.join(F.broadcast(offsets), [bucket_col, "_shard"])
+        base.join(
+            F.broadcast(offsets),
+            F.col(bucket_col).eqNullSafe(F.col("_ob"))
+            & (F.col("_shard") == F.col("_os")),
+        )
         .withColumn("pos", F.row_number().over(intra) + F.col("_offset"))
-        .drop("_shard", "_offset")
+        .drop("_shard", "_ob", "_os", "_offset")
     )
 
 

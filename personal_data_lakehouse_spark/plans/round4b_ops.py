@@ -140,10 +140,11 @@ def q_asof_tolerance(spark, sf_dir):
     errors = events.filter(F.col("event_type") == "error").select(
         "event_id", "user_id", F.col("ts").alias("ets")
     )
-    purchases = (
-        events.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id", F.col("ts").alias("pts"))
-        .agg(F.max("value").alias("pvalue"))
+    # no pre-aggregation: asof_join itself dedups the right side per
+    # (key, ts) with MAX over value_cols (operators/asof.py) — an explicit
+    # groupBy here would just stack a redundant second HashAggregate
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), F.col("value").alias("pvalue")
     )
     out = asof_join(
         errors, purchases, on="user_id", left_ts="ets", right_ts="pts",
@@ -187,7 +188,8 @@ def q_asof_tolerance(spark, sf_dir):
     )
     SELECT n_keys, n_rows, min_cnt, max_cnt, p50_cnt, p90_cnt,
            (n_rows * 1000) // n_keys AS mean_cnt_x1000,
-           (max_cnt * n_keys * 1000) // n_rows AS skew_x1000
+           CAST((CAST(max_cnt AS HUGEINT) * n_keys * 1000) // n_rows
+                AS BIGINT) AS skew_x1000
     FROM stats, pcts
     """,
 )
@@ -235,7 +237,15 @@ def q_skew_diagnosis(spark, sf_dir):
         "p50_cnt",
         "p90_cnt",
         F.expr("(n_rows * 1000) div n_keys").alias("mean_cnt_x1000"),
-        F.expr("(max_cnt * n_keys * 1000) div n_rows").alias("skew_x1000"),
+        # the ×1000 numerator is max_cnt · n_keys · 1000 — widened to
+        # int128 (DECIMAL(38,0) / HUGEINT) because it exceeds 2^63 at
+        # ~1e9 keys with a ~1e7-row hot key, exactly the skewed regime
+        # this diagnostic exists to detect; the quotient (skew ratio
+        # ×1000) always fits BIGINT
+        F.expr(
+            "CAST((CAST(max_cnt AS DECIMAL(38,0)) * n_keys * 1000)"
+            " div n_rows AS BIGINT)"
+        ).alias("skew_x1000"),
     )
 
 
@@ -459,6 +469,7 @@ def t_mix_temperature(spark, sf_dir):
                     AS BIGINT) AS q
         FROM embeddings, range(64) r(pos)
     )
+    WHERE q IS NOT NULL  -- posexplode parity: NULL/short vectors emit no row
     GROUP BY 1, 2
     """,
 )
@@ -518,11 +529,13 @@ def s_label_centroids(spark, sf_dir):
            (SELECT COUNT(*) FROM events WHERE user_id IS NULL)
     UNION ALL
     SELECT 'orders', 'o_custkey', 'relationships:customer.c_custkey',
-           (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+           (SELECT COUNT(*) FROM orders o WHERE o.o_custkey IS NOT NULL
+             AND NOT EXISTS
              (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
     UNION ALL
     SELECT 'lineitem', 'l_orderkey', 'relationships:orders.o_orderkey',
-           (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+           (SELECT COUNT(*) FROM lineitem l WHERE l.l_orderkey IS NOT NULL
+             AND NOT EXISTS
              (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
     UNION ALL
     SELECT 'orders', 'o_orderstatus', 'accepted_values:O|F|P',
@@ -545,10 +558,12 @@ def q_dbt_schema_tests(spark, sf_dir):
     deliberately excludes 'error' so the battery demonstrably catches
     violations rather than vacuously passing.
 
-    Scale: each check is a single aggregation or LEFT ANTI join (the
-    relationships checks broadcast nothing — they shuffle on the FK, the
-    same key the production join uses); the 8 check plans are independent
-    and union into one job, so a scheduler runs them as parallel stages."""
+    Scale: each check is a single aggregation or LEFT ANTI join; at the
+    pinned fixture the parent side of each relationships check fits the
+    broadcast threshold (the golden shows BroadcastHashJoin LeftAnti), and
+    once the parent outgrows it AQE falls back to a shuffled anti join on
+    the FK — the same key the production join uses. The 8 check plans are
+    independent and union into one job, so they run as parallel stages."""
     orders = t(spark, sf_dir, "orders")
     docs = t(spark, sf_dir, "documents")
     li = t(spark, sf_dir, "lineitem")
@@ -579,8 +594,12 @@ def q_dbt_schema_tests(spark, sf_dir):
         )
 
     def orphans(child, fk, parent, pk):
+        # dbt relationships semantics: NULL FKs are ignored (only non-null
+        # values must resolve) — without the filter the anti join would
+        # count every NULL FK as an orphan
         return (
             child.select(F.col(fk))
+            .filter(F.col(fk).isNotNull())
             .join(parent.select(F.col(pk).alias(fk)), fk, "left_anti")
             .agg(F.count(F.lit(1)).alias("n"))
         )
@@ -706,6 +725,11 @@ def m_pagerank_top20(spark, sf_dir):
         F.col("cnode").alias("src"), F.col("snode").alias("dst")
     ).unionAll(pairs.select(F.col("snode").alias("src"), F.col("cnode").alias("dst")))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    # persisted for the 3 iteration joins; Spark's CacheManager dedupes
+    # identical lineages, so repeated invocations in one session share ONE
+    # cache entry (on a cluster this becomes a written intermediate —
+    # SCALE.md §13). The entry lives until clearCache, the session's
+    # standing policy for in-query persists.
     ed = edges.join(deg, "src").persist()
     ranks = deg.select(
         F.col("src").alias("node"), F.lit(_PR_SCALE).cast("long").alias("r")

@@ -87,6 +87,29 @@ def test_sharded_positions_equal_naive_global_window(spark, rows):
     assert got == want
 
 
+def test_sharded_positions_keep_null_keys_first(spark):
+    """A NULL sort key (or NULL bucket) must rank NULLS FIRST like the
+    naive window — not silently drop out of the permutation (the shard
+    equi-join would otherwise never match a NULL-derived shard)."""
+    from pyspark.sql import functions as F
+
+    from personal_data_lakehouse_spark.operators.partitioning import (
+        sharded_global_positions,
+    )
+
+    df = spark.createDataFrame(
+        [(0, 1, "aa11"), (0, 2, None), (0, 3, "bb22"), (None, 4, "cc33")],
+        "bucket int, id long, skey string",
+    )
+    got = {
+        r["id"]: r["pos"]
+        for r in sharded_global_positions(df, "bucket", "skey", "id").collect()
+    }
+    # naive ORDER BY bucket NULLS FIRST, skey NULLS FIRST, id:
+    #   (NULL,4), (0,2,NULL-key), (0,1,'aa11'), (0,3,'bb22')
+    assert got == {4: 1, 2: 2, 1: 3, 3: 4}
+
+
 # ---------------------------------------------------------------------------
 # CDC apply_changes vs a sequential reference model
 
