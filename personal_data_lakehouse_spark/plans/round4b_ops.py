@@ -174,23 +174,24 @@ def q_asof_tolerance(spark, sf_dir):
     ), hist AS (
         SELECT cnt, COUNT(*) AS n_keys_at FROM cnts GROUP BY 1
     ), h2 AS (
-        SELECT cnt, SUM(n_keys_at) OVER (ORDER BY cnt
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        SELECT cnt, n_keys_at,
+               SUM(n_keys_at) OVER (ORDER BY cnt
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               SUM(n_keys_at) OVER () AS n_keys
         FROM hist
-    ), stats AS (
-        SELECT COUNT(*) AS n_keys, SUM(cnt) AS n_rows,
-               MIN(cnt) AS min_cnt, MAX(cnt) AS max_cnt
-        FROM cnts
-    ), pcts AS (
-        SELECT MIN(CASE WHEN 2 * cum >= n_keys THEN cnt END) AS p50_cnt,
+    ), agg AS (
+        SELECT MAX(n_keys) AS n_keys,
+               SUM(cnt * n_keys_at) AS n_rows,
+               MIN(cnt) AS min_cnt, MAX(cnt) AS max_cnt,
+               MIN(CASE WHEN 2 * cum >= n_keys THEN cnt END) AS p50_cnt,
                MIN(CASE WHEN 10 * cum >= 9 * n_keys THEN cnt END) AS p90_cnt
-        FROM h2, stats
+        FROM h2
     )
     SELECT n_keys, n_rows, min_cnt, max_cnt, p50_cnt, p90_cnt,
            (n_rows * 1000) // n_keys AS mean_cnt_x1000,
            CAST((CAST(max_cnt AS HUGEINT) * n_keys * 1000) // n_rows
                 AS BIGINT) AS skew_x1000
-    FROM stats, pcts
+    FROM agg
     """,
 )
 def q_skew_diagnosis(spark, sf_dir):
@@ -200,10 +201,12 @@ def q_skew_diagnosis(spark, sf_dir):
     diagnostic that decides between a plain shuffle join, AQE skew
     splitting, and an explicit ``salted_join``.
 
-    Scale: percentiles come from the count-of-counts histogram — the only
-    window runs over DISTINCT count values (bounded by the key multiplicity
-    range, ~dozens of rows even at 100 TB), never over the keys themselves.
-    No global sort of per-key counts, no driver collect."""
+    Scale: ONE chain, no branching — every statistic (totals, min/max,
+    exact p50/p90) is derived from the count-of-counts histogram, so the
+    fact table is scanned and aggregated exactly once and the only windows
+    run over DISTINCT count values (bounded by the key multiplicity range,
+    ~dozens of rows even at 100 TB), never over the keys themselves. No
+    global sort of per-key counts, no driver collect."""
     cnts = (
         t(spark, sf_dir, "orders")
         .groupBy("o_custkey")
@@ -211,25 +214,26 @@ def q_skew_diagnosis(spark, sf_dir):
     )
     hist = cnts.groupBy("cnt").agg(F.count(F.lit(1)).alias("n_keys_at"))
     cumw = Window.orderBy("cnt").rowsBetween(Window.unboundedPreceding, 0)
-    h2 = hist.select("cnt", F.sum("n_keys_at").over(cumw).alias("cum"))
-    stats = cnts.agg(
-        F.count(F.lit(1)).alias("n_keys"),
-        F.sum("cnt").alias("n_rows"),
+    allw = Window.partitionBy()
+    h2 = hist.select(
+        "cnt",
+        "n_keys_at",
+        F.sum("n_keys_at").over(cumw).alias("cum"),
+        F.sum("n_keys_at").over(allw).alias("n_keys"),
+    )
+    agg = h2.agg(
+        F.max("n_keys").alias("n_keys"),
+        F.sum(F.col("cnt") * F.col("n_keys_at")).alias("n_rows"),
         F.min("cnt").alias("min_cnt"),
         F.max("cnt").alias("max_cnt"),
+        F.min(F.when(2 * F.col("cum") >= F.col("n_keys"), F.col("cnt"))).alias(
+            "p50_cnt"
+        ),
+        F.min(
+            F.when(10 * F.col("cum") >= 9 * F.col("n_keys"), F.col("cnt"))
+        ).alias("p90_cnt"),
     )
-    pcts = (
-        h2.crossJoin(F.broadcast(stats.select("n_keys")))
-        .agg(
-            F.min(F.when(2 * F.col("cum") >= F.col("n_keys"), F.col("cnt"))).alias(
-                "p50_cnt"
-            ),
-            F.min(
-                F.when(10 * F.col("cum") >= 9 * F.col("n_keys"), F.col("cnt"))
-            ).alias("p90_cnt"),
-        )
-    )
-    return stats.crossJoin(F.broadcast(pcts)).select(
+    return agg.select(
         "n_keys",
         "n_rows",
         "min_cnt",
