@@ -121,6 +121,86 @@ def minhash_signatures(
     )
 
 
+def lsh_batch_vs_corpus(
+    df: DataFrame,
+    batch_cond,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup candidates of NEW (batch) documents against the EXISTING
+    corpus — the incremental-ingest shape of ``lsh_candidate_pairs``.
+
+    ``batch_cond`` is a Column predicate over ``id_col`` marking batch
+    membership. The signature/shingle aggregation runs once over the whole
+    frame (at 100 TB the corpus side of that aggregate is a precomputed,
+    persisted band index — only the batch's signatures are new work); the
+    band join then probes BATCH bands against CORPUS bands only, so
+    candidate generation is O(|batch| · bucket load), never corpus×corpus.
+    Returns (batch_id, corpus_id, jaccard) with exact shingle Jaccard."""
+    rows = k // bands
+    ex = exploded_shingles(df, text_col, id_col, shingle_n)
+    x = _base_hash(F.col("s"))
+    p = F.lit(MERSENNE_P).cast("long")
+    mins = [
+        F.min((F.lit(a).cast("long") * x + F.lit(b)) % p).alias(f"h{i}")
+        for i, (a, b) in enumerate(hash_family(k, seed))
+    ]
+    docs = (
+        ex.groupBy(id_col)
+        .agg(*mins, F.collect_list("s").alias("shingles"))
+        .persist()
+    )
+    bucket_cols = [
+        F.md5(
+            F.concat_ws(
+                "|", *[F.col(f"h{b * rows + r}").cast("string") for r in range(rows)]
+            )
+        ).alias(f"bucket{b}")
+        for b in range(bands)
+    ]
+    banded = docs.select(F.col(id_col), *bucket_cols).select(
+        F.col(id_col),
+        F.posexplode(F.array(*[F.col(f"bucket{b}") for b in range(bands)])).alias(
+            "band", "bucket"
+        ),
+    )
+    batch_b = banded.filter(batch_cond)
+    corpus_b = banded.filter(~batch_cond)
+    pairs = (
+        batch_b.alias("a")
+        .join(
+            corpus_b.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("batch_id"),
+            F.col(f"b.{id_col}").alias("corpus_id"),
+        )
+        .dropDuplicates(["batch_id", "corpus_id"])
+    )
+    pairs = pairs.join(
+        docs.select(F.col(id_col).alias("batch_id"), F.col("shingles").alias("sh_a")),
+        "batch_id",
+    ).join(
+        docs.select(
+            F.col(id_col).alias("corpus_id"), F.col("shingles").alias("sh_b")
+        ),
+        "corpus_id",
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return pairs.select(
+        "batch_id",
+        "corpus_id",
+        F.round(inter.cast("double") / union, 6).alias("jaccard"),
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -374,6 +374,87 @@ def t_curriculum_order(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Incremental MinHash-LSH dedup: new batch probed against the corpus index
+
+
+@query("t_neardup_incremental", oracle="__NEARDUP_INCR__")
+def t_neardup_incremental(spark, sf_dir):
+    """Incremental fuzzy dedup: documents arriving in a new batch
+    (doc_id % 10 == 0) are probed against the EXISTING corpus's LSH band
+    index — per batch doc: how many corpus near-dups (verified Jaccard
+    ≥ 0.5 on the rounded value, mirrored in the oracle), the best match
+    score, and an is_new admit/reject flag. This is the production ingest
+    shape: the corpus×corpus pairing never re-runs; candidate work is
+    O(|batch| · bucket load). Complements ``t_dedup_incremental`` (exact
+    fingerprints) with the near-duplicate tier."""
+    from personal_data_lakehouse_spark.dedup.minhash import lsh_batch_vs_corpus
+
+    docs = t(spark, sf_dir, "documents")
+    batch_pred = (F.col("doc_id") % 10) == 0
+    pairs = lsh_batch_vs_corpus(docs, batch_pred)
+    matched = (
+        pairs.filter(F.col("jaccard") >= 0.5)
+        .groupBy("batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_neardups"),
+            F.max("jaccard").alias("best_jaccard"),
+        )
+    )
+    batch_docs = docs.filter(batch_pred).select("doc_id")
+    return batch_docs.join(
+        matched.withColumnRenamed("batch_id", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("n_neardups"), F.lit(0)).alias("n_neardups"),
+        "best_jaccard",
+        F.col("n_neardups").isNull().alias("is_new"),
+    )
+
+
+def _neardup_incr_oracle() -> str:
+    from personal_data_lakehouse_spark.plans.text_ops import (
+        _SHINGLES,
+        _TOKS,
+        _XS,
+        _sig_sql,
+    )
+
+    return f"""
+    WITH sig AS (
+        SELECT doc_id, shingles, {_sig_sql()} AS sig
+        FROM (SELECT doc_id, shingles, {_XS} AS xs
+              FROM (SELECT doc_id, {_SHINGLES} AS shingles
+                    FROM (SELECT doc_id, {_TOKS} AS w FROM documents)))
+    ), bands AS (
+        SELECT doc_id, shingles, b,
+               md5(sig[b*4+1]::VARCHAR || '|' || sig[b*4+2]::VARCHAR || '|' ||
+                   sig[b*4+3]::VARCHAR || '|' || sig[b*4+4]::VARCHAR) AS bucket
+        FROM sig, unnest([0, 1, 2, 3]) AS u(b)
+    ), p AS (
+        SELECT DISTINCT a.doc_id AS batch_id, c.doc_id AS corpus_id,
+               a.shingles AS sh_a, c.shingles AS sh_b
+        FROM bands a JOIN bands c
+          ON a.b = c.b AND a.bucket = c.bucket
+         AND a.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+    ), m AS (
+        SELECT batch_id, COUNT(*) AS n_neardups,
+               MAX(ROUND(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+                   / len(list_distinct(list_concat(sh_a, sh_b))), 6))
+                   AS best_jaccard
+        FROM p
+        WHERE ROUND(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+                    / len(list_distinct(list_concat(sh_a, sh_b))), 6) >= 0.5
+        GROUP BY 1
+    )
+    SELECT d.doc_id, COALESCE(m.n_neardups, 0) AS n_neardups,
+           m.best_jaccard AS best_jaccard,
+           m.batch_id IS NULL AS is_new
+    FROM documents d LEFT JOIN m ON d.doc_id = m.batch_id
+    WHERE d.doc_id % 10 = 0
+    """
+
+
+# ---------------------------------------------------------------------------
 # Temperature-scaled corpus rebalancing (α = 0.5 source re-weighting)
 
 
@@ -767,3 +848,4 @@ def m_pagerank_top20(spark, sf_dir):
 from personal_data_lakehouse_spark.plans.registry import REGISTRY  # noqa: E402
 
 REGISTRY["t_neardup_verified"].oracle = _neardup_oracle()
+REGISTRY["t_neardup_incremental"].oracle = _neardup_incr_oracle()

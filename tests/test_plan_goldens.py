@@ -63,6 +63,7 @@ GOLDEN_EXTRA = [
     "q_dbt_schema_tests",
     "t_mix_temperature",
     "s_label_centroids",
+    "t_neardup_incremental",
 ]
 
 # Goldens are generated against the canonical smoke fixture; other SF dirs

@@ -117,6 +117,42 @@ def test_neardup_verified_covers_all_candidates(spark):
         ver.unpersist()
 
 
+def test_neardup_incremental_consistent_with_symmetric_pairs(spark):
+    """The batch-vs-corpus probe must agree with the full symmetric pair
+    generator restricted to (batch, corpus) pairs: same per-batch-doc
+    near-dup counts, and batch size rows exactly."""
+    out = REGISTRY["t_neardup_incremental"].fn(spark, SF_DIR).persist()
+    try:
+        docs = t(spark, SF_DIR, "documents")
+        n_batch = docs.filter((F.col("doc_id") % 10) == 0).count()
+        assert out.count() == n_batch
+        from personal_data_lakehouse_spark.dedup.minhash import (
+            lsh_candidate_pairs,
+        )
+
+        sym = lsh_candidate_pairs(docs).filter(F.col("jaccard") >= 0.5)
+        cross = sym.filter(
+            ((F.col("id_a") % 10) == 0) != ((F.col("id_b") % 10) == 0)
+        )
+        batch_side = cross.select(
+            F.when((F.col("id_a") % 10) == 0, F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("doc_id")
+        )
+        want = {
+            r["doc_id"]: r["n"]
+            for r in batch_side.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        got = {r["doc_id"]: r["n_neardups"] for r in out.collect()}
+        for doc, n in want.items():
+            assert got[doc] == n, (doc, got[doc], n)
+        assert sum(got.values()) == sum(want.values())
+    finally:
+        out.unpersist()
+
+
 def test_mix_temperature_keeps_min_domain_and_downsamples_rest(spark):
     """The smallest domain survives intact; larger domains keep ≈
     sqrt(min_n/n_s) of their docs (md5-coin binomial, generous tolerance);
