@@ -136,6 +136,32 @@ class ScheduledRunner:
             retry_delay_s=self.policy.retry_delay.total_seconds(),
         )
 
+    def backfill(self, start: datetime, end: datetime) -> list[RunReport]:
+        """Re-run every daily interval in [start, end] (inclusive, floored
+        to UTC midnights) oldest first — ``airflow dags backfill`` parity
+        for reprocessing history after a model-logic change.
+
+        The schedule watermark (``last_success``) is deliberately NOT
+        moved: backfill targets intervals at or before the watermark
+        (tasks are idempotent under the engine's merge contract), and
+        ``tick`` remains the sole owner of schedule progression. In
+        particular, a backfill of old dates must not REGRESS the watermark
+        through the per-run success bookkeeping, so it is saved and
+        restored around the loop. Retries apply per interval exactly as in
+        a scheduled run; a failed interval does not stop later ones
+        (each day's report carries its own status)."""
+        saved = self.last_success
+        try:
+            reports: list[RunReport] = []
+            d = _floor_day(start)
+            stop = _floor_day(end)
+            while d <= stop:
+                reports.append(self._run_with_retries(d))
+                d += DAY
+            return reports
+        finally:
+            self.last_success = saved
+
     # -- state round-trip ---------------------------------------------------
 
     def state_json(self) -> str:

@@ -107,3 +107,32 @@ def test_first_ever_tick_runs_latest_interval_only():
     reports = r.tick(dt(2026, 8, 12, 3))
     assert [x.status for x in reports] == ["success"]
     assert runs == [dt(2026, 8, 11)]
+
+
+def test_backfill_runs_inclusive_range_without_moving_watermark():
+    runs = []
+    r = ScheduledRunner(task=runs.append, last_success=dt(2026, 8, 10))
+    reports = r.backfill(dt(2026, 8, 1, 7, 15), dt(2026, 8, 3, 22, 0))
+    assert [x.status for x in reports] == ["success"] * 3
+    assert runs == [dt(2026, 8, 1), dt(2026, 8, 2), dt(2026, 8, 3)]
+    # the schedule watermark is owned by tick — a historical backfill must
+    # not regress it even though each run "succeeded"
+    assert r.last_success == dt(2026, 8, 10)
+
+
+def test_backfill_failed_interval_does_not_stop_later_ones():
+    def flaky(d):
+        if d == dt(2026, 8, 2):
+            raise RuntimeError("boom")
+
+    naps = []
+    r = ScheduledRunner(
+        task=flaky,
+        policy=SchedulePolicy(retries=1),
+        last_success=dt(2026, 8, 10),
+        sleep=naps.append,
+    )
+    reports = r.backfill(dt(2026, 8, 1), dt(2026, 8, 3))
+    assert [x.status for x in reports] == ["success", "failed", "success"]
+    assert reports[1].attempts == 2 and naps == [300.0]
+    assert r.last_success == dt(2026, 8, 10)
