@@ -37,14 +37,22 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="personal_data_lakehouse_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
     run = sub.add_parser("run-daily", help="scheduler tick for the daily pipeline")
-    run.add_argument("--state", default=None, help="scheduler state JSON path")
-    run.add_argument("--retries", type=int, default=1)
+    bf = sub.add_parser(
+        "backfill",
+        help="re-run a historical date range (airflow dags backfill parity); "
+        "the schedule watermark is not moved",
+    )
+    for cmd in (run, bf):
+        cmd.add_argument("--state", default=None, help="scheduler state JSON path")
+        cmd.add_argument("--retries", type=int, default=1)
+        cmd.add_argument("--full-refresh", action="store_true")
+        cmd.add_argument("--symbols", default="AAPL,MSFT")
+        cmd.add_argument("--fetcher", choices=["demo"], default="demo")
+        cmd.add_argument("--warehouse", default=None, help="warehouse directory")
     run.add_argument("--catchup", action="store_true")
-    run.add_argument("--full-refresh", action="store_true")
-    run.add_argument("--symbols", default="AAPL,MSFT")
-    run.add_argument("--fetcher", choices=["demo"], default="demo")
     run.add_argument("--now", default=None, help="ISO timestamp override (tests)")
-    run.add_argument("--warehouse", default=None, help="warehouse directory")
+    bf.add_argument("--start", required=True, help="first logical date (ISO)")
+    bf.add_argument("--end", required=True, help="last logical date (ISO)")
     args = p.parse_args(argv)
 
     from personal_data_lakehouse_spark.pipelines import daily_pipeline
@@ -65,7 +73,9 @@ def main(argv: list[str] | None = None) -> int:
 
     runner = ScheduledRunner(
         task=task,
-        policy=SchedulePolicy(retries=args.retries, catchup=args.catchup),
+        policy=SchedulePolicy(
+            retries=args.retries, catchup=getattr(args, "catchup", False)
+        ),
         # The CLI is a cron-style tick invoker: retry immediately rather
         # than blocking the tick for retry_delay (a daemonized invoker
         # that wants real spacing passes time.sleep — the default).
@@ -73,12 +83,18 @@ def main(argv: list[str] | None = None) -> int:
     )
     if args.state and os.path.exists(args.state):
         runner.load_state_json(open(args.state).read())
-    now = (
-        datetime.fromisoformat(args.now).replace(tzinfo=timezone.utc)
-        if args.now
-        else None
-    )
-    reports = runner.tick(now)
+    if args.cmd == "backfill":
+        reports = runner.backfill(
+            datetime.fromisoformat(args.start).replace(tzinfo=timezone.utc),
+            datetime.fromisoformat(args.end).replace(tzinfo=timezone.utc),
+        )
+    else:
+        now = (
+            datetime.fromisoformat(args.now).replace(tzinfo=timezone.utc)
+            if args.now
+            else None
+        )
+        reports = runner.tick(now)
     for r in reports:
         print(json.dumps(r.__dict__))
     if args.state:

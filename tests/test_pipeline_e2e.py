@@ -127,3 +127,29 @@ def test_streaming_medallion_quality_clustered(spark, tmp_path):
         assert hi <= lo
     # quarantine rows carry machine-readable reasons
     assert got_quar.filter(F.size("failed_rules") == 0).count() == 0
+
+
+def test_cli_backfill_runs_range_and_preserves_watermark(spark, tmp_path):
+    """`python -m personal_data_lakehouse_spark backfill --start --end`:
+    one pipeline run per day in the inclusive range, exit 0, and the
+    scheduler watermark in the state file is untouched (backfill re-runs
+    history; tick owns progression)."""
+    import json
+
+    from personal_data_lakehouse_spark.__main__ import main
+
+    state = tmp_path / "sched.json"
+    state.write_text('{"last_success": "2026-08-10T00:00:00+00:00"}')
+    rc = main(
+        [
+            "backfill",
+            "--start",
+            "2026-08-01",
+            "--end",
+            "2026-08-02",
+            "--state",
+            str(state),
+        ]
+    )
+    assert rc == 0
+    assert json.loads(state.read_text())["last_success"].startswith("2026-08-10")
