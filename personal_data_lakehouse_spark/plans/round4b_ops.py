@@ -22,9 +22,10 @@ from pyspark.sql import functions as F
 
 from personal_data_lakehouse_spark.dedup.minhash import lsh_candidate_pairs
 from personal_data_lakehouse_spark.functions import normalize_text
+from personal_data_lakehouse_spark.functions.text import tokens
 from personal_data_lakehouse_spark.operators.asof import asof_join
 from personal_data_lakehouse_spark.plans.registry import query, t
-from personal_data_lakehouse_spark.plans.text_ops import _NORM
+from personal_data_lakehouse_spark.plans.text_ops import _NORM, _TOKS
 
 # ---------------------------------------------------------------------------
 # Gap-filled hourly series with last-observation-carried-forward
@@ -536,6 +537,45 @@ def t_mix_temperature(spark, sf_dir):
     )
     return d.join(F.broadcast(thr), "domain").filter(keep).select(
         "doc_id", "domain"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Feature hashing (hashing-trick bag-of-words)
+
+
+@query(
+    "t_feature_hashing",
+    oracle=f"""
+    SELECT doc_id, substr(md5(w), 1, 2) AS bucket, COUNT(*) AS n
+    FROM (
+        SELECT doc_id, unnest({_TOKS}) AS w
+        FROM documents WHERE doc_id % 20 = 0
+    )
+    GROUP BY 1, 2
+    """,
+)
+def t_feature_hashing(spark, sf_dir):
+    """Hashing-trick featurization: each document becomes a sparse
+    256-bucket term-count vector, bucket = first 2 hex chars of md5(token)
+    — the fixed-width, vocabulary-free text featurizer (FastText/Vowpal
+    style) that needs no dictionary broadcast and no vocabulary shuffle.
+    Emitted in sparse (doc, bucket, n) form, the layout a downstream
+    linear model or LSH consumer reads directly.
+
+    Scale: tokenize → hash → partial-aggregated groupBy(doc, bucket) —
+    one shuffle keyed by (doc_id, bucket), no vocabulary state anywhere
+    (that is the point of the hashing trick: memory is O(buckets), not
+    O(vocab)). The md5 prefix matches the oracle byte-for-byte."""
+    d = t(spark, sf_dir, "documents").filter((F.col("doc_id") % 20) == 0)
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("w"))
+    return (
+        toks.select(
+            "doc_id",
+            F.substring(F.md5(F.col("w").cast("binary")), 1, 2).alias("bucket"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
 
 

@@ -64,6 +64,7 @@ GOLDEN_EXTRA = [
     "t_mix_temperature",
     "s_label_centroids",
     "t_neardup_incremental",
+    "t_feature_hashing",
 ]
 
 # Goldens are generated against the canonical smoke fixture; other SF dirs

@@ -117,6 +117,34 @@ def test_neardup_verified_covers_all_candidates(spark):
         ver.unpersist()
 
 
+def test_feature_hashing_conserves_token_counts(spark):
+    """Σ bucket counts per document equals its whitespace token count —
+    hashing reassigns tokens to buckets, never drops or invents any; and
+    bucket ids are 2-hex-char strings (≤256 distinct)."""
+    from personal_data_lakehouse_spark.functions.text import (
+        token_count_whitespace,
+    )
+
+    out = REGISTRY["t_feature_hashing"].fn(spark, SF_DIR).persist()
+    try:
+        per_doc = out.groupBy("doc_id").agg(F.sum("n").alias("s"))
+        want = (
+            t(spark, SF_DIR, "documents")
+            .filter((F.col("doc_id") % 20) == 0)
+            .select("doc_id", token_count_whitespace("text").alias("tc"))
+        )
+        assert (
+            per_doc.join(want, "doc_id")
+            .filter(F.col("s") != F.col("tc"))
+            .count()
+            == 0
+        )
+        assert out.select("bucket").distinct().count() <= 256
+        assert out.filter(F.length("bucket") != 2).count() == 0
+    finally:
+        out.unpersist()
+
+
 def test_neardup_incremental_consistent_with_symmetric_pairs(spark):
     """The batch-vs-corpus probe must agree with the full symmetric pair
     generator restricted to (batch, corpus) pairs: same per-batch-doc
