@@ -541,6 +541,97 @@ def t_mix_temperature(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Order-insensitive table checksums (replication / migration verification)
+
+_CK_MOD = 2305843009213693951  # 2^61 - 1: keeps the running sum exact
+
+
+@query(
+    "q_table_checksum",
+    oracle=f"""
+    WITH o AS (
+        SELECT CAST(('0x' || substr(md5(
+                   CAST(o_orderkey AS VARCHAR) || '|' ||
+                   CAST(o_custkey AS VARCHAR) || '|' ||
+                   o_orderstatus || '|' ||
+                   CAST(CAST(o_orderdate AS DATE) AS VARCHAR) || '|' ||
+                   CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+               ), 1, 14)) AS BIGINT) AS h
+        FROM orders
+    ), c AS (
+        SELECT CAST(('0x' || substr(md5(
+                   CAST(c_custkey AS VARCHAR) || '|' ||
+                   CAST(c_nationkey AS VARCHAR) || '|' || c_name
+               ), 1, 14)) AS BIGINT) AS h
+        FROM customer
+    ), d AS (
+        SELECT CAST(('0x' || substr(md5(
+                   CAST(doc_id AS VARCHAR) || '|' || source || '|' ||
+                   CAST(n_chars AS VARCHAR)
+               ), 1, 14)) AS BIGINT) AS h
+        FROM documents
+    )
+    SELECT 'orders' AS table_name, COUNT(*) AS n_rows,
+           CAST(SUM(h) % {_CK_MOD} AS BIGINT) AS checksum FROM o
+    UNION ALL
+    SELECT 'customer', COUNT(*), CAST(SUM(h) % {_CK_MOD} AS BIGINT) FROM c
+    UNION ALL
+    SELECT 'documents', COUNT(*), CAST(SUM(h) % {_CK_MOD} AS BIGINT) FROM d
+    """,
+)
+def q_table_checksum(spark, sf_dir):
+    """Order-insensitive content checksums: md5 each row's canonical
+    projection, take 56 bits as an integer, SUM — two tables are
+    replica-identical iff (n_rows, checksum) match, with no sort and no
+    co-location anywhere. This is the migration/replication verification
+    primitive (exactly what validates a 100 TB copy, or this engine
+    against the reference warehouse): one scan per table, map-side
+    combinable sum, a single row of state per table.
+
+    Exactness across engines: the canonical projection uses only
+    integer/string/date renderings plus floor(×100) for money (never raw
+    float repr, which formats differently per engine); the 56-bit values
+    sum exactly in DECIMAL(38,0)/HUGEINT and are folded mod 2^61−1 at the
+    end on both sides."""
+    orders = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("c1"),
+        F.col("o_custkey").cast("string").alias("c2"),
+        F.col("o_orderstatus").alias("c3"),
+        F.col("o_orderdate").cast("date").cast("string").alias("c4"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").cast("string").alias("c5"),
+    )
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("c1"),
+        F.col("c_nationkey").cast("string").alias("c2"),
+        F.col("c_name").alias("c3"),
+    )
+    docs = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("c1"),
+        F.col("source").alias("c2"),
+        F.col("n_chars").cast("string").alias("c3"),
+    )
+    return (
+        _ck_table(orders, "orders")
+        .unionAll(_ck_table(cust, "customer"))
+        .unionAll(_ck_table(docs, "documents"))
+    )
+
+
+def _ck_h(cols):
+    return F.conv(
+        F.substring(F.md5(F.concat_ws("|", *cols).cast("binary")), 1, 14), 16, 10
+    ).cast("decimal(38,0)")
+
+
+def _ck_table(df, table):
+    withh = df.withColumn("h", _ck_h(df.columns))
+    return withh.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr(f"CAST(pmod(SUM(h), {_CK_MOD}L) AS BIGINT)").alias("checksum"),
+    ).select(F.lit(table).alias("table_name"), "n_rows", "checksum")
+
+
+# ---------------------------------------------------------------------------
 # Feature hashing (hashing-trick bag-of-words)
 
 

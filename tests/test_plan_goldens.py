@@ -65,6 +65,7 @@ GOLDEN_EXTRA = [
     "s_label_centroids",
     "t_neardup_incremental",
     "t_feature_hashing",
+    "q_table_checksum",
 ]
 
 # Goldens are generated against the canonical smoke fixture; other SF dirs

@@ -117,6 +117,30 @@ def test_neardup_verified_covers_all_candidates(spark):
         ver.unpersist()
 
 
+def test_table_checksum_is_layout_invariant_and_mutation_sensitive(spark):
+    """The checksum must be identical under any partitioning/row order and
+    must change when a single row's content changes."""
+    from personal_data_lakehouse_spark.plans.round4b_ops import _ck_table
+
+    docs = t(spark, SF_DIR, "documents").select(
+        F.col("doc_id").cast("string").alias("c1"),
+        F.col("source").alias("c2"),
+        F.col("n_chars").cast("string").alias("c3"),
+    )
+    base = _ck_table(docs, "documents").first()
+    shuffled = _ck_table(docs.repartition(13, "c2"), "documents").first()
+    assert (base["n_rows"], base["checksum"]) == (
+        shuffled["n_rows"],
+        shuffled["checksum"],
+    )
+    mutated = docs.withColumn(
+        "c3", F.when(F.col("c1") == "0", F.lit("99999")).otherwise(F.col("c3"))
+    )
+    mut = _ck_table(mutated, "documents").first()
+    assert mut["n_rows"] == base["n_rows"]
+    assert mut["checksum"] != base["checksum"]
+
+
 def test_feature_hashing_conserves_token_counts(spark):
     """Σ bucket counts per document equals its whitespace token count —
     hashing reassigns tokens to buckets, never drops or invents any; and
