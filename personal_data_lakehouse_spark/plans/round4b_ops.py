@@ -541,6 +541,62 @@ def t_mix_temperature(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Streaming watermark dedup run in-query, proven batch-equivalent
+
+
+@query(
+    "q_stream_dedup",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1
+    """,
+)
+def q_stream_dedup(spark, sf_dir):
+    """Streaming exact-dedup under the driver's hash: the events fixture is
+    consumed via readStream (availableNow), ``dropDuplicatesWithinWatermark``
+    keyed on (user_id, event_type) emits each key once, the deduped append
+    stream lands in a memory sink, and the sink is aggregated to
+    (event_type, distinct users) — which must equal the batch
+    COUNT(DISTINCT). Only key-level facts are hashed (which ROW survives
+    dedup depends on micro-batch arrival order — deliberately excluded
+    from the deterministic output contract).
+
+    Scale: dedup state is bounded by the watermark horizon (keys expire
+    once the event-time watermark passes), the canonical streaming-dedup
+    memory story; the aggregation runs on the deduped (already small)
+    key stream."""
+    import uuid
+
+    from personal_data_lakehouse_spark.streaming.windows import stream_events
+
+    s = stream_events(spark, f"{sf_dir}/events.parquet")
+    deduped = (
+        s.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    name = f"sdedup_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Order-insensitive table checksums (replication / migration verification)
 
 _CK_MOD = 2305843009213693951  # 2^61 - 1: keeps the running sum exact
