@@ -83,18 +83,22 @@ def main(argv: list[str] | None = None) -> int:
     )
     if args.state and os.path.exists(args.state):
         runner.load_state_json(open(args.state).read())
+
+    def as_utc(s: str) -> datetime:
+        # aware inputs are CONVERTED to UTC (replace() would silently
+        # reinterpret the wall time and can shift the logical-date floor
+        # by a day); naive inputs are taken as UTC
+        d = datetime.fromisoformat(s)
+        return (
+            d.astimezone(timezone.utc)
+            if d.tzinfo
+            else d.replace(tzinfo=timezone.utc)
+        )
+
     if args.cmd == "backfill":
-        reports = runner.backfill(
-            datetime.fromisoformat(args.start).replace(tzinfo=timezone.utc),
-            datetime.fromisoformat(args.end).replace(tzinfo=timezone.utc),
-        )
+        reports = runner.backfill(as_utc(args.start), as_utc(args.end))
     else:
-        now = (
-            datetime.fromisoformat(args.now).replace(tzinfo=timezone.utc)
-            if args.now
-            else None
-        )
-        reports = runner.tick(now)
+        reports = runner.tick(as_utc(args.now) if args.now else None)
     for r in reports:
         print(json.dumps(r.__dict__))
     if args.state:

@@ -121,6 +121,51 @@ def minhash_signatures(
     )
 
 
+def _banded_docs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    bands: int,
+    shingle_n: int,
+    seed: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared LSH indexing stage: ONE wide aggregation fuses the k partial
+    MINs and the shingle-set array per document (persisted — on a cluster
+    this is the written band index), then the band buckets are exploded to
+    (id, band, bucket) rows. Both the symmetric (corpus×corpus) and the
+    incremental (batch×corpus) pair generators join on top of this —
+    keeping the banding scheme in exactly one place."""
+    rows = k // bands
+    ex = exploded_shingles(df, text_col, id_col, shingle_n)
+    x = _base_hash(F.col("s"))
+    p = F.lit(MERSENNE_P).cast("long")
+    mins = [
+        F.min((F.lit(a).cast("long") * x + F.lit(b)) % p).alias(f"h{i}")
+        for i, (a, b) in enumerate(hash_family(k, seed))
+    ]
+    docs = (
+        ex.groupBy(id_col)
+        .agg(*mins, F.collect_list("s").alias("shingles"))
+        .persist()  # one row per doc: sig mins + shingle set
+    )
+    bucket_cols = [
+        F.md5(
+            F.concat_ws(
+                "|", *[F.col(f"h{b * rows + r}").cast("string") for r in range(rows)]
+            )
+        ).alias(f"bucket{b}")
+        for b in range(bands)
+    ]
+    banded = docs.select(F.col(id_col), *bucket_cols).select(
+        F.col(id_col),
+        F.posexplode(F.array(*[F.col(f"bucket{b}") for b in range(bands)])).alias(
+            "band", "bucket"
+        ),
+    )
+    return docs, banded
+
+
 def lsh_batch_vs_corpus(
     df: DataFrame,
     batch_cond,
@@ -141,33 +186,7 @@ def lsh_batch_vs_corpus(
     band join then probes BATCH bands against CORPUS bands only, so
     candidate generation is O(|batch| · bucket load), never corpus×corpus.
     Returns (batch_id, corpus_id, jaccard) with exact shingle Jaccard."""
-    rows = k // bands
-    ex = exploded_shingles(df, text_col, id_col, shingle_n)
-    x = _base_hash(F.col("s"))
-    p = F.lit(MERSENNE_P).cast("long")
-    mins = [
-        F.min((F.lit(a).cast("long") * x + F.lit(b)) % p).alias(f"h{i}")
-        for i, (a, b) in enumerate(hash_family(k, seed))
-    ]
-    docs = (
-        ex.groupBy(id_col)
-        .agg(*mins, F.collect_list("s").alias("shingles"))
-        .persist()
-    )
-    bucket_cols = [
-        F.md5(
-            F.concat_ws(
-                "|", *[F.col(f"h{b * rows + r}").cast("string") for r in range(rows)]
-            )
-        ).alias(f"bucket{b}")
-        for b in range(bands)
-    ]
-    banded = docs.select(F.col(id_col), *bucket_cols).select(
-        F.col(id_col),
-        F.posexplode(F.array(*[F.col(f"bucket{b}") for b in range(bands)])).alias(
-            "band", "bucket"
-        ),
-    )
+    docs, banded = _banded_docs(df, text_col, id_col, k, bands, shingle_n, seed)
     batch_b = banded.filter(batch_cond)
     corpus_b = banded.filter(~batch_cond)
     pairs = (
@@ -221,34 +240,7 @@ def lsh_candidate_pairs(
     (bucketed by id), which the verify joins co-locate against; the
     dataflow is unchanged.
     """
-    rows = k // bands
-    ex = exploded_shingles(df, text_col, id_col, shingle_n)
-    x = _base_hash(F.col("s"))
-    p = F.lit(MERSENNE_P).cast("long")
-    mins = [
-        F.min((F.lit(a).cast("long") * x + F.lit(b)) % p).alias(f"h{i}")
-        for i, (a, b) in enumerate(hash_family(k, seed))
-    ]
-    docs = (
-        ex.groupBy(id_col)
-        .agg(*mins, F.collect_list("s").alias("shingles"))
-        .persist()  # one row per doc: sig mins + shingle set
-    )
-    bucket_cols = [
-        F.md5(
-            F.concat_ws(
-                "|", *[F.col(f"h{b * rows + r}").cast("string") for r in range(rows)]
-            )
-        ).alias(f"bucket{b}")
-        for b in range(bands)
-    ]
-    banded = docs.select(F.col(id_col), *bucket_cols).select(
-        F.col(id_col),
-        F.posexplode(F.array(*[F.col(f"bucket{b}") for b in range(bands)])).alias(
-            "band", "bucket"
-        ),
-    )
-
+    docs, banded = _banded_docs(df, text_col, id_col, k, bands, shingle_n, seed)
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(

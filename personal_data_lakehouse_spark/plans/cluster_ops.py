@@ -33,9 +33,12 @@ from personal_data_lakehouse_spark.plans.text_ops import (
     _TOKS,
 )
 
-# DuckDB replay of dedup.minhash.lsh_candidate_pairs (same fragments as
-# t_minhash_lsh_pairs' oracle), kept as a reusable CTE block.
-_LSH_PAIRS_CTES = f"""
+# DuckDB replay of dedup.minhash._banded_docs (same fragments as
+# t_minhash_lsh_pairs' oracle), kept as reusable CTE blocks: the sig/bands
+# index stage is shared by EVERY LSH consumer (symmetric pairs here,
+# batch-vs-corpus pairs in round4b_ops) so the banding scheme exists in
+# exactly one SQL template.
+_SIG_BANDS_CTES = f"""
     sig AS (
         SELECT doc_id, shingles, {{sig}} AS sig
         FROM (SELECT doc_id, shingles, {{xs}} AS xs
@@ -46,19 +49,32 @@ _LSH_PAIRS_CTES = f"""
                md5(sig[b*4+1]::VARCHAR || '|' || sig[b*4+2]::VARCHAR || '|' ||
                    sig[b*4+3]::VARCHAR || '|' || sig[b*4+4]::VARCHAR) AS bucket
         FROM sig, unnest([0, 1, 2, 3]) AS u(b)
-    ), lsh_pairs AS (
+    )"""
+
+_LSH_PAIRS_CTES = (
+    _SIG_BANDS_CTES
+    + """, lsh_pairs AS (
         SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
                a.shingles AS sh_a, c.shingles AS sh_b
         FROM bands a JOIN bands c
           ON a.b = c.b AND a.bucket = c.bucket AND a.doc_id < c.doc_id
     )
 """
+)
+
+
+def _fill(template: str) -> str:
+    from personal_data_lakehouse_spark.plans.text_ops import _XS
+
+    return template.replace("{sig}", _sig_sql()).replace("{xs}", _XS)
+
+
+def _sig_bands_ctes() -> str:
+    return _fill(_SIG_BANDS_CTES)
 
 
 def _lsh_ctes() -> str:
-    from personal_data_lakehouse_spark.plans.text_ops import _XS
-
-    return _LSH_PAIRS_CTES.replace("{sig}", _sig_sql()).replace("{xs}", _XS)
+    return _fill(_LSH_PAIRS_CTES)
 
 
 # ---------------------------------------------------------------------------

@@ -86,7 +86,14 @@ def q_stream_static_enrich(spark, sf_dir):
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(name)
+    # Materialize the |nation|-row sink and drop the uuid-named memory
+    # table — repeated invocations on a shared session would otherwise
+    # leak one temp view (and its rows, driver-side) per call.
+    out = spark.table(name)
+    rows = out.collect()
+    schema = out.schema
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, schema)
 
 
 # ---------------------------------------------------------------------------

@@ -413,25 +413,12 @@ def t_neardup_incremental(spark, sf_dir):
 
 
 def _neardup_incr_oracle() -> str:
-    from personal_data_lakehouse_spark.plans.text_ops import (
-        _SHINGLES,
-        _TOKS,
-        _XS,
-        _sig_sql,
-    )
+    # sig/bands come from the ONE shared template (cluster_ops) — only the
+    # pair-join predicate (batch probes corpus) is specific to this query
+    from personal_data_lakehouse_spark.plans.cluster_ops import _sig_bands_ctes
 
     return f"""
-    WITH sig AS (
-        SELECT doc_id, shingles, {_sig_sql()} AS sig
-        FROM (SELECT doc_id, shingles, {_XS} AS xs
-              FROM (SELECT doc_id, {_SHINGLES} AS shingles
-                    FROM (SELECT doc_id, {_TOKS} AS w FROM documents)))
-    ), bands AS (
-        SELECT doc_id, shingles, b,
-               md5(sig[b*4+1]::VARCHAR || '|' || sig[b*4+2]::VARCHAR || '|' ||
-                   sig[b*4+3]::VARCHAR || '|' || sig[b*4+4]::VARCHAR) AS bucket
-        FROM sig, unnest([0, 1, 2, 3]) AS u(b)
-    ), p AS (
+    WITH {_sig_bands_ctes()}, p AS (
         SELECT DISTINCT a.doc_id AS batch_id, c.doc_id AS corpus_id,
                a.shingles AS sh_a, c.shingles AS sh_b
         FROM bands a JOIN bands c
@@ -589,11 +576,20 @@ def q_stream_dedup(spark, sf_dir):
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return (
+    out = (
         spark.table(name)
         .groupBy("event_type")
         .agg(F.count_distinct("user_id").alias("n_users"))
     )
+    # Materialize the ≤|event_types|-row rollup and DROP the memory-sink
+    # view — otherwise every invocation leaks a uuid-named temp table
+    # holding the full deduped key set in driver memory (clearCache does
+    # not unregister memory-sink tables). Same ≤10-row materialization
+    # class as the query-vector collect in similarity/vectorized.py.
+    rows = out.collect()
+    schema = out.schema
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, schema)
 
 
 # ---------------------------------------------------------------------------
@@ -607,23 +603,27 @@ _CK_MOD = 2305843009213693951  # 2^61 - 1: keeps the running sum exact
     oracle=f"""
     WITH o AS (
         SELECT CAST(('0x' || substr(md5(
-                   CAST(o_orderkey AS VARCHAR) || '|' ||
-                   CAST(o_custkey AS VARCHAR) || '|' ||
-                   o_orderstatus || '|' ||
-                   CAST(CAST(o_orderdate AS DATE) AS VARCHAR) || '|' ||
-                   CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+                   COALESCE(CAST(o_orderkey AS VARCHAR), chr(1)) || '|' ||
+                   COALESCE(CAST(o_custkey AS VARCHAR), chr(1)) || '|' ||
+                   COALESCE(o_orderstatus, chr(1)) || '|' ||
+                   COALESCE(CAST(CAST(o_orderdate AS DATE) AS VARCHAR), chr(1))
+                   || '|' ||
+                   COALESCE(CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
+                                 AS VARCHAR), chr(1))
                ), 1, 14)) AS BIGINT) AS h
         FROM orders
     ), c AS (
         SELECT CAST(('0x' || substr(md5(
-                   CAST(c_custkey AS VARCHAR) || '|' ||
-                   CAST(c_nationkey AS VARCHAR) || '|' || c_name
+                   COALESCE(CAST(c_custkey AS VARCHAR), chr(1)) || '|' ||
+                   COALESCE(CAST(c_nationkey AS VARCHAR), chr(1)) || '|' ||
+                   COALESCE(c_name, chr(1))
                ), 1, 14)) AS BIGINT) AS h
         FROM customer
     ), d AS (
         SELECT CAST(('0x' || substr(md5(
-                   CAST(doc_id AS VARCHAR) || '|' || source || '|' ||
-                   CAST(n_chars AS VARCHAR)
+                   COALESCE(CAST(doc_id AS VARCHAR), chr(1)) || '|' ||
+                   COALESCE(source, chr(1)) || '|' ||
+                   COALESCE(CAST(n_chars AS VARCHAR), chr(1))
                ), 1, 14)) AS BIGINT) AS h
         FROM documents
     )
@@ -646,9 +646,11 @@ def q_table_checksum(spark, sf_dir):
 
     Exactness across engines: the canonical projection uses only
     integer/string/date renderings plus floor(×100) for money (never raw
-    float repr, which formats differently per engine); the 56-bit values
-    sum exactly in DECIMAL(38,0)/HUGEINT and are folded mod 2^61−1 at the
-    end on both sides."""
+    float repr, which formats differently per engine), with every column
+    coalesced to a \\x01 sentinel so NULLs neither drop the row from the
+    sum nor collide with adjacent-column shifts; the 56-bit values sum
+    exactly in DECIMAL(38,0)/HUGEINT and are folded mod 2^61−1 at the end
+    on both sides."""
     orders = t(spark, sf_dir, "orders").select(
         F.col("o_orderkey").cast("string").alias("c1"),
         F.col("o_custkey").cast("string").alias("c2"),
@@ -674,8 +676,14 @@ def q_table_checksum(spark, sf_dir):
 
 
 def _ck_h(cols):
+    # Each column is coalesced to a \x01 sentinel BEFORE concatenation:
+    # concat_ws silently skips NULLs, which would (a) diverge from the
+    # oracle's '||' (whole hash nullified → row vanishes from the sum) and
+    # (b) make ('a', NULL, 'b') and ('a', 'b', NULL) hash identically —
+    # undetectable drift in the very tool meant to detect it.
+    safe = [F.coalesce(F.col(c), F.lit("\x01")) for c in cols]
     return F.conv(
-        F.substring(F.md5(F.concat_ws("|", *cols).cast("binary")), 1, 14), 16, 10
+        F.substring(F.md5(F.concat_ws("|", *safe).cast("binary")), 1, 14), 16, 10
     ).cast("decimal(38,0)")
 
 

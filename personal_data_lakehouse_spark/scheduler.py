@@ -150,11 +150,18 @@ class ScheduledRunner:
         restored around the loop. Retries apply per interval exactly as in
         a scheduled run; a failed interval does not stop later ones
         (each day's report carries its own status)."""
+        d = _floor_day(start)
+        stop = _floor_day(end)
+        if d > stop:
+            # airflow errors on a reversed range too — silently running
+            # zero intervals would report success while reprocessing nothing
+            raise ValueError(
+                f"backfill range is reversed: start {start.isoformat()} is "
+                f"after end {end.isoformat()}"
+            )
         saved = self.last_success
         try:
             reports: list[RunReport] = []
-            d = _floor_day(start)
-            stop = _floor_day(end)
             while d <= stop:
                 reports.append(self._run_with_retries(d))
                 d += DAY

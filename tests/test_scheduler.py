@@ -136,3 +136,11 @@ def test_backfill_failed_interval_does_not_stop_later_ones():
     assert [x.status for x in reports] == ["success", "failed", "success"]
     assert reports[1].attempts == 2 and naps == [300.0]
     assert r.last_success == dt(2026, 8, 10)
+
+
+def test_backfill_reversed_range_raises():
+    import pytest
+
+    r = ScheduledRunner(task=lambda d: None)
+    with pytest.raises(ValueError, match="reversed"):
+        r.backfill(dt(2026, 8, 3), dt(2026, 8, 1))

@@ -49,9 +49,11 @@ def main() -> None:
                 }
             )
         )
-        if all(ln.startswith(("LocalTableScan", "AdaptiveSparkPlan", "Project"))
-               for ln in lines):
-            joins = "(streaming-in-query)"
+        if n_scan == 0 and any(ln.startswith("LocalTableScan") for ln in lines):
+            # a memory-sink/materialized result (streaming-in-query
+            # entries): the interesting plan ran inside the streaming job,
+            # not in this batch tail — label it instead of ranking it
+            joins = "(streaming-in-query/materialized)"
         rows.append((name, n_scan, n_exch, n_bcast, joins))
     rows.sort(key=lambda r: (-r[1] if isinstance(r[1], int) else 0, r[0]))
     rows.sort(key=lambda r: -(r[2] if isinstance(r[2], int) else 99))
