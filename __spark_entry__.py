@@ -74,7 +74,7 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # t_neardup_verified, t_curriculum_order, m_pagerank_top20,
 # q_dbt_schema_tests, t_mix_temperature, s_label_centroids,
 # t_neardup_incremental, t_feature_hashing, q_table_checksum,
-# q_stream_dedup). Point the r5
+# q_stream_dedup, q_decile_histogram). Point the r5
 # window at (a) any
 # r4 reds, (b) that backlog + queries new in r5, (c) the oldest green rows
 # (pass-r1-era), which have gone longest without re-proof.

@@ -528,6 +528,67 @@ def t_mix_temperature(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Exact decile bucketing via the bounded-range value histogram
+
+
+@query(
+    "q_decile_histogram",
+    oracle="""
+    WITH v AS (
+        SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+    ), hist AS (
+        SELECT cents, COUNT(*) AS n_at FROM v GROUP BY 1
+    ), h2 AS (
+        SELECT cents, n_at,
+               SUM(n_at) OVER (ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               SUM(n_at) OVER () AS n
+        FROM hist
+    ), labeled AS (
+        SELECT cents, n_at, (10 * cum + n - 1) // n AS decile FROM h2
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(SUM(n_at) AS BIGINT) AS n_orders,
+           MIN(cents) AS min_cents, MAX(cents) AS max_cents
+    FROM labeled GROUP BY 1
+    """,
+)
+def q_decile_histogram(spark, sf_dir):
+    """Exact value deciles WITHOUT a global sort: decile(v) =
+    ceil(10·cum_rank(v)/n) computed on the value histogram — rows sharing
+    a value always share a decile (unlike NTILE, whose tie-splitting
+    depends on physical row order and is therefore not reproducible), and
+    the integer form (10·cum + n − 1) div n is exact on both engines.
+
+    Scale: the histogram is keyed by the VALUE (integer cents), so its
+    size is bounded by the value range — not the row count; for money
+    columns that is ~1e7 entries at any corpus size. One scan + one
+    histogram aggregation; the cumsum windows run over the histogram. The
+    same shape assigns per-ROW deciles at scale by broadcasting the 9
+    boundary values back onto the fact table as a map-side lookup."""
+    v = t(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    hist = v.groupBy("cents").agg(F.count(F.lit(1)).alias("n_at"))
+    cumw = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    allw = Window.partitionBy()
+    h2 = hist.select(
+        "cents",
+        "n_at",
+        F.sum("n_at").over(cumw).alias("cum"),
+        F.sum("n_at").over(allw).alias("n"),
+    )
+    labeled = h2.select(
+        "cents", "n_at", F.expr("(10 * cum + n - 1) div n").alias("decile")
+    )
+    return labeled.groupBy("decile").agg(
+        F.sum("n_at").alias("n_orders"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Streaming watermark dedup run in-query, proven batch-equivalent
 
 

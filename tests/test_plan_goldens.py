@@ -66,6 +66,7 @@ GOLDEN_EXTRA = [
     "t_neardup_incremental",
     "t_feature_hashing",
     "q_table_checksum",
+    "q_decile_histogram",
 ]
 
 # Goldens are generated against the canonical smoke fixture; other SF dirs

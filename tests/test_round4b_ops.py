@@ -117,6 +117,23 @@ def test_neardup_verified_covers_all_candidates(spark):
         ver.unpersist()
 
 
+def test_decile_histogram_partitions_rows_with_balanced_monotone_buckets(spark):
+    """Deciles 1..10 partition all orders; bucket value ranges are disjoint
+    and increasing; sizes are n/10 ± the largest value-tie group."""
+    rows = sorted(
+        REGISTRY["q_decile_histogram"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r["decile"],
+    )
+    n_total = t(spark, SF_DIR, "orders").count()
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    assert sum(r["n_orders"] for r in rows) == n_total
+    for a, b in zip(rows, rows[1:]):
+        assert a["max_cents"] < b["min_cents"]  # disjoint, increasing
+    # ceil(10·cum/n) puts every bucket within one tie-group of n/10
+    for r in rows:
+        assert abs(r["n_orders"] - n_total / 10) < n_total / 10
+
+
 def test_table_checksum_is_layout_invariant_and_mutation_sensitive(spark):
     """The checksum must be identical under any partitioning/row order and
     must change when a single row's content changes."""
