@@ -111,6 +111,80 @@ def test_sharded_positions_keep_null_keys_first(spark):
 
 
 # ---------------------------------------------------------------------------
+# asof_join vs pandas merge_asof — an INDEPENDENT oracle (neither Spark
+# windows nor DuckDB ASOF), over generated key/timestamp data
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    probes=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1000)),  # (key, ts)
+        min_size=1,
+        max_size=25,
+    ),
+    refs=st.lists(
+        st.tuples(
+            st.integers(0, 3), st.integers(0, 1000), st.integers(0, 99)
+        ),  # (key, ts, val)
+        min_size=0,
+        max_size=25,
+    ),
+)
+def test_asof_join_matches_pandas_merge_asof(spark, probes, refs):
+    import pandas as pd
+
+    from personal_data_lakehouse_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(i, k, ts) for i, (k, ts) in enumerate(probes)],
+        "pid long, k int, lts long",
+    )
+    right = spark.createDataFrame(refs, "k int, rts long, val int") if refs else (
+        spark.createDataFrame([], "k int, rts long, val int")
+    )
+    got = {
+        r["pid"]: (r["matched_ts"], r["matched_val"])
+        for r in asof_join(
+            left, right, on="k", left_ts="lts", right_ts="rts",
+            value_cols=["val"],
+        ).collect()
+    }
+    # pandas oracle: dedup refs per (k, ts) by max val — the operator's
+    # documented tie rule — then backward merge_asof per key
+    lp = pd.DataFrame(
+        [(i, k, ts) for i, (k, ts) in enumerate(probes)],
+        columns=["pid", "k", "lts"],
+    ).sort_values("lts", kind="stable")
+    rp = (
+        pd.DataFrame(refs, columns=["k", "rts", "val"])
+        .groupby(["k", "rts"], as_index=False)["val"]
+        .max()
+        .sort_values("rts", kind="stable")
+        if refs
+        else pd.DataFrame(
+            {c: pd.Series(dtype="int64") for c in ("k", "rts", "val")}
+        )
+    )
+    merged = pd.merge_asof(
+        lp,
+        rp,
+        left_on="lts",
+        right_on="rts",
+        by="k",
+        direction="backward",
+        allow_exact_matches=True,
+    )
+    for row in merged.itertuples():
+        want_ts = None if pd.isna(row.rts) else int(row.rts)
+        want_val = None if pd.isna(row.val) else int(row.val)
+        assert got[row.pid] == (want_ts, want_val), (
+            row.pid,
+            got[row.pid],
+            (want_ts, want_val),
+        )
+
+
+# ---------------------------------------------------------------------------
 # CDC apply_changes vs a sequential reference model
 
 
