@@ -53,6 +53,12 @@ def main(argv: list[str] | None = None) -> int:
     run.add_argument("--now", default=None, help="ISO timestamp override (tests)")
     bf.add_argument("--start", required=True, help="first logical date (ISO)")
     bf.add_argument("--end", required=True, help="last logical date (ISO)")
+    corpus = sub.add_parser(
+        "corpus", help="run the training-corpus DAG over a documents table"
+    )
+    corpus.add_argument("--docs", required=True, help="documents parquet path")
+    corpus.add_argument("--namespace", default="corpus")
+    corpus.add_argument("--warehouse", default=None, help="warehouse directory")
     args = p.parse_args(argv)
 
     from personal_data_lakehouse_spark.pipelines import daily_pipeline
@@ -63,6 +69,16 @@ def main(argv: list[str] | None = None) -> int:
     from personal_data_lakehouse_spark.session import get_spark
 
     spark = get_spark(app_name="pdl-cli", warehouse_dir=args.warehouse)
+
+    if args.cmd == "corpus":
+        from personal_data_lakehouse_spark.corpus import corpus_pipeline
+
+        stages = corpus_pipeline(
+            spark, spark.read.parquet(args.docs), namespace=args.namespace
+        )
+        print(json.dumps(stages))
+        return 0
+
     symbols = [s for s in args.symbols.split(",") if s]
 
     def task(logical_date: datetime) -> None:

@@ -47,3 +47,22 @@ def test_corpus_pipeline_funnel_and_determinism(spark):
     # a full re-run reproduces every stage count (pure function of input)
     again = corpus_pipeline(spark, docs, namespace="corpus_t2")
     assert again == stages
+
+
+def test_cli_corpus_subcommand(spark, capsys):
+    import json
+
+    from personal_data_lakehouse_spark.__main__ import main
+
+    rc = main(
+        [
+            "corpus",
+            "--docs",
+            f"{SF_DIR}/documents.parquet",
+            "--namespace",
+            "corpus_cli",
+        ]
+    )
+    assert rc == 0
+    stages = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stages["raw"] >= stages["intake"] >= stages["rebalanced"]
