@@ -95,6 +95,12 @@ def test_skew_diagnosis_internal_consistency(spark):
         assert (
             row["mean_cnt_x1000"] == row["n_rows"] * 1000 // row["n_keys"]
         )
+        # exact brute-force percentiles: the histogram-chain p50/p90 must
+        # equal the ceil-rank element of the sorted per-key counts
+        vals = sorted(r["count"] for r in cnts.collect())
+        n = len(vals)
+        assert row["p50_cnt"] == vals[(n + 1) // 2 - 1]
+        assert row["p90_cnt"] == vals[(9 * n + 9) // 10 - 1]
     finally:
         cnts.unpersist()
 
