@@ -205,3 +205,95 @@ def compact_small_files(
     os.rename(staging, path)
     shutil.rmtree(old)
     return {"files_before": before, "files_after": _n_files(path), "bytes": total}
+
+
+# ---------------------------------------------------------------------------
+# Manifest-based data skipping (the Delta/Iceberg stats-pruning read path)
+
+
+def write_manifest(spark: SparkSession, path: str, key: str) -> int:
+    """Persist per-file (n_rows, key min/max) stats as ``_manifest.json``
+    next to the data — the engine-side equivalent of the stats Delta keeps
+    in its transaction log. Computed with ONE scan at write time so every
+    later read plans from the manifest without touching data files.
+    Returns the number of files recorded."""
+    import json
+
+    rows = file_stats(spark, path, key).collect()
+    manifest = {
+        "key": key,
+        "files": [
+            {
+                "file": r["file"],
+                "n_rows": r["n_rows"],
+                "key_min": r["key_min"],
+                "key_max": r["key_max"],
+            }
+            for r in rows
+        ],
+    }
+    with open(os.path.join(path, "_manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    return len(rows)
+
+
+def plan_skipping(
+    spark: SparkSession,
+    path: str,
+    key: str,
+    lo=None,
+    hi=None,
+) -> tuple[list[str], int]:
+    """File-pruning plan for ``key BETWEEN lo AND hi`` (either bound may be
+    None): consult ``_manifest.json`` when present (no data I/O), else
+    compute stats on the fly. Files whose [key_min, key_max] cannot
+    intersect the predicate are skipped; files with NULL stats (all-NULL
+    key) are kept conservatively — the residual filter disposes of their
+    rows. Returns (files_to_read, total_files)."""
+    import json
+
+    mpath = os.path.join(path, "_manifest.json")
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            doc = json.load(f)
+        if doc.get("key") != key:
+            raise ValueError(
+                f"manifest at {mpath} covers key {doc.get('key')!r}, not {key!r}"
+            )
+        entries = doc["files"]
+    else:
+        entries = [r.asDict() for r in file_stats(spark, path, key).collect()]
+    keep = []
+    for e in entries:
+        kmin, kmax = e["key_min"], e["key_max"]
+        if lo is not None and kmax is not None and kmax < lo:
+            continue
+        if hi is not None and kmin is not None and kmin > hi:
+            continue
+        keep.append(e["file"])
+    return keep, len(entries)
+
+
+def read_skipping(
+    spark: SparkSession,
+    path: str,
+    key: str,
+    lo=None,
+    hi=None,
+) -> DataFrame:
+    """Manifest-pruned read: open ONLY the files that can contain
+    ``key BETWEEN lo AND hi``, then apply the residual predicate (file
+    pruning is a superset guarantee, not an exact one). With a clustered /
+    z-ordered layout this skips all but the matching key ranges before a
+    single data byte is read — the core data-skipping contract of the
+    table formats, implemented against plain parquet."""
+    files, _total = plan_skipping(spark, path, key, lo, hi)
+    if not files:
+        empty = spark.read.parquet(path).filter(F.lit(False))
+        return empty
+    df = spark.read.parquet(*files)
+    if lo is not None:
+        df = df.filter(F.col(key) >= F.lit(lo))
+    if hi is not None:
+        df = df.filter(F.col(key) <= F.lit(hi))
+    return df

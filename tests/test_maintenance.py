@@ -158,3 +158,53 @@ def test_write_versioned_claims_version_exclusively(spark, tmp_path):
     assert v == 3  # skipped the claimed v2, did not overwrite it
     assert read_versioned(spark, path).filter(F.col("k") >= 100).count() == 10
     assert read_versioned(spark, path, version=1).count() == 10
+
+
+def test_manifest_skipping_prunes_files_and_preserves_results(spark, tmp_path):
+    """clustered_write + write_manifest: a narrow key range plans a strict
+    subset of files from the manifest alone, and the pruned read equals the
+    full-scan filter exactly; an empty range reads zero rows."""
+    from personal_data_lakehouse_spark.operators.maintenance import (
+        clustered_write,
+        plan_skipping,
+        read_skipping,
+        write_manifest,
+    )
+
+    path = str(tmp_path / "clustered")
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    clustered_write(df, path, ["k"], target_files=10)
+    n_recorded = write_manifest(spark, path, "k")
+    assert n_recorded >= 5
+
+    files, total = plan_skipping(spark, path, "k", lo=2_000, hi=2_999)
+    assert total == n_recorded
+    assert 0 < len(files) < total  # actually pruned
+
+    got = read_skipping(spark, path, "k", lo=2_000, hi=2_999)
+    want = spark.read.parquet(path).filter(F.col("k").between(2_000, 2_999))
+    assert got.count() == want.count() == 1_000
+    assert got.exceptAll(want).count() == 0
+
+    none_files, _ = plan_skipping(spark, path, "k", lo=50_000)
+    assert none_files == []
+    assert read_skipping(spark, path, "k", lo=50_000).count() == 0
+
+
+def test_manifest_skipping_rejects_wrong_key(spark, tmp_path):
+    import pytest
+
+    from personal_data_lakehouse_spark.operators.maintenance import (
+        clustered_write,
+        plan_skipping,
+        write_manifest,
+    )
+
+    path = str(tmp_path / "clustered2")
+    df = spark.range(0, 100).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    clustered_write(df, path, ["k"], target_files=2)
+    write_manifest(spark, path, "k")
+    with pytest.raises(ValueError, match="covers key"):
+        plan_skipping(spark, path, "v", lo=1)
