@@ -86,3 +86,37 @@ def train_bpe(
     finally:
         cur.unpersist()
     return merges
+
+
+def encode_bpe(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a trained merge list — tokenize the corpus with it.
+
+    The merges are applied IN TRAINING ORDER as a chain of the same
+    JVM-side greedy folds the trainer uses, so encode ∘ train is
+    self-consistent by construction. Scale shape mirrors the trainer: the
+    expensive encode runs once per DISTINCT word (the ~1e7-row vocabulary,
+    not the 100 TB corpus), and the corpus only pays a hash join on the
+    word to pick up its token count. Returns per-document
+    (n_words, n_bpe_tokens)."""
+    from personal_data_lakehouse_spark.functions.text import tokens
+
+    words = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("w")
+    ).filter(F.length("w") > 0)
+    col: Column = F.split("w", "")
+    for left, right, _cnt in merges:
+        col = _merge_pair(col, left, right, left + right)
+    vocab = words.select("w").distinct().select("w", F.size(col).alias("n_sym"))
+    return (
+        words.join(vocab, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sym").alias("n_bpe_tokens"),
+        )
+    )

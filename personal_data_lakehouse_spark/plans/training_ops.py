@@ -514,6 +514,20 @@ def t_bpe_merges(spark, sf_dir):
     )
 
 
+@query("t_bpe_encode", oracle=None)
+def t_bpe_encode(spark, sf_dir):
+    """Tokenize the corpus with the trained merges (functions/bpe.py:
+    encode_bpe): per document, word count and BPE token count. The encode
+    runs once per DISTINCT word and joins back — the corpus never pays the
+    per-merge folds. Rows-only like the trainer (the N-round merge chain
+    is not one SQL query); the sequential-reference equivalence is pinned
+    in tests/test_bpe.py::test_encode_bpe_matches_sequential_reference."""
+    from personal_data_lakehouse_spark.functions.bpe import encode_bpe, train_bpe
+
+    docs = t(spark, sf_dir, "documents")
+    return encode_bpe(docs, train_bpe(docs, "text", n_merges=8))
+
+
 @query(
     "t_sample_token_budget",
     oracle=f"""
