@@ -67,17 +67,13 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #   (e) refill: flagship/bench re-verification + r1-only-proven rows.
 # After this window every registered query has >=1 driver row and every
 # oracle-backed query from rounds 1-3 has >=1 green row.
-# Round-5 rotation guidance: if this round's 50 all come back green, the
-# never-proven backlog is the queries added after this window froze (all
-# green under driver_sim at sf0.001/0.01): t_split_leakage_audit plus the
-# round4b wave (q_gapfill_locf, q_asof_tolerance, q_skew_diagnosis,
-# t_neardup_verified, t_curriculum_order, m_pagerank_top20,
-# q_dbt_schema_tests, t_mix_temperature, s_label_centroids,
-# t_neardup_incremental, t_feature_hashing, q_table_checksum,
-# q_stream_dedup, q_decile_histogram). Point the r5
-# window at (a) any
-# r4 reds, (b) that backlog + queries new in r5, (c) the oldest green rows
-# (pass-r1-era), which have gone longest without re-proof.
+# Round-5 rotation guidance: if this round's 50 all come back green,
+# EVERY registered query has >=1 driver row (the wave-2 additions occupy
+# slots 35-50 below — they outranked flagship re-proof per the VERDICT r3
+# item-1 ordering). Point the r5 window at (a) any r4 reds, (b) queries
+# new in r5, (c) the oldest green rows (pass-r1-era flagships q01/q03/...,
+# which moved below the cap this round and have gone longest without
+# re-proof).
 _PRIORITY = [
     # (a) the one red r3 row, fixed: array<string> -> comma-joined string
     "q_quality_quarantine",
@@ -118,7 +114,27 @@ _PRIORITY = [
     "t_train_val_test_split",
     "t_leakage_safe_split",
     "q_table_profile",
-    # (e) refill: bench flagships + r1-only-proven re-verification
+    # (e) new in round 4 wave 2 — never driver-evaluated anywhere; these
+    # outrank flagship re-verification (VERDICT r3 item 1 ordering: new >
+    # refill; the flagships below the cap all hold green r2/r3 rows)
+    "t_split_leakage_audit",
+    "q_gapfill_locf",
+    "q_asof_tolerance",
+    "q_skew_diagnosis",
+    "t_neardup_verified",
+    "t_curriculum_order",
+    "m_pagerank_top20",
+    "q_dbt_schema_tests",
+    "t_mix_temperature",
+    "s_label_centroids",
+    "t_neardup_incremental",
+    "t_feature_hashing",
+    "q_table_checksum",
+    "q_stream_dedup",
+    "q_decile_histogram",
+    "t_bpe_encode",  # rows-only by design (sequential-ref pinned in pytest)
+    # ---- 50-query window cap falls here; the rest re-verify only if the
+    # driver evaluates more than 50 ----
     "q01_pricing_summary",
     "q03_shipping_priority",
     "q05_region_revenue",
@@ -135,8 +151,6 @@ _PRIORITY = [
     "s_cosine_topk",
     "s_ivf_ann_topk",
     "q_sort_limit",
-    # ---- 50-query window cap falls here; the rest re-verify only if the
-    # driver evaluates more than 50 ----
     "q_set_ops",
     "q_date_functions",
     "q_string_functions",
