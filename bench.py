@@ -96,7 +96,12 @@ def main() -> None:
                     "t_minhash_lsh_pairs +53% did not reproduce in r4: "
                     "0.689s, under its r2 time, zero operator change); "
                     "treat single-query deltas <0.5s as noise unless they "
-                    "reproduce across rounds"
+                    "reproduce across rounds. Contention can even make "
+                    "warm runs slower than cold with times GROWING across "
+                    "reps (observed 5-10x on t_embed_neardup mid-r4, "
+                    "cleared to 0.7s in isolation, zero code change) — "
+                    "rerun on a quiet box before believing any regression; "
+                    "quiet-box r4 reference: 12.1s warm / 23.1s cold"
                 ),
             }
         )
