@@ -67,13 +67,14 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #   (e) refill: flagship/bench re-verification + r1-only-proven rows.
 # After this window every registered query has >=1 driver row and every
 # oracle-backed query from rounds 1-3 has >=1 green row.
-# Round-5 rotation guidance: if this round's 50 all come back green,
-# EVERY registered query has >=1 driver row (the wave-2 additions occupy
-# slots 35-50 below — they outranked flagship re-proof per the VERDICT r3
-# item-1 ordering). Point the r5 window at (a) any r4 reds, (b) queries
-# new in r5, (c) the oldest green rows (pass-r1-era flagships q01/q03/...,
-# which moved below the cap this round and have gone longest without
-# re-proof).
+# Round-5 rotation guidance: if this round's 50 all come back green, the
+# only never-proven queries are those added after this window froze
+# (s_label_outliers — green under driver_sim at sf0.001/0.01/0.1); the
+# wave-2 additions occupy slots 35-50 below, outranking flagship re-proof
+# per the VERDICT r3 item-1 ordering. Point the r5 window at (a) any r4
+# reds, (b) s_label_outliers + queries new in r5, (c) the oldest green
+# rows (pass-r1-era flagships q01/q03/..., which moved below the cap this
+# round and have gone longest without re-proof).
 _PRIORITY = [
     # (a) the one red r3 row, fixed: array<string> -> comma-joined string
     "q_quality_quarantine",

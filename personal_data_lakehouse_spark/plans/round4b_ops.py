@@ -848,6 +848,76 @@ def s_label_centroids(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Label-outlier detection (least-aligned members per label)
+
+
+@query(
+    "s_label_outliers",
+    oracle="""
+    WITH vq AS (
+        SELECT vec_id, label, pos,
+               CAST(FLOOR(CAST(embedding[pos + 1] AS DOUBLE) * 1000000)
+                    AS BIGINT) AS q
+        FROM embeddings, range(64) r(pos)
+        WHERE embedding[pos + 1] IS NOT NULL
+    ), sums AS (
+        SELECT label, pos, SUM(q) AS s FROM vq GROUP BY 1, 2
+    ), dots AS (
+        SELECT v.vec_id, v.label, CAST(SUM(v.q * s.s) AS BIGINT) AS align_dot
+        FROM vq v JOIN sums s ON v.label = s.label AND v.pos = s.pos
+        GROUP BY 1, 2
+    ), ranked AS (
+        SELECT vec_id, label, align_dot,
+               ROW_NUMBER() OVER (PARTITION BY label
+                                  ORDER BY align_dot, vec_id) AS rn
+        FROM dots
+    )
+    SELECT label, vec_id, align_dot, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def s_label_outliers(spark, sf_dir):
+    """Potential mislabels: per label, the 5 members LEAST aligned with
+    their class aggregate — the embedding-space data-quality sweep that
+    flags annotation errors before training. Alignment is the integer dot
+    of the ×1e6-quantized vector with its label's component-SUM vector
+    (not the mean): every term is exact BIGINT arithmetic, so the ranking
+    is bit-stable across engines and partition orders with no float
+    division anywhere.
+
+    Scale: one posexplode + (label, dim) aggregate (broadcast back onto
+    the member rows via the dimension join), one (vec, label) reduce for
+    the dots, and a per-label top-5 window — state bounded by k per label,
+    parallelism grows with |labels|. BIGINT headroom: |q| ≤ 1e6,
+    |S| ≤ n_label·1e6, so dots stay under 2^63 to ~1e5 vectors per label
+    at 64 dims; widen to DECIMAL(38,0) beyond."""
+    vq = (
+        t(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", F.posexplode("embedding").alias("pos", "comp"))
+        .select(
+            "vec_id",
+            "label",
+            "pos",
+            F.floor(F.col("comp").cast("double") * 1_000_000)
+            .cast("long")
+            .alias("q"),
+        )
+    )
+    sums = vq.groupBy("label", "pos").agg(F.sum("q").alias("s"))
+    dots = (
+        vq.join(sums, ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(F.sum(F.col("q") * F.col("s")).alias("align_dot"))
+    )
+    w = Window.partitionBy("label").orderBy("align_dot", "vec_id")
+    return (
+        dots.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("label", "vec_id", "align_dot", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # dbt-style schema tests (unique / not_null / relationships / accepted_values)
 
 

@@ -67,6 +67,7 @@ GOLDEN_EXTRA = [
     "t_feature_hashing",
     "q_table_checksum",
     "q_decile_histogram",
+    "s_label_outliers",
 ]
 
 # Goldens are generated against the canonical smoke fixture; other SF dirs

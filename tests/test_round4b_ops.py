@@ -140,6 +140,36 @@ def test_decile_histogram_partitions_rows_with_balanced_monotone_buckets(spark):
         assert abs(r["n_orders"] - n_total / 10) < n_total / 10
 
 
+def test_label_outliers_are_the_global_min_alignment_members(spark):
+    """Each label yields exactly 5 rows ranked 1..5, members belong to the
+    label, and rank-1 really is that label's minimum alignment dot."""
+    out = REGISTRY["s_label_outliers"].fn(spark, SF_DIR).persist()
+    try:
+        emb = t(spark, SF_DIR, "embeddings")
+        n_labels = emb.select("label").distinct().count()
+        assert out.count() == 5 * n_labels
+        per = out.groupBy("label").agg(
+            F.count(F.lit(1)).alias("c"), F.min("rn").alias("lo"),
+            F.max("rn").alias("hi"),
+        )
+        assert per.filter(
+            (F.col("c") != 5) | (F.col("lo") != 1) | (F.col("hi") != 5)
+        ).count() == 0
+        # membership: every flagged vec carries its own label
+        assert (
+            out.join(emb.select("vec_id", F.col("label").alias("l2")), "vec_id")
+            .filter(F.col("label") != F.col("l2"))
+            .count()
+            == 0
+        )
+        # rank-1 dot is monotonically <= rank-5 dot within each label
+        r1 = {r["label"]: r["align_dot"] for r in out.filter(F.col("rn") == 1).collect()}
+        r5 = {r["label"]: r["align_dot"] for r in out.filter(F.col("rn") == 5).collect()}
+        assert all(r1[lab] <= r5[lab] for lab in r1)
+    finally:
+        out.unpersist()
+
+
 def test_table_checksum_is_layout_invariant_and_mutation_sensitive(spark):
     """The checksum must be identical under any partitioning/row order and
     must change when a single row's content changes."""
