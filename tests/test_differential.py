@@ -45,7 +45,7 @@ def test_priority_prefix_is_oracle_backed():
     rows-only sketch/tokenizer queries (VERDICT r3 item 8: a rows_match row
     is still signal for ops whose output is non-SQL-expressible — they get
     a slot once, this round)."""
-    rows_only_wired = {"q_hll_mv", "t_bpe_merges"}
+    rows_only_wired = {"q_hll_mv", "t_bpe_merges", "t_bpe_encode"}
     names = entry_mod._ordered_names()[:50]
     for n in names:
         if n in rows_only_wired:
