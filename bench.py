@@ -47,6 +47,11 @@ HEADLINE = [
     "t_embed_neardup",
     "s_cosine_topk",
     "s_ivf_ann_topk",
+    # round-5 additions (VERDICT r4 item 6): the two most architecturally
+    # novel wave-2 plans — iterative Pregel-as-joins and the incremental
+    # band-index probe — enter the regression floor here.
+    "m_pagerank_top20",
+    "t_neardup_incremental",
 ]
 
 
@@ -79,34 +84,41 @@ def main() -> None:
         timings[name] = sorted(runs)[1]
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "warm_runs": warm_runs,
-                "cold_queries": cold,
-                "cold_total": round(sum(cold.values()), 3),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "notes": (
-                    "warm medians on sub-second queries wobble ±20-50% "
-                    "run-to-run under host contention (r3's flagged "
-                    "t_minhash_lsh_pairs +53% did not reproduce in r4: "
-                    "0.689s, under its r2 time, zero operator change); "
-                    "treat single-query deltas <0.5s as noise unless they "
-                    "reproduce across rounds. Contention can even make "
-                    "warm runs slower than cold with times GROWING across "
-                    "reps (observed 5-10x on t_embed_neardup mid-r4, "
-                    "cleared to 0.7s in isolation, zero code change) — "
-                    "rerun on a quiet box before believing any regression; "
-                    "quiet-box r4 reference: 12.1s warm / 23.1s cold"
-                ),
-            }
-        )
+    headline = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "detail": "BENCH_LATEST.json",
+    }
+    full = dict(
+        headline,
+        warm_runs=warm_runs,
+        cold_queries=cold,
+        cold_total=round(sum(cold.values()), 3),
+        notes=(
+            "warm medians on sub-second queries wobble ±20-50% "
+            "run-to-run under host contention (r3's flagged "
+            "t_minhash_lsh_pairs +53% did not reproduce in r4: "
+            "0.689s, under its r2 time, zero operator change); "
+            "treat single-query deltas <0.5s as noise unless they "
+            "reproduce across rounds. Contention can even make "
+            "warm runs slower than cold with times GROWING across "
+            "reps (observed 5-10x on t_embed_neardup mid-r4, "
+            "cleared to 0.7s in isolation, zero code change) — "
+            "rerun on a quiet box before believing any regression; "
+            "quiet-box r4 reference: 12.1s warm / 23.1s cold"
+        ),
     )
+    # Truncation-proofing (BENCH_r04.json parsed null because the old
+    # kitchen-sink line was severed by the driver's tail capture): the
+    # full record goes to a file; stdout gets ONE short headline line,
+    # printed LAST so a tail-bounded capture always contains it intact.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LATEST.json"), "w") as f:
+        json.dump(full, f, indent=1)
     spark.stop()
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":

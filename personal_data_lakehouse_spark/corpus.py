@@ -127,6 +127,13 @@ def corpus_pipeline(
 ) -> dict[str, int]:
     """Run the full corpus DAG, persisting every stage as a managed table
     under ``namespace`` and returning the per-stage retention funnel."""
+    import re
+
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", namespace):
+        raise ValueError(
+            f"namespace {namespace!r} is not a valid SQL identifier "
+            "(expected [A-Za-z_][A-Za-z0-9_]*)"
+        )
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {namespace}")
     stages: dict[str, int] = {"raw": docs.count()}
 

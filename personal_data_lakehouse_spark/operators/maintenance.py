@@ -253,6 +253,7 @@ def plan_skipping(
     import json
 
     mpath = os.path.join(path, "_manifest.json")
+    entries = None
     if os.path.exists(mpath):
         with open(mpath) as f:
             doc = json.load(f)
@@ -261,7 +262,21 @@ def plan_skipping(
                 f"manifest at {mpath} covers key {doc.get('key')!r}, not {key!r}"
             )
         entries = doc["files"]
-    else:
+        # Staleness guard: a writer that appended files after write_manifest
+        # would otherwise be silently excluded from pruned reads. Compare the
+        # manifest's file set against the live directory listing (by
+        # basename — input_file_name() records file: URIs); on any
+        # divergence fall back to on-the-fly stats rather than return an
+        # incomplete read.
+        live = {
+            f
+            for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        }
+        recorded = {os.path.basename(e["file"]) for e in entries}
+        if recorded != live:
+            entries = None
+    if entries is None:
         entries = [r.asDict() for r in file_stats(spark, path, key).collect()]
     keep = []
     for e in entries:

@@ -26,6 +26,7 @@ def sharded_global_positions(
     skey_col: str,
     id_col: str,
     shard_chars: int = 2,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Total 1-based global position by (bucket, skey, id) WITHOUT a
     corpus-global window — the distributed two-pass prefix-sum shape.
@@ -39,6 +40,12 @@ def sharded_global_positions(
     pass 2 ranks within each (bucket, shard) — parallel across shards.
     Returns ``df`` plus a ``pos`` column.
 
+    With ``weight_col``, ``pos`` is instead the inclusive running SUM of
+    the weight in global order (row N's pos = total weight of rows 1..N) —
+    the distributed form of ``SUM(w) OVER (ORDER BY ... ROWS UNBOUNDED
+    PRECEDING)``: pass 1 prefix-sums per-shard weight TOTALS, pass 2 runs
+    the cumulative sum only within each shard.
+
     NULL handling matches the naive window's ASC NULLS FIRST: a NULL
     ``skey_col`` lands in shard '' (which sorts before every hex prefix),
     and the offsets join is null-safe on the bucket so NULL buckets rank
@@ -49,9 +56,10 @@ def sharded_global_positions(
         "_shard",
         F.coalesce(F.substring(skey_col, 1, shard_chars), F.lit("")),
     )
-    counts = base.groupBy(bucket_col, "_shard").agg(
-        F.count(F.lit(1)).alias("_n")
-    )
+    per_shard = (
+        F.count(F.lit(1)) if weight_col is None else F.sum(weight_col)
+    ).alias("_n")
+    counts = base.groupBy(bucket_col, "_shard").agg(per_shard)
     prior = Window.orderBy(bucket_col, "_shard").rowsBetween(
         Window.unboundedPreceding, -1
     )
@@ -61,13 +69,20 @@ def sharded_global_positions(
         F.coalesce(F.sum("_n").over(prior), F.lit(0)).alias("_offset"),
     )
     intra = Window.partitionBy(bucket_col, "_shard").orderBy(skey_col, id_col)
+    local = (
+        F.row_number().over(intra)
+        if weight_col is None
+        else F.sum(weight_col).over(
+            intra.rowsBetween(Window.unboundedPreceding, 0)
+        )
+    )
     return (
         base.join(
             F.broadcast(offsets),
             F.col(bucket_col).eqNullSafe(F.col("_ob"))
             & (F.col("_shard") == F.col("_os")),
         )
-        .withColumn("pos", F.row_number().over(intra) + F.col("_offset"))
+        .withColumn("pos", local + F.col("_offset"))
         .drop("_shard", "_ob", "_os", "_offset")
     )
 

@@ -835,6 +835,11 @@ def s_label_centroids(spark, sf_dir):
             .cast("long")
             .alias("q"),
         )
+        # NULL in-array components: posexplode still emits the row (comp
+        # NULL -> q NULL), which would inflate n_members and the centroid
+        # denominator while SUM skips it; the oracle filters q IS NOT NULL,
+        # so match it here.
+        .filter(F.col("q").isNotNull())
         .groupBy("label", "pos")
         .agg(F.count(F.lit(1)).alias("n_members"), F.sum("q").alias("s"))
         .select(
@@ -902,6 +907,10 @@ def s_label_outliers(spark, sf_dir):
             .cast("long")
             .alias("q"),
         )
+        # Match the oracle's `embedding[pos+1] IS NOT NULL`: an all-NULL
+        # vector would otherwise yield a NULL align_dot that sorts first in
+        # Spark's ranking but is absent from the oracle's dots.
+        .filter(F.col("q").isNotNull())
     )
     sums = vq.groupBy("label", "pos").agg(F.sum("q").alias("s"))
     dots = (

@@ -43,6 +43,9 @@ from personal_data_lakehouse_spark.functions.text import (
     tokens,
     word_shingles,
 )
+from personal_data_lakehouse_spark.operators.partitioning import (
+    sharded_global_positions,
+)
 from personal_data_lakehouse_spark.plans.registry import query, t
 from personal_data_lakehouse_spark.plans.text_ops import _SHINGLES, _TOKS
 
@@ -464,15 +467,25 @@ def m_kmeans_centroids(spark, sf_dir):
     intermediate, shuffled on (cluster, pos) whose cardinality is k·64 —
     partial map-side aggregation shrinks it before the exchange."""
     vq = _vq(spark, sf_dir).cache()
-    wseed = Window.orderBy("vec_id")
-    seeds = (
-        t(spark, sf_dir, "embeddings")
+    # Seed selection: the K smallest vec_ids. orderBy().limit(K) compiles to
+    # TakeOrderedAndProject — a per-partition top-K then a K-row driver
+    # merge — not the r4 shape (row_number over a corpus-global Window,
+    # which funneled every row through one sorting task to keep 4). The
+    # K-row collect is O(K) driver state, same class as the query-vector
+    # set in similarity/vectorized.py.
+    seed_ids = [
+        r[0]
+        for r in t(spark, sf_dir, "embeddings")
         .select("vec_id")
-        .withColumn("cluster_id", F.row_number().over(wseed) - 1)
-        .filter(F.col("cluster_id") < _K)
+        .orderBy("vec_id")
+        .limit(_K)
+        .collect()
+    ]
+    seeds = spark.createDataFrame(
+        [(v, i) for i, v in enumerate(seed_ids)], "vec_id long, cluster_id int"
     )
     c1 = (
-        vq.join(seeds, "vec_id")
+        vq.join(F.broadcast(seeds), "vec_id")
         .select("cluster_id", "pos", (F.lit(1000) * F.col("q")).alias("cq"))
     )
     a1 = _assign(vq, c1)
@@ -549,17 +562,26 @@ def t_sample_token_budget(spark, sf_dir):
     mix is drawn from a larger corpus ("give me 10B tokens of this
     source"). The md5 order is a deterministic shuffle: layout- and
     engine-independent, and stable as the corpus grows (a doc's position
-    never depends on partitioning). One ordered window + a filter; for
-    100 TB budgets, run it per shard (the t_pack_sequences_sharded
-    pattern) and budget each shard proportionally."""
+    never depends on partitioning).
+
+    The running sum is the sharded two-pass prefix sum
+    (operators/partitioning.py:sharded_global_positions with a weight
+    column), NOT a corpus-global ordered window: per-shard token totals →
+    a 256-row prefix sum broadcast back as offsets → per-shard cumulative
+    sums in parallel. Shard = 2-hex-char prefix of the md5 sort key, so
+    per-shard order concatenates into exactly the global order and the
+    output is bit-identical to the single-window oracle form."""
     docs = t(spark, sf_dir, "documents").select(
-        "doc_id", token_count_whitespace("text").alias("tok")
+        "doc_id",
+        token_count_whitespace("text").alias("tok"),
+        F.md5(F.col("doc_id").cast("string").cast("binary")).alias("_skey"),
+        F.lit(0).alias("_bucket"),
     )
-    w = Window.orderBy(
-        F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id"
-    ).rowsBetween(Window.unboundedPreceding, 0)
+    cum = sharded_global_positions(
+        docs, "_bucket", "_skey", "doc_id", weight_col="tok"
+    )
     return (
-        docs.withColumn("cum_tokens", F.sum("tok").over(w).cast("long"))
+        cum.withColumn("cum_tokens", F.col("pos").cast("long"))
         .filter(F.col("cum_tokens") <= 10000)
         .select("doc_id", "tok", "cum_tokens")
     )

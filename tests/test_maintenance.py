@@ -208,3 +208,48 @@ def test_manifest_skipping_rejects_wrong_key(spark, tmp_path):
     write_manifest(spark, path, "k")
     with pytest.raises(ValueError, match="covers key"):
         plan_skipping(spark, path, "v", lo=1)
+
+
+def test_manifest_staleness_guard_sees_appended_files(spark, tmp_path):
+    """Files appended AFTER write_manifest must not be silently excluded
+    from pruned reads (ADVICE r4): on any manifest/directory divergence the
+    planner falls back to on-the-fly stats and the read stays complete."""
+    import os
+
+    from personal_data_lakehouse_spark.operators.maintenance import (
+        clustered_write,
+        plan_skipping,
+        read_skipping,
+        write_manifest,
+    )
+
+    path = str(tmp_path / "clustered3")
+    df = spark.range(0, 1_000).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    clustered_write(df, path, ["k"], target_files=4)
+    write_manifest(spark, path, "k")
+
+    # a later writer appends rows the manifest has never seen
+    extra = spark.range(5_000, 5_100).select(
+        F.col("id").alias("k"), F.col("id").alias("v")
+    )
+    staging = str(tmp_path / "staging")
+    extra.coalesce(1).write.parquet(staging)
+    part = next(f for f in os.listdir(staging) if f.endswith(".parquet"))
+    os.rename(
+        os.path.join(staging, part), os.path.join(path, f"appended-{part}")
+    )
+
+    files, total = plan_skipping(spark, path, "k", lo=5_000, hi=5_099)
+    assert any("appended-" in f for f in files)  # fell back to live stats
+    assert read_skipping(spark, path, "k", lo=5_000, hi=5_099).count() == 100
+
+    # divergence the other way (a manifest-recorded file deleted) also
+    # triggers the fallback instead of planning a read of a missing file
+    live = [
+        f
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    ]
+    os.remove(os.path.join(path, live[0]))
+    files2, _ = plan_skipping(spark, path, "k")
+    assert all(os.path.basename(f) != live[0] for f in files2)

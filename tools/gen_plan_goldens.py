@@ -24,15 +24,14 @@ GOLDEN_DIR = os.path.join(
 
 def main() -> None:
     import __spark_entry__  # noqa: F401  — populates REGISTRY
-    from bench import HEADLINE
-    from tests.test_plan_goldens import GOLDEN_EXTRA
+    from tests.test_plan_goldens import _GOLDEN_NAMES
     from personal_data_lakehouse_spark.plans.golden import normalize_plan
     from personal_data_lakehouse_spark.plans.registry import REGISTRY
     from personal_data_lakehouse_spark.session import get_spark
 
     spark = get_spark(app_name="gen-plan-goldens")
     os.makedirs(GOLDEN_DIR, exist_ok=True)
-    for name in HEADLINE + GOLDEN_EXTRA:
+    for name in _GOLDEN_NAMES:
         # per-query cache clear: an earlier query's persist() would
         # otherwise swap FileScans for InMemoryTableScans in this golden
         spark.catalog.clearCache()
