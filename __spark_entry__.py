@@ -46,6 +46,7 @@ import personal_data_lakehouse_spark.plans.sql_surface  # noqa: F401,E402
 import personal_data_lakehouse_spark.plans.temporal_stats  # noqa: F401,E402
 import personal_data_lakehouse_spark.plans.round4_ops  # noqa: F401,E402
 import personal_data_lakehouse_spark.plans.round4b_ops  # noqa: F401,E402
+import personal_data_lakehouse_spark.plans.round5_ops  # noqa: F401,E402
 
 from personal_data_lakehouse_spark.plans.registry import (  # noqa: E402
     REGISTRY,
@@ -58,84 +59,55 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # The correctness gate evaluates queries in dict order and caps at the FIRST
 # 50. Verified rows from earlier rounds stay credited, so the window ROTATES
 # each round to maximize cumulative driver-verified coverage.
-# Round 4's window (per VERDICT r3 item 1):
-#   (a) q_quality_quarantine after the array_join hashability fix;
-#   (b) the 11 round-3-late queries never driver-checked (incl. the two
-#       rows-only ones — rows_match is still signal, VERDICT item 8);
-#   (c) the 9 queries whose only driver row is the r1 decimal-era hash-miss;
-#   (d) queries NEW this round (never evaluated);
-#   (e) refill: flagship/bench re-verification + r1-only-proven rows.
-# After this window every registered query has >=1 driver row and every
-# oracle-backed query from rounds 1-3 has >=1 green row.
-# Round-5 rotation guidance: if this round's 50 all come back green, the
-# only never-proven queries are those added after this window froze
-# (s_label_outliers — green under driver_sim at sf0.001/0.01/0.1); the
-# wave-2 additions occupy slots 35-50 below, outranking flagship re-proof
-# per the VERDICT r3 item-1 ordering. Point the r5 window at (a) any r4
-# reds, (b) s_label_outliers + queries new in r5, (c) the oldest green
-# rows (pass-r1-era flagships q01/q03/..., which moved below the cap this
-# round and have gone longest without re-proof).
+# Round 5's window (per VERDICT r4 item 1): r4 came back 50/50 clean, so
+#   (a) queries NEW this round + s_label_outliers (the one query that had
+#       never seen a driver row — added after the r4 window froze);
+#   (b) the 21 queries whose ONLY green row is round-1 (3 rounds without
+#       re-proof — the oldest evidence in the ledger);
+#   (c) refill: the r2-latest-green bench headliners, then the oldest
+#       r2-era TPC-H shapes.
+# After this window, no query's newest green row is older than round 2,
+# and every bench-headline query holds a round-5 row.
+# Round-6 rotation guidance: point the window at (a) any r5 reds, (b)
+# queries new in r6, (c) the remaining r2-latest rows (the r2 set below
+# the cap here: q_cdc_apply, q_gap_fill_calendar, q_lateral_topn,
+# q_median_exact, q_pivot, q_range_join, q_recursive_hierarchy,
+# q_scd2_intervals, q_session_window, q_snapshot_diff, q_zscore_outliers,
+# t_contamination, t_dedup_exact, t_ngram_jaccard_blocked, t_quality_filter,
+# t_simhash_neardup, m_kmeans_centroids, q15/16/17/18/19/20/21/22, ...),
+# then r3-latest rows.
 _PRIORITY = [
-    # (a) the one red r3 row, fixed: array<string> -> comma-joined string
-    "q_quality_quarantine",
-    # (b) round-3 backlog, never driver-evaluated
-    "q_variant_shred",
-    "s_pq_adc_topk",
-    "s_ivf_pq_topk",
-    "t_boilerplate_spans",
-    "q_rolling_features",
-    "q_incremental_mv",
-    "t_sample_token_budget",
-    "t_dedup_keep_best",
-    "q_drift_tvd",
-    "q_hll_mv",  # rows-only by design (sketch output)
-    "t_bpe_merges",  # rows-only by design (bit-exact vs reference in pytest)
-    # (c) only driver row is the round-1 decimal-presentation miss; green
-    # locally ever since the double-cast fix — re-proving under the real gate
-    "q02_monthly_rollup",
-    "q_silver_cleaning",
-    "q_merge_insert_only",
-    "q_watermark_incremental",
-    "q_rollup",
-    "q_cube",
-    "q_json_extract",
-    "q_left_join_nulls",
-    "q_window_running_lag",
-    # (d) new this round (plans/round4_ops.py)
-    "q_stream_static_enrich",
-    "q_time_travel_diff",
-    "t_robust_scale_features",
-    "q_skew_salted_join",
-    "q_interval_align",
-    "t_tfidf_topterms",
-    "t_length_histogram_log2",
-    "q_event_transitions",
-    "t_dedup_incremental",
-    "t_intake_funnel",
-    "t_train_val_test_split",
-    "t_leakage_safe_split",
-    "q_table_profile",
-    # (e) new in round 4 wave 2 — never driver-evaluated anywhere; these
-    # outrank flagship re-verification (VERDICT r3 item 1 ordering: new >
-    # refill; the flagships below the cap all hold green r2/r3 rows)
-    "t_split_leakage_audit",
-    "q_gapfill_locf",
-    "q_asof_tolerance",
-    "q_skew_diagnosis",
-    "t_neardup_verified",
-    "t_curriculum_order",
-    "m_pagerank_top20",
-    "q_dbt_schema_tests",
-    "t_mix_temperature",
-    "s_label_centroids",
-    "t_neardup_incremental",
-    "t_feature_hashing",
-    "q_table_checksum",
-    "q_stream_dedup",
-    "q_decile_histogram",
-    "t_bpe_encode",  # rows-only by design (sequential-ref pinned in pytest)
-    # ---- 50-query window cap falls here; the rest re-verify only if the
-    # driver evaluates more than 50 ----
+    # (a) round-5 additions (plans/round5_ops.py) + the post-freeze r4 query
+    "s_label_outliers",
+    "q_rolling_quantile",
+    "t_minhash_containment",
+    "t_quality_logit",
+    "s_knn_graph",
+    "t_crossdoc_spans",
+    "q_stream_stream_join",
+    # (b) only green row is round 1 — longest without re-proof
+    "q_anti_join",
+    "q_approx_distinct",
+    "q_approx_percentile",
+    "q_case_null_handling",
+    "q_date_functions",
+    "q_distinct",
+    "q_distinct_counts",
+    "q_exists_subquery",
+    "q_set_ops",
+    "q_sliding_window",
+    "q_sort_limit",
+    "q_stats_moments",
+    "q_string_functions",
+    "q_timezone_convert",
+    "s_srp_ann_topk",
+    "t_fingerprint",
+    "t_lang_id",
+    "t_minhash_signatures",
+    "t_simhash",
+    "t_text_stats",
+    "t_token_count",
+    # (c) refill: bench headliners whose latest green row is round 2
     "q01_pricing_summary",
     "q03_shipping_priority",
     "q05_region_revenue",
@@ -146,18 +118,32 @@ _PRIORITY = [
     "q_tumbling_window",
     "q_asof_join",
     "q_merge_upsert",
-    "t_fingerprint",
     "t_minhash_lsh_pairs",
     "t_embed_neardup",
     "s_cosine_topk",
     "s_ivf_ann_topk",
-    "q_sort_limit",
-    "q_set_ops",
-    "q_date_functions",
-    "q_string_functions",
-    "q_timezone_convert",
-    "q_case_null_handling",
-    "s_srp_ann_topk",
+    # (c) refill: oldest r2-era TPC-H shapes
+    "q02_min_cost_supplier",
+    "q04_order_priority",
+    "q08_market_share",
+    "q09_product_profit",
+    "q10_returned_revenue",
+    "q11_important_stock",
+    "q13_custdist",
+    "q14_promo_share",
+    # ---- 50-query window cap falls here; the rest re-verify only if the
+    # driver evaluates more than 50 ----
+    "q15_top_supplier",
+    "q16_supplier_cnt",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q20_excess_share_suppliers",
+    "q21_sole_return_supplier",
+    "q22_idle_customers",
+    "m_kmeans_centroids",
+    "t_sample_token_budget",
+    "s_label_centroids",
 ]
 
 

@@ -1,0 +1,498 @@
+"""Round-5 operator wave: stream-stream join parity, grouped rolling
+quantiles, containment dedup, kNN-graph construction, cross-document
+substring-duplication candidates, and linear quality-classifier inference.
+
+Reference mapping: the reference repo (victorsabino36/personal-data-lakehouse)
+stops at MERGE-style dedup and batch rollups (pipelines/stock_api/*.py,
+dbt models); everything here is north-star extension surface for the
+LLM-training-data pipeline (BASELINE.json), following the same
+oracle-per-query contract as the earlier waves.
+
+Scale notes inline per query; no Python UDFs anywhere in this module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from personal_data_lakehouse_spark.plans.registry import query, t
+
+# ---------------------------------------------------------------------------
+# Grouped rolling quantile (per-key rolling median over a row frame)
+
+
+@query(
+    "q_rolling_quantile",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(n_in_frame AS BIGINT) AS n_in_frame,
+           ROUND(med_cents / 100.0, 6) AS rolling_median
+    FROM (
+        SELECT event_id, user_id,
+               COUNT(cents) OVER w AS n_in_frame,
+               quantile_cont(cents, 0.5) OVER w AS med_cents
+        FROM (SELECT event_id, user_id, ts,
+                     CAST(floor(value * 100) AS BIGINT) AS cents
+              FROM events)
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY ts NULLS FIRST, event_id NULLS FIRST
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    )
+    """,
+)
+def q_rolling_quantile(spark, sf_dir):
+    """Per-user rolling MEDIAN of the last 5 event amounts — the robust
+    (outlier-insensitive) sibling of q_rolling_features' mean/stddev, used
+    for per-entity anomaly baselines. Amounts are quantized to integer
+    cents first, so the type-7 interpolation (both engines) lands on
+    halves — exact in double — and the single /100 division is correctly
+    rounded identically.
+
+    Scale: one shuffle on user_id, per-key 5-row frames (bounded window
+    state per task); parallelism grows with |users|. The oracle pins
+    NULLS FIRST explicitly because DuckDB defaults ASC to NULLS LAST
+    while Spark defaults to NULLS FIRST."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("cents").over(w).alias("n_in_frame"),
+        F.round(F.percentile("cents", 0.5).over(w) / 100.0, 6).alias(
+            "rolling_median"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash containment (asymmetric near-dup: snippet-inside-superset)
+
+# The LSH band/bucket CTE chain is shared byte-identically with
+# t_minhash_lsh_pairs / t_dedup_clusters via cluster_ops — injected below.
+
+
+@query(
+    "t_minhash_containment",
+    oracle="""
+    WITH __CTES__
+    SELECT id_a, id_b,
+           CAST(len(list_intersect(sh_a, sh_b)) AS BIGINT) AS n_common,
+           CAST(len(list_distinct(sh_a)) AS BIGINT) AS n_a,
+           CAST(len(list_distinct(sh_b)) AS BIGINT) AS n_b,
+           ROUND(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+                 / len(list_distinct(sh_a)), 6) AS containment_a,
+           ROUND(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+                 / len(list_distinct(sh_b)), 6) AS containment_b
+    FROM lsh_pairs
+    """,
+)
+def t_minhash_containment(spark, sf_dir):
+    """Shingle CONTAINMENT per LSH candidate pair: |A∩B|/|A| and |A∩B|/|B|.
+    Jaccard under-scores a short snippet fully contained in a long document
+    (the quote/boilerplate-inclusion case every corpus dedup hits);
+    containment is the asymmetric fix — C(A,B)≈1 flags A as subsumed by B
+    even when J(A,B) is small.
+
+    Scale: identical dataflow to t_minhash_lsh_pairs (one wide signature
+    aggregation, id-only band join, shingle re-attach on the surviving
+    pairs); the two extra divisions are map-side."""
+    from personal_data_lakehouse_spark.dedup.minhash import _banded_docs
+
+    docs, banded = _banded_docs(
+        t(spark, sf_dir, "documents"), "text", "doc_id", 16, 4, 3, 42
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .join(
+            docs.select(
+                F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")
+            ),
+            "id_a",
+        )
+        .join(
+            docs.select(
+                F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b")
+            ),
+            "id_b",
+        )
+    )
+    n_common = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    n_a = F.size(F.array_distinct("sh_a")).cast("long")
+    n_b = F.size(F.array_distinct("sh_b")).cast("long")
+    return pairs.select(
+        "id_a",
+        "id_b",
+        n_common.alias("n_common"),
+        n_a.alias("n_a"),
+        n_b.alias("n_b"),
+        F.round(n_common.cast("double") / n_a, 6).alias("containment_a"),
+        F.round(n_common.cast("double") / n_b, 6).alias("containment_b"),
+    )
+
+
+def _inject_lsh_ctes() -> None:
+    from personal_data_lakehouse_spark.plans.cluster_ops import _lsh_ctes
+    from personal_data_lakehouse_spark.plans.registry import REGISTRY
+
+    REGISTRY["t_minhash_containment"].oracle = REGISTRY[
+        "t_minhash_containment"
+    ].oracle.replace("__CTES__", _lsh_ctes())
+
+
+_inject_lsh_ctes()
+
+
+# ---------------------------------------------------------------------------
+# Linear quality-classifier inference (fastText/logreg-style scoring in SQL)
+
+# Fixed model weights (millis): trained offline, applied at corpus scale as
+# pure integer arithmetic — the inference path must be engine-exact even
+# though training isn't.
+_W_BIAS = -1500
+_W_WORDS = 2
+_W_DISTINCT = 3
+_W_PUNCT = -5
+
+_TOKS_SQL = r"string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')"
+
+
+@query(
+    "t_quality_logit",
+    oracle=rf"""
+    SELECT doc_id, n_words, punct_permille, distinct_permille,
+           {_W_BIAS} + {_W_WORDS} * LEAST(n_words, 1000)
+             + {_W_DISTINCT} * distinct_permille
+             + {_W_PUNCT} * punct_permille AS logit_millis,
+           ({_W_BIAS} + {_W_WORDS} * LEAST(n_words, 1000)
+             + {_W_DISTINCT} * distinct_permille
+             + {_W_PUNCT} * punct_permille) >= 0 AS keep
+    FROM (
+        SELECT doc_id,
+               CAST(len(w) AS BIGINT) AS n_words,
+               CAST((1000 * len(regexp_extract_all(text, '[^\w\s]')))
+                    // length(text) AS BIGINT) AS punct_permille,
+               CAST((1000 * len(list_distinct(w))) // len(w) AS BIGINT)
+                   AS distinct_permille
+        FROM (SELECT doc_id, text, {_TOKS_SQL} AS w FROM documents)
+    )
+    """,
+)
+def t_quality_logit(spark, sf_dir):
+    """Linear quality-classifier INFERENCE over the corpus: the
+    fastText/logistic-regression scoring stage of a training-data pipeline,
+    expressed as columnar integer arithmetic (features quantized to
+    permille via integer division, fixed milli-weights) so the score — and
+    therefore the keep/drop decision — is bit-identical on any engine and
+    partition order. The sigmoid is monotone, so thresholding the logit IS
+    thresholding the probability; no transcendental is evaluated.
+
+    Scale: map-only (one projection over the scan, whole-stage codegen,
+    no shuffle) — the same pushdown-friendly shape as t_quality_filter."""
+    from personal_data_lakehouse_spark.functions.text import tokens
+
+    d = t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_words = F.size(toks).cast("long")
+    n_punct = F.regexp_count(F.col("text"), F.lit(r"[^\w\s]")).cast("long")
+    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    # floor(double division) == integer // for these non-negative
+    # magnitudes (numerator ≤ 1000·len(text), exact in double)
+    punct_pm = F.floor((F.lit(1000) * n_punct) / F.length("text")).cast("long")
+    distinct_pm = F.floor((F.lit(1000) * n_distinct) / n_words).cast("long")
+    scored = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        punct_pm.alias("punct_permille"),
+        distinct_pm.alias("distinct_permille"),
+    )
+    logit = (
+        F.lit(_W_BIAS)
+        + F.lit(_W_WORDS) * F.least(F.col("n_words"), F.lit(1000))
+        + F.lit(_W_DISTINCT) * F.col("distinct_permille")
+        + F.lit(_W_PUNCT) * F.col("punct_permille")
+    ).cast("long")
+    return scored.withColumn("logit_millis", logit).withColumn(
+        "keep", F.col("logit_millis") >= 0
+    )
+
+
+# ---------------------------------------------------------------------------
+# kNN graph construction (cell-blocked): every vector's top-3 neighbors
+
+
+@query("s_knn_graph", oracle=None)  # oracle injected below (shares _CELLS_SQL)
+def s_knn_graph(spark, sf_dir):
+    """k-nearest-neighbor GRAPH over the embedding corpus: each vector's
+    top-3 neighbors by exact cosine, candidate generation blocked by IVF
+    cell — the building block of kNN-graph dedup, graph-based ANN indexes
+    (NSW seeds), and label-propagation over embeddings. Unlike
+    s_ivf_ann_topk (8 external queries), EVERY corpus vector is a query
+    here, so all-pairs is Σ|corpus|² and blocking is mandatory.
+
+    Scale: one shuffle to assign cells, cell-local self-join (Σ|cell|²
+    work, parallel per cell), per-vector top-3 window inside the cell's
+    candidate set. At 100 TB the cell index is a written intermediate,
+    and multi-probe (n>1 in assign_cells) trades recall for Σ|cell|·probes
+    work — same dataflow."""
+    from personal_data_lakehouse_spark.plans.similarity_ops import (
+        _CENTROID_IDS,
+        _N_QUERIES,
+    )
+    from personal_data_lakehouse_spark.similarity.brute_force import dot_expr
+    from personal_data_lakehouse_spark.similarity.ivf import (
+        assign_cells,
+        pick_centroids,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    members = emb.filter(F.col("vec_id") >= _N_QUERIES)
+    cents = pick_centroids(emb, _CENTROID_IDS)
+    cells = assign_cells(members, cents, "vec_id", "embedding", n=1).persist()
+    a = cells.select(
+        "cell",
+        F.col("vec_id").alias("src_id"),
+        F.col("embedding").alias("va"),
+        F.col("_vn").alias("_na"),
+    )
+    b = cells.select(
+        "cell",
+        F.col("vec_id").alias("nbr_id"),
+        F.col("embedding").alias("vb"),
+        F.col("_vn").alias("_nb"),
+    )
+    sim = F.expr(dot_expr("va", "vb")) / (F.col("_na") * F.col("_nb"))
+    w = Window.partitionBy("src_id").orderBy(F.desc("sim"), F.col("nbr_id"))
+    return (
+        a.join(b, on="cell")
+        .filter(F.col("src_id") != F.col("nbr_id"))
+        .select("src_id", "nbr_id", sim.alias("sim"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.col("src_id").alias("vec_id"),
+            "rnk",
+            "nbr_id",
+            F.round("sim", 6).alias("cosine"),
+        )
+    )
+
+
+def _inject_knn_oracle() -> None:
+    from personal_data_lakehouse_spark.plans.registry import REGISTRY
+    from personal_data_lakehouse_spark.plans.similarity_ops import (
+        _CELLS_SQL,
+        _cos,
+    )
+
+    REGISTRY["s_knn_graph"].oracle = f"""
+    WITH {_CELLS_SQL},
+    s AS (
+        SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+               {_cos('a.e', 'b.e')} AS sim
+        FROM cells a JOIN cells b
+          ON a.cell = b.cell AND a.vec_id <> b.vec_id
+    ),
+    r AS (
+        SELECT src_id, nbr_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY src_id
+                                  ORDER BY sim DESC, nbr_id) AS rnk
+        FROM s
+    )
+    SELECT src_id AS vec_id, rnk, nbr_id, ROUND(sim, 6) AS cosine
+    FROM r WHERE rnk <= 3
+    """
+
+
+_inject_knn_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Cross-document substring-duplication candidates (strided 64-grams)
+
+_GRAM_LEN = 64
+# Oracle-side position superset: DuckDB's range() can't take lateral column
+# bounds, so the oracle cross-joins a constant position list and filters.
+# 4096 positions cover documents up to 64 + 4095 = 4,159 chars — far above
+# the fixtures (≤577); the Spark side uses the unbounded sequence() and is
+# the form that runs at scale.
+_MAX_GRAM_POS = 4096
+
+
+@query(
+    "t_crossdoc_spans",
+    oracle=f"""
+    WITH g AS (
+        SELECT DISTINCT doc_id, md5(substr(text, 1 + k, {_GRAM_LEN})) AS gh
+        FROM documents, range(0, {_MAX_GRAM_POS}) r(k)
+        WHERE length(text) >= {_GRAM_LEN}
+          AND 1 + k <= length(text) - {_GRAM_LEN} + 1
+          AND substr(md5(substr(text, 1 + k, {_GRAM_LEN})), 1, 1) = '0'
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           COUNT(*) AS n_shared_grams
+    FROM g a JOIN g b ON a.gh = b.gh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def t_crossdoc_spans(spark, sf_dir):
+    """Cross-document EXACT-substring duplication candidates via
+    CONTENT-DEFINED gram sampling: every 64-char gram is hashed, and a
+    gram is selected when its md5 starts with '0' (a 1/16 bucket). The
+    selection travels with the content — two documents sharing a verbatim
+    span select exactly the same grams inside it regardless of where the
+    span sits in each document, which position-strided sampling cannot do
+    (a span at offset 3 in one doc and offset 40 in the other samples
+    disjoint grams). This is the MinHash-of-substrings / winnowing idea
+    behind practical suffix-array substring dedup (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better"); expected
+    selected-gram gap is 16 chars, so verbatim overlaps of a few hundred
+    chars escape only with probability (15/16)^(span_len-63). Only the
+    16-byte hashes shuffle, never the text.
+
+    Scale: the map stage hashes every position (the price of
+    content-defined selection — same envelope as winnowing); 1/16 of the
+    gram rows reach the groupBy-join. A gram shared by d documents emits
+    d² pair rows, so at 100 TB add a frequency cap on viral grams
+    (boilerplate) before pairing — the same hot-key guard as
+    t_boilerplate_spans."""
+    docs = t(spark, sf_dir, "documents").filter(
+        F.length("text") >= _GRAM_LEN
+    )
+    grams = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.length("text") - F.lit(_GRAM_LEN - 1)
+                )
+            ).alias("p"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            F.md5(
+                F.expr(f"substring(text, p, {_GRAM_LEN})").cast("binary")
+            ).alias("gh"),
+        )
+        .filter(F.substring("gh", 1, 1) == "0")
+        .dropDuplicates(["doc_id", "gh"])
+        # persist: the self-join consumes this subtree twice, and the gram
+        # build (hash every position) is the expensive stage — one scan +
+        # one hashing pass instead of two. At cluster scale this is the
+        # written gram index.
+        .persist()
+    )
+    a = grams.select(F.col("doc_id").alias("id_a"), "gh")
+    b = grams.select(F.col("doc_id").alias("id_b"), "gh")
+    return (
+        a.join(b, "gh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream interval join, batch-parity-proven under the oracle
+
+
+@query(
+    "q_stream_stream_join",
+    oracle="""
+    WITH pairs AS (
+        SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id
+        FROM events c JOIN events v
+          ON v.user_id = c.user_id
+         AND c.event_type = 'click' AND v.event_type = 'view'
+         AND v.ts BETWEEN c.ts - INTERVAL 30 MINUTE AND c.ts
+    ), per_user AS (
+        SELECT user_id, COUNT(*) AS n_pairs,
+               COUNT(DISTINCT click_id) AS n_clicks
+        FROM pairs GROUP BY 1
+    )
+    SELECT user_id, n_pairs, n_clicks
+    FROM per_user
+    ORDER BY n_pairs DESC, user_id
+    LIMIT 20
+    """,
+)
+def q_stream_stream_join(spark, sf_dir):
+    """Stream-STREAM interval join proven batch-equal under the driver's
+    hash: views and clicks are consumed as two readStream sources
+    (availableNow), joined by streaming.windows.attribution_join (both
+    sides watermarked, explicit event-time bound so join state expires),
+    landed in a memory sink, and rolled up to the top-20 users by
+    attributed (click, view) pairs — which must hash-equal the batch
+    interval-join SQL. Completes the streaming parity suite: windows
+    (r2/r3), dedup + static enrich (r4), stream-stream join (r5).
+
+    Scale: state per key is O(events inside the 30-min interval) — the
+    watermark bound is what makes the join runnable on an unbounded
+    stream; on a cluster back it with the RocksDB state store. The
+    top-20 rollup bounds the driver materialization (same ≤25-row class
+    as q_stream_dedup)."""
+    import uuid
+
+    from personal_data_lakehouse_spark.streaming.windows import (
+        attribution_join,
+        stream_events,
+    )
+
+    views = stream_events(spark, f"{sf_dir}/events.parquet").filter(
+        F.col("event_type") == "view"
+    )
+    clicks = stream_events(spark, f"{sf_dir}/events.parquet").filter(
+        F.col("event_type") == "click"
+    )
+    joined = attribution_join(views, clicks, "30 minutes", "30 minutes")
+    name = f"ssjoin_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    out = (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.count_distinct("click_id").alias("n_clicks"),
+        )
+        .orderBy(F.desc("n_pairs"), "user_id")
+        .limit(20)
+    )
+    # Materialize the ≤20-row rollup and DROP the memory-sink view (same
+    # leak-avoidance contract as q_stream_dedup: uuid temp tables holding
+    # the full pair stream must not accumulate across invocations).
+    rows = out.collect()
+    schema = out.schema
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, schema)

