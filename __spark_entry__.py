@@ -85,6 +85,8 @@ _PRIORITY = [
     "s_knn_graph",
     "t_crossdoc_spans",
     "q_stream_stream_join",
+    "m_triangle_count",
+    "t_tokenizer_fertility",  # rows-only by design (BPE chain; pytest-pinned)
     # (b) only green row is round 1 — longest without re-proof
     "q_anti_join",
     "q_approx_distinct",
@@ -129,10 +131,10 @@ _PRIORITY = [
     "q09_product_profit",
     "q10_returned_revenue",
     "q11_important_stock",
-    "q13_custdist",
-    "q14_promo_share",
     # ---- 50-query window cap falls here; the rest re-verify only if the
     # driver evaluates more than 50 ----
+    "q13_custdist",
+    "q14_promo_share",
     "q15_top_supplier",
     "q16_supplier_cnt",
     "q17_small_qty_revenue",

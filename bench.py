@@ -84,11 +84,17 @@ def main() -> None:
         timings[name] = sorted(runs)[1]
 
     total = round(sum(timings.values()), 3)
+    # The r1 baseline (16.848s) covers the first 17 headline queries;
+    # r5 added two more to the regression floor. baseline17 is the
+    # apples-to-apples subtotal against BASELINE.md.
+    r1_set = HEADLINE[:17]
+    baseline17 = round(sum(timings[n] for n in r1_set if n in timings), 3)
     headline = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "baseline17": baseline17,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "detail": "BENCH_LATEST.json",
     }

@@ -496,3 +496,138 @@ def q_stream_stream_join(spark, sf_dir):
     schema = out.schema
     spark.catalog.dropTempView(name)
     return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting over the near-dup graph (oriented 3-way join)
+
+
+@query("m_triangle_count", oracle=None)  # oracle injected below (shares CTE)
+def m_triangle_count(spark, sf_dir):
+    """Per-document TRIANGLE counts over the SimHash near-dup graph (top-20
+    nodes): triangles are the densest duplication signal — a doc whose
+    neighbors are also near-dups of each other sits inside a template
+    family, not a chance collision. Classic oriented-triangle dataflow
+    (edges already id_a < id_b): ab ⋈ bc on the middle vertex, closed by
+    ac — each triangle {a<b<c} materializes exactly once, then one explode
+    + count per corner.
+
+    Scale: with edges oriented low→high, join fan-out is bounded by
+    out-degree (Σ d_out(v)²), the standard MapReduce triangle-counting
+    bound; a viral hub's edges all point OUT of lower ids, so cap
+    out-degree (or sample neighbors) for adversarial graphs. Three
+    shuffles of the edge list total; the corpus is touched only to build
+    the sketches."""
+    from personal_data_lakehouse_spark.dedup.simhash import (
+        simhash_neardup_pairs,
+    )
+
+    # Tighter edge set than t_simhash_neardup (hamming <= 4, not 8): the
+    # fixtures' dup clusters are dense, and triangle work grows O(E^1.5) —
+    # strong edges keep the graph sparse while the triangles they close
+    # are exactly the high-confidence template families.
+    edges = (
+        simhash_neardup_pairs(
+            t(spark, sf_dir, "documents"), max_hamming=4
+        )
+        .select("id_a", "id_b")
+        .persist()
+    )
+    ab = edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    bc = edges.select(F.col("id_a").alias("b2"), F.col("id_b").alias("c"))
+    ac = edges.select(F.col("id_a").alias("a2"), F.col("id_b").alias("c2"))
+    tri = ab.join(bc, F.col("b") == F.col("b2")).join(
+        ac, (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2"))
+    )
+    corners = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("doc_id")
+    )
+    return (
+        corners.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy(F.desc("n_triangles"), "doc_id")
+        .limit(20)
+    )
+
+
+def _inject_triangle_oracle() -> None:
+    from personal_data_lakehouse_spark.plans.registry import REGISTRY
+    from personal_data_lakehouse_spark.plans.text_ops import _SIMHASH_CTE
+
+    REGISTRY["m_triangle_count"].oracle = f"""
+    WITH {_SIMHASH_CTE},
+    banded AS (
+        SELECT doc_id, b AS band, (simhash >> (b * 15)) & 32767 AS bandval
+        FROM sk, unnest([0, 1, 2, 3]) AS u(b)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+        FROM banded a JOIN banded c
+          ON a.band = c.band AND a.bandval = c.bandval
+         AND a.doc_id < c.doc_id
+    ),
+    edges AS (
+        SELECT id_a, id_b FROM cand
+        JOIN sk sa ON sa.doc_id = id_a
+        JOIN sk sb ON sb.doc_id = id_b
+        WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 4
+    ),
+    tri AS (
+        SELECT ab.id_a AS a, ab.id_b AS b, bc.id_b AS c
+        FROM edges ab
+        JOIN edges bc ON ab.id_b = bc.id_a
+        JOIN edges ac ON ac.id_a = ab.id_a AND ac.id_b = bc.id_b
+    ),
+    corners AS (
+        SELECT a AS doc_id FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    )
+    SELECT doc_id, COUNT(*) AS n_triangles
+    FROM corners GROUP BY 1
+    ORDER BY n_triangles DESC, doc_id
+    LIMIT 20
+    """
+
+
+_inject_triangle_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility (BPE evaluation) — rows-only by design
+
+
+@query("t_tokenizer_fertility", oracle=None)
+def t_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer FERTILITY per language bucket: BPE tokens per word under
+    the corpus-trained 8-merge tokenizer — the standard tokenizer-quality
+    metric (a language whose fertility is 2× pays 2× the sequence length
+    for the same text). Integer millis (1000·tokens div words) so the
+    ratio is engine-exact. Rows-only like the other BPE queries (the
+    trained merge chain is not one SQL expression); the encode itself is
+    pinned bit-exact to a sequential reference in tests/test_bpe.py, and
+    this rollup's internal consistency is pinned in
+    tests/test_round5_ops.py.
+
+    Scale: encode runs per DISTINCT word (vocabulary-sized, not
+    corpus-sized); the corpus pays one hash join + one (lang) aggregate."""
+    from personal_data_lakehouse_spark.functions.bpe import (
+        encode_bpe,
+        train_bpe,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    enc = encode_bpe(docs, train_bpe(docs, "text", n_merges=8))
+    return (
+        enc.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("total_words"),
+            F.sum("n_bpe_tokens").alias("total_bpe_tokens"),
+        )
+        .withColumn(
+            "fertility_millis",
+            F.expr("CAST(1000 * total_bpe_tokens div total_words AS BIGINT)"),
+        )
+    )

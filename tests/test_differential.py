@@ -55,6 +55,7 @@ def test_priority_prefix_is_oracle_backed():
         "t_bpe_encode",
         "q_approx_distinct",
         "q_approx_percentile",
+        "t_tokenizer_fertility",  # BPE merge chain — pytest-pinned instead
     }
     names = entry_mod._ordered_names()[:50]
     for n in names:

@@ -76,6 +76,11 @@ GOLDEN_EXTRA = [
     "t_quality_logit",
     "s_knn_graph",
     "t_crossdoc_spans",
+    # oriented 3-way self-join over the persisted near-dup edge list
+    # (t_tokenizer_fertility excluded: its plan embeds the merges learned
+    # by the driver-coordinated BPE trainer at build time — covered by
+    # tests/test_round5_ops.py + test_bpe.py instead)
+    "m_triangle_count",
 ]
 
 # Goldens are generated against the canonical smoke fixture; other SF dirs

@@ -87,6 +87,49 @@ def test_sharded_positions_equal_naive_global_window(spark, rows):
     assert got == want
 
 
+@settings(max_examples=10, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 3),  # bucket
+            st.integers(0, 10**6),  # id-ish
+            st.integers(0, 500),  # weight (token count)
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda r: r[1],
+    )
+)
+def test_sharded_weighted_prefix_sum_equals_naive_window(spark, rows):
+    """With weight_col, sharded_global_positions must be bit-identical to
+    SUM(w) OVER (ORDER BY bucket, skey, id ROWS UNBOUNDED PRECEDING) — the
+    decomposition the token-budget sampler rides on."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from personal_data_lakehouse_spark.operators.partitioning import (
+        sharded_global_positions,
+    )
+
+    df = spark.createDataFrame(rows, "bucket int, id long, w long").withColumn(
+        "skey", F.md5(F.col("id").cast("string").cast("binary"))
+    )
+    got = {
+        r["id"]: r["pos"]
+        for r in sharded_global_positions(
+            df, "bucket", "skey", "id", weight_col="w"
+        ).collect()
+    }
+    naive_w = Window.orderBy("bucket", "skey", "id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    want = {
+        r["id"]: r["pos"]
+        for r in df.withColumn("pos", F.sum("w").over(naive_w)).collect()
+    }
+    assert got == want
+
+
 def test_sharded_positions_keep_null_keys_first(spark):
     """A NULL sort key (or NULL bucket) must rank NULLS FIRST like the
     naive window — not silently drop out of the permutation (the shard

@@ -215,3 +215,67 @@ def test_stream_stream_join_matches_batch_interval_join(spark):
     got = sorted(map(tuple, res.collect()))
     want = sorted(map(tuple, batch.collect()))
     assert got == want
+
+
+def test_triangle_count_matches_bruteforce_closure(spark):
+    """Per-node triangle counts recomputed driver-side from the exact edge
+    set must equal the oriented-join result (top-20 slice)."""
+    from itertools import combinations
+
+    from personal_data_lakehouse_spark.dedup.simhash import (
+        simhash_neardup_pairs,
+    )
+
+    edges = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_neardup_pairs(
+            t(spark, SF_DIR, "documents"), max_hamming=4
+        )
+        .select("id_a", "id_b")
+        .collect()
+    }
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    counts = {}
+    for a, b in edges:
+        for c in adj[a] & adj[b]:
+            if c > b:  # a < b < c exactly once
+                for v in (a, b, c):
+                    counts[v] = counts.get(v, 0) + 1
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [
+        (r["doc_id"], r["n_triangles"])
+        for r in REGISTRY["m_triangle_count"].fn(spark, SF_DIR).collect()
+    ]
+    assert got == want
+
+
+def test_tokenizer_fertility_consistent_with_encode(spark):
+    """Fertility rollup must be exactly the per-lang integer ratio of the
+    encode output it aggregates (and fertility ≥ 1000: BPE with 8 merges
+    never produces fewer tokens than words)."""
+    from personal_data_lakehouse_spark.functions.bpe import (
+        encode_bpe,
+        train_bpe,
+    )
+
+    docs = t(spark, SF_DIR, "documents")
+    enc = encode_bpe(docs, train_bpe(docs, "text", n_merges=8))
+    agg = {
+        r["lang"]: (r["tw"], r["tt"])
+        for r in enc.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.sum("n_words").alias("tw"), F.sum("n_bpe_tokens").alias("tt")
+        )
+        .collect()
+    }
+    out = REGISTRY["t_tokenizer_fertility"].fn(spark, SF_DIR).collect()
+    assert len(out) == len(agg)
+    for r in out:
+        tw, tt = agg[r["lang"]]
+        assert (r["total_words"], r["total_bpe_tokens"]) == (tw, tt)
+        assert r["fertility_millis"] == (1000 * tt) // tw
+        assert r["fertility_millis"] >= 1000
