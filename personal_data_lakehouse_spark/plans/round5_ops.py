@@ -631,3 +631,262 @@ def t_tokenizer_fertility(spark, sf_dir):
             F.expr("CAST(1000 * total_bpe_tokens div total_words AS BIGINT)"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Epoch-aware domain upsampling (fractional-epoch training mixes)
+
+# Deterministic per-source epoch weights in millis: 1000 (1 epoch) to 3999,
+# derived from md5 of the source name so both engines compute them
+# identically and adding a new source never changes existing weights.
+_UPSAMPLE_WEIGHT = (
+    "1000 + CAST(('0x' || substr(md5(source), 1, 4)) AS BIGINT) % 3000"
+)
+
+
+@query(
+    "t_mix_upsample",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, source,
+               {_UPSAMPLE_WEIGHT} AS weight_millis,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                    AS BIGINT) % 1000 AS coin
+        FROM documents
+    )
+    SELECT doc_id, source, CAST(weight_millis AS BIGINT) AS weight_millis,
+           CAST(k AS BIGINT) AS epoch
+    FROM w, range(0, 4) r(k)
+    WHERE k < weight_millis // 1000
+       OR (k = weight_millis // 1000 AND coin < weight_millis % 1000)
+    """,
+)
+def t_mix_upsample(spark, sf_dir):
+    """Epoch-aware UPSAMPLING: replicate each document ceil-or-floor of its
+    domain's fractional epoch weight (e.g. 2.35 epochs → every doc appears
+    twice, and a deterministic 35% md5 coin per doc adds a third copy) —
+    the complement of t_mix_temperature's downsampling, used when a
+    high-quality domain should be seen more than once per training run.
+    Weights derive from md5(source) so the mix is a pure function of the
+    data; the coin is keyed on doc_id so replication is layout- and
+    engine-independent and stable as the corpus grows.
+
+    Scale: map-side explode only — no shuffle at all; output size is
+    Σ weight(domain)·|domain|, the training-mix contract. The epoch column
+    feeds downstream shuffling (each epoch shard sorts/shuffles
+    independently)."""
+    docs = t(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id",
+        "source",
+        (
+            F.lit(1000)
+            + F.pmod(
+                F.conv(F.substring(F.md5(F.col("source").cast("binary")), 1, 4), 16, 10).cast("long"),
+                F.lit(3000),
+            )
+        ).alias("weight_millis"),
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 4
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(1000),
+        ).alias("coin"),
+    )
+    return (
+        w.select(
+            "doc_id",
+            "source",
+            "weight_millis",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    (F.col("weight_millis") / 1000).cast("long")
+                    - F.when(
+                        F.col("coin") < F.pmod("weight_millis", F.lit(1000)),
+                        F.lit(0),
+                    ).otherwise(F.lit(1)),
+                )
+            ).alias("epoch"),
+        )
+        .select("doc_id", "source", "weight_millis", F.col("epoch").cast("long").alias("epoch"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket co-occurrence (co-purchased part pairs)
+
+
+@query(
+    "m_copurchase_pairs",
+    oracle="""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    pairs AS (
+        SELECT a.p AS part_a, b.p AS part_b, COUNT(*) AS n_orders
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, n_orders
+    FROM pairs WHERE n_orders >= 2
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def m_copurchase_pairs(spark, sf_dir):
+    """Co-occurrence mining (market-basket): part pairs appearing together
+    in ≥ 2 orders, top-20 — the A-priori candidate-pair stage of
+    recommendation pipelines, and the bipartite-projection primitive
+    (order-part graph → part-part co-occurrence graph).
+
+    Scale: pair generation is ORDER-LOCAL (self-join on l_orderkey after
+    per-order part dedup), so work is Σ|basket|² — bounded by the basket
+    size cap (≤ 13 lines in TPC-H), never |parts|². The pair aggregate
+    map-side combines; a viral basket (thousands of items) would need the
+    same hot-key cap as the gram pairing."""
+    op = (
+        t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a = op.select("o", F.col("p").alias("part_a"))
+    b = op.select("o", F.col("p").alias("part_b"))
+    return (
+        a.join(b, "o")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Label separation audit (integer-exact silhouette ingredients)
+
+
+@query(
+    "s_silhouette_labels",
+    oracle="""
+    WITH vq AS (
+        SELECT vec_id, label, pos,
+               CAST(FLOOR(CAST(embedding[pos + 1] AS DOUBLE) * 1000000)
+                    AS BIGINT) AS q
+        FROM embeddings, range(64) r(pos)
+        WHERE embedding[pos + 1] IS NOT NULL
+    ),
+    sums AS (
+        SELECT label, pos, SUM(q) AS s, COUNT(*) AS n
+        FROM vq GROUP BY 1, 2
+    ),
+    cent AS (
+        SELECT label, pos,
+               CAST(FLOOR(CAST(s AS DOUBLE) / n) AS BIGINT) AS c
+        FROM sums
+    ),
+    intra AS (
+        SELECT v.label, COUNT(DISTINCT v.vec_id) AS n_members,
+               SUM((v.q - c.c) * (v.q - c.c)) AS sum_intra_d2
+        FROM vq v JOIN cent c ON v.label = c.label AND v.pos = c.pos
+        GROUP BY 1
+    ),
+    inter AS (
+        SELECT a.label, b.label AS other_label,
+               SUM((a.c - b.c) * (a.c - b.c)) AS d2
+        FROM cent a JOIN cent b ON a.pos = b.pos AND a.label <> b.label
+        GROUP BY 1, 2
+    ),
+    nearest AS (
+        SELECT label, other_label AS nearest_label, d2 AS inter_centroid_d2
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+                                           ORDER BY d2, other_label) AS rn
+              FROM inter)
+        WHERE rn = 1
+    )
+    SELECT i.label, i.n_members, i.sum_intra_d2,
+           n.nearest_label, n.inter_centroid_d2
+    FROM intra i JOIN nearest n ON i.label = n.label
+    """,
+)
+def s_silhouette_labels(spark, sf_dir):
+    """Label SEPARATION audit — the silhouette ingredients per class,
+    all-integer so the audit is engine- and partition-order-exact:
+    per label, the summed squared distance of members to their own
+    centroid (cohesion) and the squared distance to the NEAREST other
+    centroid (separation). A label whose sum_intra_d2/n_members
+    approaches its inter_centroid_d2 is a merge/mislabel candidate —
+    the embedding-space class-quality sweep run before training a
+    classifier head. Centroids are floor(S/n) per dimension (exact in
+    double while |S| < 2^53); all distances are BIGINT sums of squared
+    integer diffs (≤ 4e12/term, ≤ ~5e17/label — headroom documented).
+
+    Scale: one posexplode + (label, dim) aggregate; the member-distance
+    pass re-joins the broadcast 640-row centroid table; the centroid-pair
+    stage is |labels|²·64 rows — trivial at any corpus size. Parallelism
+    follows the member pass (the only corpus-sized stage)."""
+    emb = t(spark, sf_dir, "embeddings")
+    vq = (
+        emb.select(
+            "vec_id", "label", F.posexplode("embedding").alias("pos", "comp")
+        )
+        .select(
+            "vec_id",
+            "label",
+            "pos",
+            F.floor(F.col("comp").cast("double") * 1_000_000)
+            .cast("long")
+            .alias("q"),
+        )
+        .filter(F.col("q").isNotNull())
+    )
+    sums = vq.groupBy("label", "pos").agg(
+        F.sum("q").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    cent = sums.select(
+        "label",
+        "pos",
+        F.floor(F.col("s").cast("double") / F.col("n")).cast("long").alias("c"),
+    )
+    intra = (
+        vq.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("label")
+        .agg(
+            F.count_distinct("vec_id").alias("n_members"),
+            F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c"))).alias(
+                "sum_intra_d2"
+            ),
+        )
+    )
+    ca = cent.select(
+        F.col("label"), F.col("pos"), F.col("c").alias("ca")
+    )
+    cb = cent.select(
+        F.col("label").alias("other_label"), F.col("pos"), F.col("c").alias("cb")
+    )
+    inter = (
+        ca.join(cb, "pos")
+        .filter(F.col("label") != F.col("other_label"))
+        .groupBy("label", "other_label")
+        .agg(
+            F.sum((F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb"))).alias("d2")
+        )
+    )
+    w = Window.partitionBy("label").orderBy("d2", "other_label")
+    nearest = (
+        inter.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "label",
+            F.col("other_label").alias("nearest_label"),
+            F.col("d2").alias("inter_centroid_d2"),
+        )
+    )
+    return intra.join(nearest, "label").select(
+        "label", "n_members", "sum_intra_d2", "nearest_label", "inter_centroid_d2"
+    )

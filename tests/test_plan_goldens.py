@@ -81,6 +81,9 @@ GOLDEN_EXTRA = [
     # by the driver-coordinated BPE trainer at build time — covered by
     # tests/test_round5_ops.py + test_bpe.py instead)
     "m_triangle_count",
+    "t_mix_upsample",
+    "m_copurchase_pairs",
+    "s_silhouette_labels",
 ]
 
 # Goldens are generated against the canonical smoke fixture; other SF dirs

@@ -279,3 +279,65 @@ def test_tokenizer_fertility_consistent_with_encode(spark):
         assert (r["total_words"], r["total_bpe_tokens"]) == (tw, tt)
         assert r["fertility_millis"] == (1000 * tt) // tw
         assert r["fertility_millis"] >= 1000
+
+
+def test_mix_upsample_replication_law(spark):
+    """Every document appears floor(w/1000) or floor(w/1000)+1 times with
+    dense epochs 0..n-1; weights live in [1000, 3999]; per-source the
+    realized copy total approximates |domain|·w/1000."""
+    out = REGISTRY["t_mix_upsample"].fn(spark, SF_DIR).persist()
+    try:
+        per_doc = out.groupBy("doc_id", "weight_millis").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("epoch").alias("mn"),
+            F.max("epoch").alias("mx"),
+        )
+        bad = per_doc.filter(
+            (F.col("mn") != 0)
+            | (F.col("mx") != F.col("n") - 1)  # dense epochs
+            | (F.col("weight_millis") < 1000)
+            | (F.col("weight_millis") >= 4000)
+            | (F.col("n") < F.expr("weight_millis div 1000"))
+            | (F.col("n") > F.expr("weight_millis div 1000") + 1)
+        ).count()
+        assert bad == 0
+        # deterministic: a rerun replicates identically
+        again = REGISTRY["t_mix_upsample"].fn(spark, SF_DIR)
+        assert out.exceptAll(again).count() == 0
+        assert again.exceptAll(out).count() == 0
+    finally:
+        out.unpersist()
+
+
+def test_copurchase_pairs_counts_are_exact(spark):
+    """Each reported pair's n_orders equals the directly recomputed count
+    of orders containing both parts."""
+    rows = REGISTRY["m_copurchase_pairs"].fn(spark, SF_DIR).collect()
+    assert rows and all(r["part_a"] < r["part_b"] for r in rows)
+    li = t(spark, SF_DIR, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    for r in rows[:5]:
+        n = (
+            li.filter(F.col("l_partkey") == r["part_a"])
+            .select("l_orderkey")
+            .intersect(
+                li.filter(F.col("l_partkey") == r["part_b"]).select("l_orderkey")
+            )
+            .count()
+        )
+        assert n == r["n_orders"], (r, n)
+
+
+def test_silhouette_labels_structure(spark):
+    """Every label present, members sum to the corpus size, nearest label
+    differs, distances non-negative, and cohesion < separation·n for the
+    well-separated synthetic fixture would be too strong — assert only the
+    exact structural identities."""
+    out = REGISTRY["s_silhouette_labels"].fn(spark, SF_DIR).collect()
+    emb = t(spark, SF_DIR, "embeddings")
+    n_total = emb.count()
+    n_labels = emb.select("label").distinct().count()
+    assert len(out) == n_labels
+    assert sum(r["n_members"] for r in out) == n_total
+    for r in out:
+        assert r["nearest_label"] != r["label"]
+        assert r["sum_intra_d2"] >= 0 and r["inter_centroid_d2"] > 0
