@@ -90,6 +90,8 @@ _PRIORITY = [
     "t_mix_upsample",
     "m_copurchase_pairs",
     "s_silhouette_labels",
+    "s_ann_recall_eval",
+    "t_minhash_estimate_error",
     # (b) only green row is round 1 — longest without re-proof
     "q_anti_join",
     "q_approx_distinct",
@@ -129,10 +131,10 @@ _PRIORITY = [
     "s_ivf_ann_topk",
     # (c) refill: oldest r2-era TPC-H shapes
     "q02_min_cost_supplier",
-    "q04_order_priority",
-    "q08_market_share",
     # ---- 50-query window cap falls here; the rest re-verify only if the
     # driver evaluates more than 50 ----
+    "q04_order_priority",
+    "q08_market_share",
     "q09_product_profit",
     "q10_returned_revenue",
     "q11_important_stock",

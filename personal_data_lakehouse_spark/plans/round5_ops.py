@@ -890,3 +890,184 @@ def s_silhouette_labels(spark, sf_dir):
     return intra.join(nearest, "label").select(
         "label", "n_members", "sum_intra_d2", "nearest_label", "inter_centroid_d2"
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall evaluation (approximate vs exact ground truth, same metric)
+
+
+@query("s_ann_recall_eval", oracle=None)  # oracle composed below from the
+# registered exact/IVF/SRP oracles (nested-WITH subqueries)
+def s_ann_recall_eval(spark, sf_dir):
+    """Recall@5 of the two ANN indexes against the exact brute-force
+    cosine ground truth, per query vector — the evaluation harness every
+    similarity deployment needs before trusting an index: IVF (2-probe
+    cell search) and SRP-LSH (8-bit signature buckets), both scored on
+    the SAME metric as the ground truth. recall_millis = 1000·|∩|/5 in
+    exact integer arithmetic.
+
+    Scale: the eval reuses the registered plans unchanged; the join is
+    on (qid, vec_id) over k·|queries| rows — negligible next to the
+    searches themselves. At 100 TB you run this on a sampled query set,
+    which is exactly what the 8-query fixture set models."""
+    from personal_data_lakehouse_spark.plans.registry import REGISTRY
+
+    exact = (
+        REGISTRY["s_cosine_topk"].fn(spark, sf_dir).select("qid", "vec_id")
+    ).persist()
+    qids = exact.select("qid").distinct()
+    parts = []
+    for method, name in (("ivf", "s_ivf_ann_topk"), ("srp", "s_srp_ann_topk")):
+        approx = REGISTRY[name].fn(spark, sf_dir).select("qid", "vec_id")
+        hits = (
+            exact.join(approx, ["qid", "vec_id"])
+            .groupBy("qid")
+            .agg(F.count(F.lit(1)).alias("n_hit"))
+        )
+        parts.append(
+            qids.join(hits, "qid", "left").select(
+                F.lit(method).alias("method"),
+                "qid",
+                F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            )
+        )
+    out = parts[0].unionByName(parts[1])
+    return out.withColumn(
+        "recall_millis", (F.col("n_hit") * 200).cast("long")
+    )
+
+
+def _inject_recall_oracle() -> None:
+    from personal_data_lakehouse_spark.plans.registry import REGISTRY
+
+    exact = REGISTRY["s_cosine_topk"].oracle
+    ivf = REGISTRY["s_ivf_ann_topk"].oracle
+    srp = REGISTRY["s_srp_ann_topk"].oracle
+    REGISTRY["s_ann_recall_eval"].oracle = f"""
+    WITH exact AS ({exact}),
+         ivf AS ({ivf}),
+         srp AS ({srp}),
+         hits AS (
+             SELECT 'ivf' AS method, e.qid,
+                    COUNT(a.vec_id) AS n_hit
+             FROM exact e LEFT JOIN ivf a
+               ON a.qid = e.qid AND a.vec_id = e.vec_id
+             GROUP BY e.qid
+             UNION ALL
+             SELECT 'srp', e.qid, COUNT(a.vec_id)
+             FROM exact e LEFT JOIN srp a
+               ON a.qid = e.qid AND a.vec_id = e.vec_id
+             GROUP BY e.qid
+         )
+    SELECT method, qid, CAST(n_hit AS BIGINT) AS n_hit,
+           CAST(n_hit * 200 AS BIGINT) AS recall_millis
+    FROM hits
+    """
+
+
+_inject_recall_oracle()
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator-error audit (sketch estimate vs exact Jaccard)
+
+
+@query("t_minhash_estimate_error", oracle=None)  # oracle injected below
+def t_minhash_estimate_error(spark, sf_dir):
+    """Sketch-quality audit: for every LSH candidate pair, the MinHash
+    ESTIMATE of Jaccard (fraction of agreeing signature components, k=16)
+    next to the exact shingle Jaccard and the absolute error — the
+    measurement that justifies (or rejects) a signature size before a
+    100 TB dedup run. The estimator is unbiased with stddev
+    ~sqrt(J(1-J)/k) ≈ 0.125 at k=16; the audit makes the realized error
+    visible per pair.
+
+    est_jaccard = n/16 is exact in binary, the exact Jaccard is one
+    double division — both engines compute bit-identical values.
+
+    Scale: same dataflow as t_minhash_lsh_pairs plus one broadcast-back
+    of the 16-component signatures onto the surviving pairs."""
+    from personal_data_lakehouse_spark.dedup.minhash import _banded_docs
+
+    docs, banded = _banded_docs(
+        t(spark, sf_dir, "documents"), "text", "doc_id", 16, 4, 3, 42
+    )
+    sigd = docs.select(
+        "doc_id",
+        F.array(*[F.col(f"h{i}") for i in range(16)]).alias("sig"),
+        "shingles",
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .join(
+            sigd.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("sig").alias("sig_a"),
+                F.col("shingles").alias("sh_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            sigd.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("sig").alias("sig_b"),
+                F.col("shingles").alias("sh_b"),
+            ),
+            "id_b",
+        )
+    )
+    n_match = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m
+        )
+    ).cast("long")
+    raw_j = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    est = n_match.cast("double") / 16.0
+    return pairs.select(
+        "id_a",
+        "id_b",
+        n_match.alias("n_sig_match"),
+        est.alias("est_jaccard"),
+        F.round(raw_j, 6).alias("jaccard"),
+        F.round(F.abs(est - raw_j), 6).alias("abs_err"),
+    )
+
+
+def _inject_estimate_oracle() -> None:
+    from personal_data_lakehouse_spark.plans.cluster_ops import _lsh_ctes
+    from personal_data_lakehouse_spark.plans.registry import REGISTRY
+
+    REGISTRY["t_minhash_estimate_error"].oracle = f"""
+    WITH {_lsh_ctes()}
+    SELECT p.id_a, p.id_b,
+           CAST(len(list_filter(range(1, 17), i -> a.sig[i] = b.sig[i]))
+                AS BIGINT) AS n_sig_match,
+           len(list_filter(range(1, 17), i -> a.sig[i] = b.sig[i])) / 16.0
+               AS est_jaccard,
+           ROUND(CAST(len(list_intersect(p.sh_a, p.sh_b)) AS DOUBLE)
+                 / len(list_distinct(list_concat(p.sh_a, p.sh_b))), 6)
+               AS jaccard,
+           ROUND(ABS(len(list_filter(range(1, 17), i -> a.sig[i] = b.sig[i]))
+                     / 16.0
+                     - CAST(len(list_intersect(p.sh_a, p.sh_b)) AS DOUBLE)
+                       / len(list_distinct(list_concat(p.sh_a, p.sh_b)))), 6)
+               AS abs_err
+    FROM lsh_pairs p
+    JOIN sig a ON a.doc_id = p.id_a
+    JOIN sig b ON b.doc_id = p.id_b
+    """
+
+
+_inject_estimate_oracle()

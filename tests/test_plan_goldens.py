@@ -84,6 +84,8 @@ GOLDEN_EXTRA = [
     "t_mix_upsample",
     "m_copurchase_pairs",
     "s_silhouette_labels",
+    "s_ann_recall_eval",
+    "t_minhash_estimate_error",
 ]
 
 # Goldens are generated against the canonical smoke fixture; other SF dirs

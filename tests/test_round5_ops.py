@@ -341,3 +341,33 @@ def test_silhouette_labels_structure(spark):
     for r in out:
         assert r["nearest_label"] != r["label"]
         assert r["sum_intra_d2"] >= 0 and r["inter_centroid_d2"] > 0
+
+
+def test_ann_recall_eval_bounds_and_ivf_quality(spark):
+    """recall_millis = 200·n_hit with n_hit ≤ 5 for both methods and every
+    query covered; IVF's mean recall must beat SRP's 8-bit buckets on the
+    fixture (2-probe cells cover more of the true neighborhood)."""
+    rows = REGISTRY["s_ann_recall_eval"].fn(spark, SF_DIR).collect()
+    by_m = {}
+    for r in rows:
+        assert 0 <= r["n_hit"] <= 5
+        assert r["recall_millis"] == 200 * r["n_hit"]
+        by_m.setdefault(r["method"], []).append(r["n_hit"])
+    assert set(by_m) == {"ivf", "srp"}
+    assert len(by_m["ivf"]) == len(by_m["srp"]) == 8  # one row per query
+    assert sum(by_m["ivf"]) >= sum(by_m["srp"])
+
+
+def test_minhash_estimate_error_statistics(spark):
+    """The estimator must be k=16-granular (n/16), errors must equal
+    |est − exact| exactly, and the mean absolute error must sit inside a
+    loose 3·stddev envelope of the MinHash estimator (~0.125 at k=16) —
+    a wrong hash family or signature indexing blows straight past it."""
+    rows = REGISTRY["t_minhash_estimate_error"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_sig_match"] <= 16
+        assert r["est_jaccard"] == r["n_sig_match"] / 16.0
+        assert abs(r["abs_err"] - round(abs(r["est_jaccard"] - r["jaccard"]), 6)) < 1e-9
+    mean_err = sum(r["abs_err"] for r in rows) / len(rows)
+    assert mean_err <= 3 * 0.125
