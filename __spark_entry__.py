@@ -92,6 +92,7 @@ _PRIORITY = [
     "s_silhouette_labels",
     "s_ann_recall_eval",
     "t_minhash_estimate_error",
+    "s_knn_incremental",
     # (b) only green row is round 1 — longest without re-proof
     "q_anti_join",
     "q_approx_distinct",
@@ -130,9 +131,9 @@ _PRIORITY = [
     "s_cosine_topk",
     "s_ivf_ann_topk",
     # (c) refill: oldest r2-era TPC-H shapes
-    "q02_min_cost_supplier",
     # ---- 50-query window cap falls here; the rest re-verify only if the
     # driver evaluates more than 50 ----
+    "q02_min_cost_supplier",
     "q04_order_priority",
     "q08_market_share",
     "q09_product_profit",

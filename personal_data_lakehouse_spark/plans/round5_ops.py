@@ -1071,3 +1071,75 @@ def _inject_estimate_oracle() -> None:
 
 
 _inject_estimate_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Incremental kNN (new batch probes the persisted corpus cell index)
+
+
+@query("s_knn_incremental", oracle=None)  # oracle injected below
+def s_knn_incremental(spark, sf_dir):
+    """Incremental similarity ingest: vectors arriving in a new batch
+    (vec_id % 10 == 0) probe the EXISTING corpus's IVF cell index for
+    their top-3 nearest neighbors (2-probe, exact cosine re-rank) — the
+    embedding-tier complement of t_neardup_incremental: corpus×corpus
+    never re-runs, per-batch work is O(|batch| · probed-cell load).
+    Downstream, cosine ≥ threshold on rank 1 is the near-dup
+    admit/reject decision at ingest time.
+
+    Scale: the corpus cell assignment is the written index (one shuffle,
+    amortized over every future batch); each batch is map-assigned
+    against the broadcast centroids and joins only its probed cells."""
+    from personal_data_lakehouse_spark.plans.similarity_ops import (
+        _CENTROID_IDS,
+    )
+    from personal_data_lakehouse_spark.similarity.ivf import (
+        ivf_topk,
+        pick_centroids,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    batch = emb.filter((F.col("vec_id") % 10) == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    corpus = emb.filter((F.col("vec_id") % 10) != 0)
+    cents = pick_centroids(emb, _CENTROID_IDS)
+    return ivf_topk(batch, corpus, cents, k=3, nprobe=2)
+
+
+def _inject_knn_incr_oracle() -> None:
+    from personal_data_lakehouse_spark.plans.registry import REGISTRY
+    from personal_data_lakehouse_spark.plans.similarity_ops import (
+        _CENT_LIST,
+        _cos,
+    )
+
+    REGISTRY["s_knn_incremental"].oracle = f"""
+    WITH cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+                   WHERE vec_id IN ({_CENT_LIST})),
+    asg AS (SELECT vec_id, e, cid, {_cos('e', 'ce')} AS csim
+            FROM (SELECT vec_id, embedding AS e FROM embeddings
+                  WHERE vec_id % 10 <> 0) c, cents),
+    cells AS (SELECT vec_id, e, cid AS cell FROM (
+                  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                      ORDER BY csim DESC, cid) AS crnk FROM asg)
+              WHERE crnk = 1),
+    qasg AS (SELECT qid, qe, cid, {_cos('qe', 'ce')} AS csim
+             FROM (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+                   WHERE vec_id % 10 = 0) q, cents),
+    probes AS (SELECT qid, qe, cid AS cell FROM (
+                   SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                       ORDER BY csim DESC, cid) AS crnk FROM qasg)
+               WHERE crnk <= 2),
+    s AS (SELECT qid, vec_id, {_cos('qe', 'e')} AS sim
+          FROM cells JOIN probes USING (cell)),
+    r AS (SELECT qid, vec_id, sim,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                                    ORDER BY sim DESC, vec_id) AS rnk
+          FROM s)
+    SELECT qid, rnk, vec_id, ROUND(sim, 6) AS cosine
+    FROM r WHERE rnk <= 3
+    """
+
+
+_inject_knn_incr_oracle()

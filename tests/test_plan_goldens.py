@@ -86,6 +86,7 @@ GOLDEN_EXTRA = [
     "s_silhouette_labels",
     "s_ann_recall_eval",
     "t_minhash_estimate_error",
+    "s_knn_incremental",
 ]
 
 # Goldens are generated against the canonical smoke fixture; other SF dirs

@@ -371,3 +371,20 @@ def test_minhash_estimate_error_statistics(spark):
         assert abs(r["abs_err"] - round(abs(r["est_jaccard"] - r["jaccard"]), 6)) < 1e-9
     mean_err = sum(r["abs_err"] for r in rows) / len(rows)
     assert mean_err <= 3 * 0.125
+
+
+def test_knn_incremental_batch_never_matches_batch(spark):
+    """Every returned neighbor must come from the corpus partition (vec_id
+    % 10 != 0), every batch vector gets dense ranks, and rank-1 similarity
+    dominates within each query's result."""
+    out = REGISTRY["s_knn_incremental"].fn(spark, SF_DIR).persist()
+    try:
+        assert out.filter((F.col("vec_id") % 10) == 0).count() == 0
+        assert out.filter((F.col("qid") % 10) != 0).count() == 0
+        ranks = out.groupBy("qid").agg(
+            F.count(F.lit(1)).alias("n"), F.max("rnk").alias("mx")
+        )
+        assert ranks.filter(F.col("n") != F.col("mx")).count() == 0
+        assert ranks.filter(F.col("n") > 3).count() == 0
+    finally:
+        out.unpersist()
