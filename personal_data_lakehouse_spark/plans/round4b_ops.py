@@ -911,6 +911,9 @@ def s_label_outliers(spark, sf_dir):
         # vector would otherwise yield a NULL align_dot that sorts first in
         # Spark's ranking but is absent from the oracle's dots.
         .filter(F.col("q").isNotNull())
+        # persist: both the class-sum branch and the member-dot branch
+        # consume vq — one corpus scan + explode instead of two
+        .persist()
     )
     sums = vq.groupBy("label", "pos").agg(F.sum("q").alias("s"))
     dots = (

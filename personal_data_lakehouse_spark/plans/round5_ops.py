@@ -844,6 +844,9 @@ def s_silhouette_labels(spark, sf_dir):
             .alias("q"),
         )
         .filter(F.col("q").isNotNull())
+        # persist: the centroid branch and the member-distance branch both
+        # consume vq — one corpus scan + explode instead of two
+        .persist()
     )
     sums = vq.groupBy("label", "pos").agg(
         F.sum("q").alias("s"), F.count(F.lit(1)).alias("n")
@@ -1143,3 +1146,61 @@ def _inject_knn_incr_oracle() -> None:
 
 
 _inject_knn_incr_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Contribution-capped aggregation (bounded per-user influence)
+
+
+@query(
+    "q_contribution_capped_agg",
+    oracle="""
+    WITH capped AS (
+        SELECT event_id, user_id, event_type,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY user_id
+                ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+            ) AS rn
+            FROM events
+        ) WHERE rn <= 5
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           SUM(cents) AS total_cents
+    FROM capped GROUP BY 1
+    """,
+)
+def q_contribution_capped_agg(spark, sf_dir):
+    """Aggregation under BOUNDED PER-USER CONTRIBUTION: each user donates
+    at most 5 events (chosen by a deterministic md5 rank — a fixed random
+    sample, stable across engines, layouts, and corpus growth), then the
+    per-type totals are computed over the capped set. This is the
+    contribution-bounding step of DP-style aggregation and the
+    author-cap dedup of training pipelines: no single heavy user can
+    dominate a statistic (or a training mix) by volume.
+
+    Scale: one shuffle on user_id for the per-user rank (state = 5 rows
+    per key via WindowGroupLimit pushdown), one map-side-combined
+    aggregate on the capped set. The md5 order makes the kept subset a
+    uniform sample of each user's events rather than a time-biased
+    prefix."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.md5(F.col("event_id").cast("string").cast("binary")), "event_id"
+    )
+    capped = ev.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 5
+    )
+    return capped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.sum("cents").alias("total_cents"),
+    )

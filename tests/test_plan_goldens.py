@@ -87,6 +87,7 @@ GOLDEN_EXTRA = [
     "s_ann_recall_eval",
     "t_minhash_estimate_error",
     "s_knn_incremental",
+    "q_contribution_capped_agg",
 ]
 
 # Goldens are generated against the canonical smoke fixture; other SF dirs

@@ -388,3 +388,23 @@ def test_knn_incremental_batch_never_matches_batch(spark):
         assert ranks.filter(F.col("n") > 3).count() == 0
     finally:
         out.unpersist()
+
+
+def test_contribution_cap_bounds_user_influence(spark):
+    """No user contributes more than 5 events to the capped aggregate, the
+    capped totals are <= the uncapped ones, and users with <= 5 events are
+    untouched (their full contribution survives)."""
+    ev = t(spark, SF_DIR, "events")
+    out = {r["event_type"]: r for r in
+           REGISTRY["q_contribution_capped_agg"].fn(spark, SF_DIR).collect()}
+    full = {r["event_type"]: r["n"] for r in
+            ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(out) == set(full)
+    for et, r in out.items():
+        assert r["n_events"] <= full[et]
+    total_capped = sum(r["n_events"] for r in out.values())
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    expected_total = per_user.select(
+        F.sum(F.least("n", F.lit(5))).alias("s")
+    ).collect()[0]["s"]
+    assert total_capped == expected_total
