@@ -94,6 +94,7 @@ _PRIORITY = [
     "t_minhash_estimate_error",
     "s_knn_incremental",
     "q_contribution_capped_agg",
+    "q_stream_tumbling_agg",
     # (b) only green row is round 1 — longest without re-proof
     "q_anti_join",
     "q_approx_distinct",
@@ -129,9 +130,9 @@ _PRIORITY = [
     "q_merge_upsert",
     "t_minhash_lsh_pairs",
     "t_embed_neardup",
-    "s_cosine_topk",
     # ---- 50-query window cap falls here; the rest re-verify only if the
     # driver evaluates more than 50 ----
+    "s_cosine_topk",
     "s_ivf_ann_topk",
     # (c) refill: oldest r2-era TPC-H shapes
     "q02_min_cost_supplier",

@@ -1204,3 +1204,78 @@ def q_contribution_capped_agg(spark, sf_dir):
         F.count_distinct("user_id").alias("n_users"),
         F.sum("cents").alias("total_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Real streaming tumbling aggregation, batch-parity under the oracle
+
+
+@query(
+    "q_stream_tumbling_agg",
+    oracle="""
+    SELECT CAST(epoch_us(b) AS BIGINT) AS window_start_us,
+           event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(floor(value * 100) AS BIGINT)) AS total_cents
+    FROM (SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS b,
+                 event_type, value
+          FROM events)
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_tumbling_agg(spark, sf_dir):
+    """Real STREAMING tumbling aggregation proven batch-equal: the events
+    fixture is consumed via readStream (availableNow), aggregated per
+    (1-hour event-time window, event_type) with a 30-minute watermark,
+    and emitted in COMPLETE mode to a memory sink — which must hash-equal
+    the batch GROUP BY. Amounts sum as integer cents so the reduce is
+    exact in any partition AND micro-batch order (a double sum would be
+    arrival-order dependent — the reason tumbling_counts' float column is
+    excluded here).
+
+    Scale: streaming state is one row per open (window, type) group —
+    bounded by time horizon × type cardinality, not event volume; with
+    append mode + a downstream sink table this is the production shape,
+    complete mode is what makes the one-shot parity check total. The
+    materialized rollup is O(windows × types) — 3,600 rows at sf0.1 —
+    independent of |events|."""
+    import uuid
+
+    from personal_data_lakehouse_spark.streaming.windows import stream_events
+
+    s = stream_events(spark, f"{sf_dir}/events.parquet")
+    agg = (
+        s.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias(
+                "total_cents"
+            ),
+        )
+        .select(
+            F.unix_micros("window.start").alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "total_cents",
+        )
+    )
+    name = f"stumb_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    out = spark.table(name)
+    rows = out.collect()
+    schema = out.schema
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, schema)
