@@ -95,6 +95,7 @@ _PRIORITY = [
     "s_knn_incremental",
     "q_contribution_capped_agg",
     "q_stream_tumbling_agg",
+    "q_stream_session_agg",
     # (b) only green row is round 1 — longest without re-proof
     "q_anti_join",
     "q_approx_distinct",
@@ -129,9 +130,9 @@ _PRIORITY = [
     "q_asof_join",
     "q_merge_upsert",
     "t_minhash_lsh_pairs",
-    "t_embed_neardup",
     # ---- 50-query window cap falls here; the rest re-verify only if the
     # driver evaluates more than 50 ----
+    "t_embed_neardup",
     "s_cosine_topk",
     "s_ivf_ann_topk",
     # (c) refill: oldest r2-era TPC-H shapes

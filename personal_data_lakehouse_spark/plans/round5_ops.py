@@ -1279,3 +1279,83 @@ def q_stream_tumbling_agg(spark, sf_dir):
     schema = out.schema
     spark.catalog.dropTempView(name)
     return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------------------
+# Real streaming SESSION-window aggregation, batch-parity under the oracle
+
+
+@query(
+    "q_stream_session_agg",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ), m AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM e
+    ), s AS (
+        SELECT user_id, ts,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM m
+    ), sess AS (
+        SELECT user_id, sid, COUNT(*) AS n_events FROM s GROUP BY 1, 2
+    )
+    SELECT n_events AS session_len, COUNT(*) AS n_sessions
+    FROM sess GROUP BY 1
+    """,
+)
+def q_stream_session_agg(spark, sf_dir):
+    """Real STREAMING session windows proven batch-equal: per-user 30-min
+    gap sessions assembled by the streaming engine (readStream →
+    ``session_window`` aggregation, complete mode, availableNow), then
+    histogrammed by session length — which must hash-equal the classic
+    batch lag/gap/cumsum sessionization. The histogram (≤ max-session-len
+    rows) is the hashed surface, so the parity check covers every session
+    boundary decision while the driver materialization stays bounded by
+    session length, not session count.
+
+    Scale: streaming session state is per (user, open session) and merges
+    on arrival — the canonical dynamic-gap operator; complete mode is the
+    one-shot parity harness, a production pipeline emits append-mode
+    finalized sessions past the watermark."""
+    import uuid
+
+    from personal_data_lakehouse_spark.streaming.windows import stream_events
+
+    s = (
+        stream_events(spark, f"{sf_dir}/events.parquet")
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+    )
+    sess = (
+        s.withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    name = f"ssess_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            sess.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    out = (
+        spark.table(name)
+        .groupBy(F.col("n_events").alias("session_len"))
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )
+    rows = out.collect()
+    schema = out.schema
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, schema)
