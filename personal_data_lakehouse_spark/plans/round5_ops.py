@@ -1359,3 +1359,71 @@ def q_stream_session_agg(spark, sf_dir):
     schema = out.schema
     spark.catalog.dropTempView(name)
     return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------------------
+# Real streaming SLIDING-window aggregation, batch-parity under the oracle
+
+
+@query(
+    "q_stream_sliding_agg",
+    oracle="""
+    SELECT CAST(epoch_us(b) AS BIGINT) AS window_start_us,
+           event_type, COUNT(*) AS n_events
+    FROM (
+        SELECT event_type,
+               unnest([time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)),
+                       time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))
+                           - INTERVAL 1 HOUR]) AS b
+        FROM events
+    )
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_sliding_agg(spark, sf_dir):
+    """Real STREAMING sliding-window aggregation (2-hour windows sliding
+    hourly — every event lands in two windows) proven batch-equal: the
+    streaming engine expands each event into its overlapping windows and
+    maintains one state row per open (window, type); complete mode +
+    availableNow makes the one-shot parity total against the batch
+    unnest-into-buckets SQL. With tumbling (q_stream_tumbling_agg) and
+    session (q_stream_session_agg) this closes streaming parity over all
+    three window types the engine ships.
+
+    Scale: state rows = open windows × types (two windows per event-time
+    hour); the overlap factor (window/slide) multiplies shuffle volume,
+    not state retention — watermark expiry still bounds memory."""
+    import uuid
+
+    from personal_data_lakehouse_spark.streaming.windows import stream_events
+
+    s = stream_events(spark, f"{sf_dir}/events.parquet")
+    agg = (
+        s.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_micros("window.start").alias("window_start_us"),
+            "event_type",
+            "n_events",
+        )
+    )
+    name = f"sslide_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    out = spark.table(name)
+    rows = out.collect()
+    schema = out.schema
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, schema)
