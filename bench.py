@@ -52,6 +52,10 @@ HEADLINE = [
     # band-index probe — enter the regression floor here.
     "m_pagerank_top20",
     "t_neardup_incremental",
+    # round-5 additions: the two most architecturally novel r5 plans —
+    # cell-blocked all-pairs kNN and content-defined substring sampling
+    "s_knn_graph",
+    "t_crossdoc_spans",
 ]
 
 

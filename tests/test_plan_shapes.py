@@ -90,6 +90,10 @@ def test_headline_exchange_budgets(spark):
         # × 5 rounds — the per-iteration join+agg pair IS the algorithm
         "m_pagerank_top20": 41,
         "t_neardup_incremental": 14,
+        # 7 = cell-assign window exchange appearing textually per cached
+        # side (InMemoryRelation child plans) + the pair join + top-k
+        "s_knn_graph": 7,
+        "t_crossdoc_spans": 3,
     }
     assert set(budget) == set(HEADLINE)
     for name, allowed in budget.items():
