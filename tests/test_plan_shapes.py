@@ -93,7 +93,9 @@ def test_headline_exchange_budgets(spark):
         # 7 = cell-assign window exchange appearing textually per cached
         # side (InMemoryRelation child plans) + the pair join + top-k
         "s_knn_graph": 7,
-        "t_crossdoc_spans": 3,
+        # 4 = gram-dedup exchange (textually once per cached join side) +
+        # the pair aggregate
+        "t_crossdoc_spans": 4,
     }
     assert set(budget) == set(HEADLINE)
     for name, allowed in budget.items():
