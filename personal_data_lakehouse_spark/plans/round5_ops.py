@@ -1427,3 +1427,170 @@ def q_stream_sliding_agg(spark, sf_dir):
     schema = out.schema
     spark.catalog.dropTempView(name)
     return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------------------
+# Field-survivorship golden records (the MDM merge step after dedup)
+
+_NORM_SQL = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+
+
+@query(
+    "t_dedup_survivorship",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, lang, n_chars, md5({_NORM_SQL}) AS fp FROM documents
+    ),
+    base AS (
+        SELECT fp, MIN(doc_id) AS keep_id, MAX(n_chars) AS max_n_chars,
+               COUNT(*) AS n_dups
+        FROM d GROUP BY 1
+    ),
+    longest AS (
+        SELECT fp, doc_id AS golden_text_id FROM (
+            SELECT fp, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY fp
+                                      ORDER BY n_chars DESC, doc_id) AS rn
+            FROM d
+        ) WHERE rn = 1
+    ),
+    lang_mode AS (
+        SELECT fp, lang AS golden_lang FROM (
+            SELECT fp, lang,
+                   ROW_NUMBER() OVER (PARTITION BY fp
+                                      ORDER BY COUNT(*) DESC, lang) AS rn
+            FROM d GROUP BY fp, lang
+        ) WHERE rn = 1
+    )
+    SELECT b.fp, b.keep_id, l.golden_text_id, m.golden_lang,
+           b.max_n_chars, b.n_dups
+    FROM base b JOIN longest l ON b.fp = l.fp
+                JOIN lang_mode m ON b.fp = m.fp
+    """,
+)
+def t_dedup_survivorship(spark, sf_dir):
+    """Golden-record SURVIVORSHIP for duplicate clusters: after exact dedup
+    groups documents by fingerprint, each multi-member cluster merges into
+    one record by per-field rules — keep_id = min id (stable canonical),
+    golden_text_id = the member with the LONGEST raw text (most complete
+    field wins, id tiebreak), golden_lang = the cluster's modal language
+    (count-then-lexicographic tiebreak). This is the master-data-
+    management merge step the dedup families feed: the decision of which
+    VALUES survive, not just which row.
+
+    Every fingerprint emits its golden record (singletons trivially merge
+    to themselves, n_dups = 1 marks them) so the differential hash covers
+    the whole rule surface even on fixtures with few exact duplicates.
+
+    Scale: one fingerprint shuffle shared by all three rules (the rank
+    windows and the mode aggregate are per-cluster, state bounded by
+    cluster size); at corpus scale filter n_dups >= 2 first if only the
+    merge decisions are needed downstream."""
+    from personal_data_lakehouse_spark.functions.text import fingerprint
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", fingerprint("text").alias("fp")
+    )
+    base = (
+        d.groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.max("n_chars").alias("max_n_chars"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+    w_len = Window.partitionBy("fp").orderBy(F.desc("n_chars"), "doc_id")
+    longest = (
+        d.withColumn("rn", F.row_number().over(w_len))
+        .filter(F.col("rn") == 1)
+        .select("fp", F.col("doc_id").alias("golden_text_id"))
+    )
+    w_mode = Window.partitionBy("fp").orderBy(F.desc("cnt"), "lang")
+    lang_mode = (
+        d.groupBy("fp", "lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(w_mode))
+        .filter(F.col("rn") == 1)
+        .select("fp", F.col("lang").alias("golden_lang"))
+    )
+    return (
+        base.join(longest, "fp")
+        .join(lang_mode, "fp")
+        .select(
+            "fp", "keep_id", "golden_text_id", "golden_lang",
+            "max_n_chars", "n_dups",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup source matrix (which domains copy from which)
+
+
+@query(
+    "t_neardup_source_matrix",
+    oracle="""
+    WITH __CTES__,
+    verified AS (
+        SELECT id_a, id_b FROM lsh_pairs
+        WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+              / len(list_distinct(list_concat(sh_a, sh_b))) >= 0.5
+    ),
+    src AS (
+        SELECT v.id_a, v.id_b, da.source AS sa, db.source AS sb
+        FROM verified v
+        JOIN documents da ON da.doc_id = v.id_a
+        JOIN documents db ON db.doc_id = v.id_b
+    )
+    SELECT LEAST(sa, sb) AS source_lo, GREATEST(sa, sb) AS source_hi,
+           COUNT(*) AS n_pairs
+    FROM src GROUP BY 1, 2
+    """,
+)
+def t_neardup_source_matrix(spark, sf_dir):
+    """Cross-SOURCE duplication matrix: verified near-dup pairs (LSH
+    candidates, exact Jaccard ≥ 0.5) rolled up by unordered source pair —
+    the diagnostic that shows which domains syndicate/mirror which
+    (high off-diagonal mass = scraped copies across sites; diagonal =
+    within-source boilerplate). Drives per-source dedup policy before a
+    training run.
+
+    Scale: the pair list is the expensive input and already exists
+    (t_minhash_lsh_pairs dataflow); attaching two source labels is two
+    broadcast-joins against the doc dimension, and the matrix aggregate
+    has |sources|² bounded cardinality."""
+    from personal_data_lakehouse_spark.dedup.minhash import lsh_candidate_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(docs).filter(F.col("jaccard") >= 0.5)
+    src = docs.select("doc_id", "source")
+    labeled = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa")),
+            "id_a",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb")),
+            "id_b",
+        )
+    )
+    return (
+        labeled.select(
+            F.least("sa", "sb").alias("source_lo"),
+            F.greatest("sa", "sb").alias("source_hi"),
+        )
+        .groupBy("source_lo", "source_hi")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+def _inject_source_matrix_ctes() -> None:
+    from personal_data_lakehouse_spark.plans.cluster_ops import _lsh_ctes
+    from personal_data_lakehouse_spark.plans.registry import REGISTRY
+
+    REGISTRY["t_neardup_source_matrix"].oracle = REGISTRY[
+        "t_neardup_source_matrix"
+    ].oracle.replace("__CTES__", _lsh_ctes())
+
+
+_inject_source_matrix_ctes()

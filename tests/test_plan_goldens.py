@@ -88,6 +88,8 @@ GOLDEN_EXTRA = [
     "t_minhash_estimate_error",
     "s_knn_incremental",
     "q_contribution_capped_agg",
+    "t_dedup_survivorship",
+    "t_neardup_source_matrix",
 ]
 
 # Goldens are generated against the canonical smoke fixture; other SF dirs

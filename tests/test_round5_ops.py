@@ -408,3 +408,47 @@ def test_contribution_cap_bounds_user_influence(spark):
         F.sum(F.least("n", F.lit(5))).alias("s")
     ).collect()[0]["s"]
     assert total_capped == expected_total
+
+
+def test_survivorship_rules_hold(spark):
+    """keep_id is the cluster min, golden_text_id's n_chars equals
+    max_n_chars, n_dups sums to the corpus size, and singleton clusters
+    merge to themselves on every field."""
+    from personal_data_lakehouse_spark.functions.text import fingerprint
+
+    out = REGISTRY["t_dedup_survivorship"].fn(spark, SF_DIR).persist()
+    try:
+        docs = t(spark, SF_DIR, "documents").select(
+            "doc_id", "n_chars", fingerprint("text").alias("fp")
+        )
+        assert (
+            out.agg(F.sum("n_dups")).collect()[0][0] == docs.count()
+        )
+        joined = out.join(
+            docs.select(F.col("doc_id").alias("golden_text_id"),
+                        F.col("n_chars").alias("g_chars")),
+            "golden_text_id",
+        )
+        assert joined.filter(F.col("g_chars") != F.col("max_n_chars")).count() == 0
+        singles = out.filter(F.col("n_dups") == 1)
+        assert singles.filter(
+            F.col("keep_id") != F.col("golden_text_id")
+        ).count() == 0
+    finally:
+        out.unpersist()
+
+
+def test_source_matrix_totals_match_pair_count(spark):
+    """The matrix's pair total equals the verified near-dup pair count and
+    every cell is unordered (source_lo <= source_hi)."""
+    from personal_data_lakehouse_spark.dedup.minhash import lsh_candidate_pairs
+
+    out = REGISTRY["t_neardup_source_matrix"].fn(spark, SF_DIR)
+    rows = out.collect()
+    assert all(r["source_lo"] <= r["source_hi"] for r in rows)
+    n_pairs = (
+        lsh_candidate_pairs(t(spark, SF_DIR, "documents"))
+        .filter(F.col("jaccard") >= 0.5)
+        .count()
+    )
+    assert sum(r["n_pairs"] for r in rows) == n_pairs
