@@ -99,6 +99,7 @@ _PRIORITY = [
     "q_stream_sliding_agg",
     "t_dedup_survivorship",
     "t_neardup_source_matrix",
+    "q_anomaly_mad",
     # (b) only green row is round 1 — longest without re-proof
     "q_anti_join",
     "q_approx_distinct",
@@ -130,9 +131,9 @@ _PRIORITY = [
     "q_window_topk",
     "q_grouping_sets",
     "q_tumbling_window",
-    "q_asof_join",
     # ---- 50-query window cap falls here; the rest re-verify only if the
     # driver evaluates more than 50 ----
+    "q_asof_join",
     "q_merge_upsert",
     "t_minhash_lsh_pairs",
     "t_embed_neardup",

@@ -1594,3 +1594,76 @@ def _inject_source_matrix_ctes() -> None:
 
 
 _inject_source_matrix_ctes()
+
+
+# ---------------------------------------------------------------------------
+# Robust (MAD-based) anomaly detection per group
+
+
+@query(
+    "q_anomaly_mad",
+    oracle="""
+    WITH e AS (
+        SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events WHERE value IS NOT NULL
+    ),
+    med AS (
+        SELECT event_type, quantile_cont(cents, 0.5) AS med
+        FROM e GROUP BY 1
+    ),
+    dev AS (
+        SELECT e.event_type, ABS(e.cents - m.med) AS dev, m.med
+        FROM e JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(dev, 0.5) AS mad
+        FROM dev GROUP BY 1
+    )
+    SELECT d.event_type,
+           COUNT(*) AS n,
+           MAX(d.med) AS med_cents,
+           MAX(m.mad) AS mad_cents,
+           SUM(CASE WHEN d.dev > 3 * m.mad THEN 1 ELSE 0 END) AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY 1
+    """,
+)
+def q_anomaly_mad(spark, sf_dir):
+    """Robust anomaly detection: per event type, the MEDIAN/MAD outlier
+    rule (|x − median| > 3·MAD) — the breakdown-resistant counterpart of
+    q_zscore_outliers' mean/stddev, which a single extreme value can
+    poison. Exactness chain: integer cents → median lands on halves
+    (type-7) → absolute deviations are exact halves → MAD lands on
+    quarters → 3·MAD is an exact small multiple of 0.25 — every
+    comparison is between exactly-representable doubles, so the outlier
+    COUNT is bit-stable across engines.
+
+    Scale: two grouped exact percentiles + one aggregate, all keyed on
+    the bounded event_type domain; the deviation join broadcasts the
+    |types|-row median table back onto the events. Exact medians at
+    100 TB per UNBOUNDED key domains would need the decile-histogram
+    trick (q_decile_histogram); here the group count is fixed."""
+    e = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type", F.floor(F.col("value") * 100).cast("long").alias("cents")
+        )
+    )
+    med = e.groupBy("event_type").agg(F.percentile("cents", 0.5).alias("med"))
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("cents") - F.col("med")).alias("dev")
+    )
+    mad = dev.groupBy("event_type").agg(F.percentile("dev", 0.5).alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("med").alias("med_cents"),
+            F.max("mad").alias("mad_cents"),
+            F.sum(
+                F.when(F.col("dev") > 3 * F.col("mad"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )

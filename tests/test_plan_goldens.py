@@ -90,6 +90,7 @@ GOLDEN_EXTRA = [
     "q_contribution_capped_agg",
     "t_dedup_survivorship",
     "t_neardup_source_matrix",
+    "q_anomaly_mad",
 ]
 
 # Goldens are generated against the canonical smoke fixture; other SF dirs
