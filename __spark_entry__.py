@@ -69,7 +69,10 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # After this window, no query's newest green row is older than round 2,
 # and every bench-headline query holds a round-5 row.
 # Round-6 rotation guidance: point the window at (a) any r5 reds, (b)
-# queries new in r6, (c) the remaining r2-latest rows (the r2 set below
+# queries new in r6, (c) the r2-latest bench headliners squeezed below the
+# cap by the wave-10 additions (q06_revenue_forecast, q07_nation_volume,
+# q_window_topk, q_grouping_sets, q_tumbling_window), then the remaining
+# r2-latest rows (the r2 set below
 # the cap here: q_cdc_apply, q_gap_fill_calendar, q_lateral_topn,
 # q_median_exact, q_pivot, q_range_join, q_recursive_hierarchy,
 # q_scd2_intervals, q_session_window, q_snapshot_diff, q_zscore_outliers,
@@ -100,6 +103,10 @@ _PRIORITY = [
     "t_dedup_survivorship",
     "t_neardup_source_matrix",
     "q_anomaly_mad",
+    "q_autocorrelation",
+    "q_drift_chisq",
+    "q_first_touch_attribution",
+    "t_sample_importance",
     # (b) only green row is round 1 — longest without re-proof
     "q_anti_join",
     "q_approx_distinct",
@@ -126,13 +133,13 @@ _PRIORITY = [
     "q01_pricing_summary",
     "q03_shipping_priority",
     "q05_region_revenue",
+    # ---- 50-query window cap falls here; the rest re-verify only if the
+    # driver evaluates more than 50 ----
     "q06_revenue_forecast",
     "q07_nation_volume",
     "q_window_topk",
     "q_grouping_sets",
     "q_tumbling_window",
-    # ---- 50-query window cap falls here; the rest re-verify only if the
-    # driver evaluates more than 50 ----
     "q_asof_join",
     "q_merge_upsert",
     "t_minhash_lsh_pairs",

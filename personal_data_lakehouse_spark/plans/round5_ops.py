@@ -1667,3 +1667,334 @@ def q_anomaly_mad(spark, sf_dir):
             ).alias("n_outliers"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 10: time-series autocorrelation, chi-square drift, first-touch
+# attribution, importance sampling
+
+
+@query(
+    "q_autocorrelation",
+    oracle="""
+    WITH e AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events WHERE value IS NOT NULL
+    ),
+    daily AS (
+        SELECT event_type, d, SUM(cents) AS x FROM e GROUP BY 1, 2
+    ),
+    l AS (
+        SELECT event_type, 1 AS lag, x,
+               LEAD(x, 1) OVER (PARTITION BY event_type ORDER BY d) AS y
+        FROM daily
+        UNION ALL
+        SELECT event_type, 7 AS lag, x,
+               LEAD(x, 7) OVER (PARTITION BY event_type ORDER BY d) AS y
+        FROM daily
+    ),
+    a AS (
+        SELECT event_type, lag, COUNT(*) AS n,
+               SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+               SUM(CAST(x AS HUGEINT) * x) AS sxx,
+               SUM(CAST(y AS HUGEINT) * y) AS syy,
+               SUM(CAST(x AS HUGEINT) * y) AS sxy
+        FROM l WHERE y IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+           CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                THEN ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                           / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                              * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+           END AS acf
+    FROM a
+    """,
+)
+def q_autocorrelation(spark, sf_dir):
+    """Lag-k autocorrelation (k = 1, 7) of each event type's daily value
+    series — the seasonality probe behind anomaly baselines and forecast
+    sanity checks (lag-7 high => weekly cycle). Pearson correlation of
+    (x_t, x_{t+k}) pairs computed entirely from integer sums (cents):
+    n·Σxy − Σx·Σy and the two variance terms stay in exact int128 space
+    (DECIMAL(38,0) / HUGEINT — at 1e12-row-per-day scale the raw BIGINT
+    products wrap), with ONE cast to double and a sqrt·sqrt division at
+    the end. sqrt is IEEE-correctly-rounded on both engines; the op chain
+    is identical, so the rounded value hashes bit-equal.
+
+    Scale: one grouped aggregate to daily grain (map-side combined — the
+    ONLY pass over the raw events), then windows/joins over (types ×
+    days) rows, bounded cardinality. Degenerate series (zero variance)
+    yield NULL acf via the guard, not a division error."""
+    d19 = "decimal(19,0)"
+    e = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.col("ts").cast("date").alias("d"),
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    daily = e.groupBy("event_type", "d").agg(F.sum("cents").alias("x"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    # Both leads from ONE window pass, unpivoted with stack — a UNION of
+    # per-lag branches would scan and re-aggregate the raw events once per
+    # lag (caught by .explain during this query's plan audit).
+    both = daily.select(
+        "event_type",
+        "x",
+        F.lead("x", 1).over(w).alias("y1"),
+        F.lead("x", 7).over(w).alias("y7"),
+    )
+    lagged = both.selectExpr(
+        "event_type", "stack(2, 1, x, y1, 7, x, y7) AS (lag, x, y)"
+    )
+    xd = F.col("x").cast(d19)
+    yd = F.col("y").cast(d19)
+    a = (
+        lagged.filter(F.col("y").isNotNull())
+        .groupBy("event_type", "lag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(xd).alias("sx"),
+            F.sum(yd).alias("sy"),
+            F.sum(xd * F.col("x")).alias("sxx"),
+            F.sum(yd * F.col("y")).alias("syy"),
+            F.sum(xd * F.col("y")).alias("sxy"),
+        )
+    )
+    n = F.col("n")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    d1 = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    d2 = n * F.col("syy") - F.col("sy") * F.col("sy")
+    return a.select(
+        "event_type",
+        F.col("lag").cast("int").alias("lag"),
+        n.cast("long").alias("n_pairs"),
+        F.when(
+            (d1 > 0) & (d2 > 0),
+            F.round(
+                num.cast("double")
+                / (F.sqrt(d1.cast("double")) * F.sqrt(d2.cast("double"))),
+                6,
+            ),
+        ).alias("acf"),
+    )
+
+
+@query(
+    "q_drift_chisq",
+    oracle="""
+    WITH e AS (
+        SELECT CAST(floor(value / 50) AS BIGINT) AS bucket,
+               substr(md5(CAST(event_id AS VARCHAR)), 1, 1) < '8' AS in_a
+        FROM events
+    ),
+    b AS (
+        SELECT bucket,
+               SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS n_a,
+               SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS n_b
+        FROM e GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM b)
+    SELECT bucket, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           ROUND(CAST(CAST(n_a AS HUGEINT) * tb - CAST(n_b AS HUGEINT) * ta
+                        AS DOUBLE)
+                 * CAST(CAST(n_a AS HUGEINT) * tb - CAST(n_b AS HUGEINT) * ta
+                        AS DOUBLE)
+                 / (CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)
+                    * CAST(n_a + n_b AS DOUBLE)), 6) AS chisq_term
+    FROM b, tot
+    """,
+)
+def q_drift_chisq(spark, sf_dir):
+    """Two-sample chi-square drift, per bucket — the companion statistic
+    to q_drift_tvd's total-variation distance. Where TVD weights every
+    bucket's probability gap equally, the chi-square term
+    (n_a·t_b − n_b·t_a)² / (t_a·t_b·(n_a+n_b)) amplifies divergence in
+    rare buckets — the tail shifts TVD under-reports. (Derivation from
+    (o−e)²/e with pooled expectations collapses to exactly this — the
+    invariant test pins it against the textbook contingency form, which
+    caught an off-by-N factor both engines shared.) Emitting the
+    PER-BUCKET contributions (not just the scalar) is deliberate: at
+    drift-triage time the question is WHICH slice moved. Float discipline:
+    the difference n_a·t_b − n_b·t_a is exact int128 (its square would
+    overflow even int128 at 1e13-count scale, so the square happens in
+    double: cast-then-multiply, identical op order both engines, no
+    order-dependent reduction anywhere).
+
+    Scale: one grouped count over the stream (map-side combined), a 1-row
+    totals broadcast, per-bucket arithmetic. Same shape as q_drift_tvd —
+    the only full-data pass is the histogram."""
+    d19 = "decimal(19,0)"
+    e = t(spark, sf_dir, "events").select(
+        F.floor(F.col("value") / 50).cast("long").alias("bucket"),
+        (
+            F.substring(
+                F.md5(F.col("event_id").cast("string").cast("binary")), 1, 1
+            )
+            < "8"
+        ).alias("in_a"),
+    )
+    b = e.groupBy("bucket").agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("in_a"), 0).otherwise(1)).cast("long").alias("n_b"),
+    )
+    tot = b.agg(
+        F.sum("n_a").cast("long").alias("ta"),
+        F.sum("n_b").cast("long").alias("tb"),
+    )
+    j = b.crossJoin(F.broadcast(tot))
+    diff = (
+        F.col("n_a").cast(d19) * F.col("tb").cast(d19)
+        - F.col("n_b").cast(d19) * F.col("ta").cast(d19)
+    ).cast("double")
+    term = (
+        diff
+        * diff
+        / (
+            F.col("ta").cast("double")
+            * F.col("tb").cast("double")
+            * (F.col("n_a") + F.col("n_b")).cast("double")
+        )
+    )
+    return j.select(
+        "bucket", "n_a", "n_b", F.round(term, 6).alias("chisq_term")
+    )
+
+
+@query(
+    "q_first_touch_attribution",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    f AS (
+        SELECT *, CASE WHEN ts_us - LAG(ts_us) OVER w IS NULL
+                         OR ts_us - LAG(ts_us) OVER w > 1800000000
+                       THEN 1 ELSE 0 END AS is_new
+        FROM e
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY ts_us NULLS FIRST, event_id NULLS FIRST)
+    ),
+    s AS (
+        SELECT *, SUM(is_new) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts_us NULLS FIRST, event_id NULLS FIRST
+                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM f
+    ),
+    g AS (
+        SELECT user_id, sid,
+               MAX(CASE WHEN is_new = 1 THEN event_type END) AS first_touch,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS n_purch,
+               SUM(CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END)
+                   AS purch_cents
+        FROM s GROUP BY 1, 2
+    )
+    SELECT first_touch,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(CASE WHEN n_purch > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_converting,
+           CAST(SUM(n_purch) AS BIGINT) AS n_purchases,
+           ROUND(SUM(purch_cents) / 100.0, 6) AS attributed_value
+    FROM g GROUP BY 1
+    """,
+)
+def q_first_touch_attribution(spark, sf_dir):
+    """First-touch attribution: sessionize (30-min silence rule, same as
+    q_sessionize), then credit every purchase in a session to the
+    session's FIRST event type — the entry channel. The trick that keeps
+    this single-shuffle: the session's first event is by construction the
+    row whose is_new flag is 1, so first_touch is a plain conditional MAX
+    in the per-session aggregate — no second ranking window, no
+    (user, session) re-sort. And because hash(user_id) partitioning
+    already co-locates every (user_id, sid) group, the session aggregate
+    needs no new exchange after the window pass (ClusteredDistribution is
+    satisfied by subset partitioning); only the final ~|event_types|-row
+    rollup shuffles again. Purchase value rides as integer cents; one
+    division at the end."""
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    f = e.withColumn(
+        "is_new",
+        F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0),
+    )
+    s = f.withColumn(
+        "sid",
+        F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    g = s.groupBy("user_id", "sid").agg(
+        F.max(
+            F.when(F.col("is_new") == 1, F.col("event_type"))
+        ).alias("first_touch"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("n_purch"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("cents")).otherwise(0)
+        ).alias("purch_cents"),
+    )
+    return g.groupBy("first_touch").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(F.when(F.col("n_purch") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_converting"),
+        F.sum("n_purch").cast("long").alias("n_purchases"),
+        F.round(F.sum("purch_cents") / 100.0, 6).alias("attributed_value"),
+    )
+
+
+@query(
+    "t_sample_importance",
+    oracle="""
+    SELECT doc_id, source, LEAST(n_chars, 2000) AS weight,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                AS BIGINT) AS hash_u32
+    FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) * 2000
+          < LEAST(n_chars, 2000) * 4294967296
+    """,
+)
+def t_sample_importance(spark, sf_dir):
+    """Importance (weighted Bernoulli) sampling: each document is kept
+    with probability weight/2000 where weight = min(n_chars, 2000) — the
+    standard quality/length-proportional downsampling step in a training
+    mix, generalizing t_sample_bernoulli_hash's uniform coin. The accept
+    test is pure integer arithmetic — u32(md5) · w_max < 2^32 · w — so
+    the decision is exact, engine-independent, reproducible across runs
+    and partition layouts, and stable under corpus growth (a document's
+    fate never changes as neighbors arrive). The predicate is a
+    deterministic per-row filter: no shuffle, no state, pushes into the
+    scan stage at any scale."""
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    wgt = F.least(F.col("n_chars"), F.lit(2000))
+    return (
+        t(spark, sf_dir, "documents")
+        .filter(u * 2000 < wgt * F.lit(4294967296))
+        .select(
+            "doc_id",
+            "source",
+            wgt.alias("weight"),
+            u.alias("hash_u32"),
+        )
+    )

@@ -91,6 +91,10 @@ GOLDEN_EXTRA = [
     "t_dedup_survivorship",
     "t_neardup_source_matrix",
     "q_anomaly_mad",
+    "q_autocorrelation",
+    "q_drift_chisq",
+    "q_first_touch_attribution",
+    "t_sample_importance",
 ]
 
 # Goldens are generated against the canonical smoke fixture; other SF dirs

@@ -452,3 +452,128 @@ def test_source_matrix_totals_match_pair_count(spark):
         .count()
     )
     assert sum(r["n_pairs"] for r in rows) == n_pairs
+
+
+def test_anomaly_mad_matches_python_reference(spark):
+    """Median, MAD, and the outlier count recomputed per event type with a
+    Python type-7 interpolation over the collected cents — pins the exact
+    halves/quarters arithmetic chain the docstring promises."""
+    out = {
+        r["event_type"]: r
+        for r in REGISTRY["q_anomaly_mad"].fn(spark, SF_DIR).collect()
+    }
+    ev = (
+        t(spark, SF_DIR, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", F.floor(F.col("value") * 100).cast("long").alias("c"))
+        .collect()
+    )
+    by_type = {}
+    for r in ev:
+        by_type.setdefault(r["event_type"], []).append(r["c"])
+
+    def type7(vals, q=0.5):
+        s = sorted(vals)
+        pos = (len(s) - 1) * q
+        lo, hi = s[int(pos)], s[min(int(pos) + 1, len(s) - 1)]
+        return lo + (hi - lo) * (pos - int(pos))
+
+    for et, cents in by_type.items():
+        med = type7(cents)
+        devs = [abs(c - med) for c in cents]
+        mad = type7(devs)
+        n_out = sum(1 for d in devs if d > 3 * mad)
+        row = out[et]
+        assert row["n"] == len(cents)
+        assert row["med_cents"] == med
+        assert row["mad_cents"] == mad
+        assert row["n_outliers"] == n_out, et
+
+
+def test_autocorrelation_matches_numpy(spark):
+    """ACF values recomputed with numpy corrcoef over the daily series —
+    the integer-sums formula must agree to ~1e-9 (numpy uses a different
+    float path, so exact equality is not expected; 6dp rounding is)."""
+    import numpy as np
+
+    out = {
+        (r["event_type"], r["lag"]): r
+        for r in REGISTRY["q_autocorrelation"].fn(spark, SF_DIR).collect()
+    }
+    daily = (
+        t(spark, SF_DIR, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.col("ts").cast("date").alias("d"),
+            F.floor(F.col("value") * 100).cast("long").alias("c"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.sum("c").alias("x"))
+        .orderBy("event_type", "d")
+        .collect()
+    )
+    series = {}
+    for r in daily:
+        series.setdefault(r["event_type"], []).append(r["x"])
+    for (et, lag), row in out.items():
+        xs = series[et]
+        x, y = np.array(xs[:-lag], dtype=float), np.array(xs[lag:], dtype=float)
+        assert row["n_pairs"] == len(x)
+        if row["acf"] is not None:
+            ref = float(np.corrcoef(x, y)[0, 1])
+            assert abs(row["acf"] - ref) < 1e-6, (et, lag, row["acf"], ref)
+
+
+def test_drift_chisq_total_is_classic_statistic(spark):
+    """Summing the per-bucket terms reproduces the classic two-sample
+    chi-square computed from the contingency table in Python."""
+    rows = REGISTRY["q_drift_chisq"].fn(spark, SF_DIR).collect()
+    ta = sum(r["n_a"] for r in rows)
+    tb = sum(r["n_b"] for r in rows)
+    total = 0.0
+    for r in rows:
+        na, nb = r["n_a"], r["n_b"]
+        ea = ta * (na + nb) / (ta + tb)
+        eb = tb * (na + nb) / (ta + tb)
+        expect = (na - ea) ** 2 / ea + (nb - eb) ** 2 / eb
+        assert abs(r["chisq_term"] - expect) < 1e-5, r
+        total += expect
+    assert total >= 0.0
+
+
+def test_first_touch_attribution_conserves_purchases(spark):
+    """Attribution is a partition of purchases: summed over entry types it
+    must equal the global purchase count and total value, and converting
+    sessions can never exceed sessions."""
+    rows = REGISTRY["q_first_touch_attribution"].fn(spark, SF_DIR).collect()
+    ev = t(spark, SF_DIR, "events")
+    n_purch = ev.filter(F.col("event_type") == "purchase").count()
+    cents = (
+        ev.filter(F.col("event_type") == "purchase")
+        .agg(F.sum(F.floor(F.col("value") * 100).cast("long")))
+        .first()[0]
+    )
+    assert sum(r["n_purchases"] for r in rows) == n_purch
+    assert abs(sum(r["attributed_value"] for r in rows) - cents / 100.0) < 1e-6
+    for r in rows:
+        assert r["n_converting"] <= r["n_sessions"]
+        assert r["n_purchases"] >= r["n_converting"]
+
+
+def test_importance_sampling_rate_tracks_weight(spark):
+    """Long documents (weight 2000) must be kept at ~100%; the overall
+    keep rate must track E[w]/2000; and every kept row satisfies the
+    integer accept inequality exactly."""
+    out = REGISTRY["t_sample_importance"].fn(spark, SF_DIR)
+    docs = t(spark, SF_DIR, "documents")
+    kept = out.collect()
+    for r in kept:
+        assert r["hash_u32"] * 2000 < r["weight"] * 4294967296
+    n_full = docs.filter(F.col("n_chars") >= 2000).count()
+    kept_full = sum(1 for r in kept if r["weight"] == 2000)
+    assert kept_full == n_full  # p = 2000/2000 = 1: every max-weight doc kept
+    exp = (
+        docs.agg(F.sum(F.least(F.col("n_chars"), F.lit(2000)))).first()[0] / 2000.0
+    )
+    assert 0.5 * exp < len(kept) < 1.5 * exp
