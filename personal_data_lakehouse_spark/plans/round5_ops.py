@@ -1638,11 +1638,17 @@ def q_anomaly_mad(spark, sf_dir):
     comparison is between exactly-representable doubles, so the outlier
     COUNT is bit-stable across engines.
 
-    Scale: two grouped exact percentiles + one aggregate, all keyed on
-    the bounded event_type domain; the deviation join broadcasts the
-    |types|-row median table back onto the events. Exact medians at
-    100 TB per UNBOUNDED key domains would need the decile-histogram
-    trick (q_decile_histogram); here the group count is fixed."""
+    Scale: ONE pass over the raw events builds the (event_type, cents)
+    value histogram (map-side combined, bounded by |types| × the cents
+    domain); the entire median → deviation → MAD → outlier chain then
+    runs on histogram rows via WEIGHTED percentiles (F.percentile's
+    frequency argument) — the naive formulation re-scans the corpus four
+    times (median pass, deviation build, MAD pass, final count; caught
+    by tools/plan_audit.py). The deviation histogram re-group and both
+    |types|-row percentile tables are histogram-sized; the medians
+    broadcast back. Weighted type-7 interpolation over the histogram is
+    value-identical to row-level percentiles, so the oracle keeps the
+    row-level form."""
     e = (
         t(spark, sf_dir, "events")
         .filter(F.col("value").isNotNull())
@@ -1650,20 +1656,52 @@ def q_anomaly_mad(spark, sf_dir):
             "event_type", F.floor(F.col("value") * 100).cast("long").alias("cents")
         )
     )
-    med = e.groupBy("event_type").agg(F.percentile("cents", 0.5).alias("med"))
-    dev = e.join(F.broadcast(med), "event_type").select(
-        "event_type", "med", F.abs(F.col("cents") - F.col("med")).alias("dev")
+    # one corpus scan: value histogram per type. Persisted because FOUR
+    # downstream branches (median, deviation build, MAD, final count)
+    # consume it — without the persist Catalyst re-derives it from the
+    # scan per branch (4 corpus scans; caught by plan_audit). The cache
+    # is histogram-sized (|types| × cents domain), not corpus-sized;
+    # CacheManager lifecycle per the standing in-query persist policy.
+    # coalesce before persist: the histogram is tiny, but a cached plan
+    # keeps its shuffle partitioning (AQE cannot re-coalesce it), so
+    # without this every downstream stage inherits one task per shuffle
+    # partition — 200 near-empty tasks under a default session.
+    par = spark.sparkContext.defaultParallelism
+    h = (
+        e.groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .coalesce(par)
+        .persist()
     )
-    mad = dev.groupBy("event_type").agg(F.percentile("dev", 0.5).alias("mad"))
+    med = h.groupBy("event_type").agg(
+        F.percentile("cents", F.lit(0.5), F.col("cnt")).alias("med")
+    )
+    # deviation histogram (histogram-sized input AND output)
+    hd = (
+        h.join(F.broadcast(med), "event_type")
+        .select(
+            "event_type",
+            "med",
+            F.abs(F.col("cents") - F.col("med")).alias("dev"),
+            "cnt",
+        )
+        .groupBy("event_type", "med", "dev")
+        .agg(F.sum("cnt").alias("cnt"))
+        .coalesce(par)
+        .persist()
+    )
+    mad = hd.groupBy("event_type").agg(
+        F.percentile("dev", F.lit(0.5), F.col("cnt")).alias("mad")
+    )
     return (
-        dev.join(F.broadcast(mad), "event_type")
+        hd.join(F.broadcast(mad), "event_type")
         .groupBy("event_type")
         .agg(
-            F.count(F.lit(1)).alias("n"),
+            F.sum("cnt").alias("n"),
             F.max("med").alias("med_cents"),
             F.max("mad").alias("mad_cents"),
             F.sum(
-                F.when(F.col("dev") > 3 * F.col("mad"), 1).otherwise(0)
+                F.when(F.col("dev") > 3 * F.col("mad"), F.col("cnt")).otherwise(0)
             ).alias("n_outliers"),
         )
     )
