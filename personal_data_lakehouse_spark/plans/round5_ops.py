@@ -16,7 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from personal_data_lakehouse_spark.plans.registry import query, t
+from personal_data_lakehouse_spark.functions.text import token_count_whitespace
+from personal_data_lakehouse_spark.plans.registry import REGISTRY, query, t
 
 # ---------------------------------------------------------------------------
 # Grouped rolling quantile (per-key rolling median over a row frame)
@@ -2036,3 +2037,129 @@ def t_sample_importance(spark, sf_dir):
             u.alias("hash_u32"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget waterfilling: source-balanced allocation under a global cap
+
+
+@query(
+    "t_mix_waterfill",
+    oracle="""
+    WITH c AS (
+        SELECT source,
+               SUM(CAST(len(__TOKS__) AS BIGINT)) AS c_tokens
+        FROM documents GROUP BY 1
+    ),
+    tot AS (
+        SELECT SUM(c_tokens) AS total, COUNT(*) AS m,
+               SUM(c_tokens) // 2 AS budget
+        FROM c
+    ),
+    r AS (
+        SELECT c.source, c.c_tokens, t.budget, t.total, t.m,
+               ROW_NUMBER() OVER w AS i,
+               COALESCE(SUM(c_tokens) OVER (
+                   ORDER BY c_tokens NULLS FIRST, source NULLS FIRST
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS p_prev,
+               COALESCE(LAG(c_tokens) OVER w, 0) AS c_prev
+        FROM c, tot t
+        WINDOW w AS (ORDER BY c_tokens NULLS FIRST, source NULLS FIRST)
+    ),
+    seg AS (
+        SELECT *, CASE WHEN budget >= p_prev
+                       THEN (budget - p_prev) // (m - i + 1) END AS t_cand
+        FROM r
+    ),
+    cap AS (
+        SELECT MAX(t_cand) AS t_star
+        FROM seg
+        WHERE t_cand IS NOT NULL AND t_cand >= c_prev AND t_cand < c_tokens
+    )
+    SELECT r.source, CAST(r.c_tokens AS BIGINT) AS c_tokens,
+           CAST(r.budget AS BIGINT) AS budget,
+           CAST(cap.t_star AS BIGINT) AS cap_tokens,
+           CAST(CASE WHEN cap.t_star IS NULL THEN r.c_tokens
+                     ELSE LEAST(r.c_tokens, cap.t_star) END AS BIGINT)
+               AS alloc_tokens,
+           (cap.t_star IS NOT NULL AND r.c_tokens > cap.t_star) AS capped
+    FROM r, cap
+    """,
+)
+def t_mix_waterfill(spark, sf_dir):
+    """Token-budget waterfilling — the source-balancing allocator for a
+    training mix: given per-source token counts c_s and a global budget
+    B (here: half the corpus), find the LARGEST integer cap T with
+    Σ min(c_s, T) ≤ B. Small sources keep everything; large sources are
+    clipped to T — the standard way to stop one crawl domain from eating
+    the budget while still filling it. Closed form, no iteration: sort
+    sources by c ascending; in the segment where sources 1..i−1 are fully
+    granted, T = (B − P_{i−1}) div (m−i+1); exactly one segment satisfies
+    c_{i−1} ≤ T < c_i. Pure integer arithmetic (div = DuckDB // on the
+    non-negative operands the budget guard ensures), so the allocation is
+    bit-stable across engines.
+
+    Scale: ONE corpus pass (per-source token-count aggregate, map-side
+    combined); every window/join after it runs on |sources| rows — the
+    global Window.orderBy is over that bounded spine, never rows. The
+    1-row cap table broadcasts back."""
+    c = (
+        t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.sum(token_count_whitespace("text").cast("long")).alias("c_tokens")
+        )
+    )
+    tot = c.agg(
+        F.sum("c_tokens").alias("total"),
+        F.count(F.lit(1)).alias("m"),
+        F.expr("sum(c_tokens) div 2").alias("budget"),
+    )
+    w = Window.orderBy("c_tokens", "source")
+    r = (
+        c.crossJoin(F.broadcast(tot))
+        .withColumn("i", F.row_number().over(w))
+        .withColumn(
+            "p_prev",
+            F.coalesce(
+                F.sum("c_tokens").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn("c_prev", F.coalesce(F.lag("c_tokens").over(w), F.lit(0)))
+    )
+    seg = r.withColumn(
+        "t_cand",
+        F.when(
+            F.col("budget") >= F.col("p_prev"),
+            F.expr("(budget - p_prev) div (m - i + 1)"),
+        ),
+    )
+    cap = seg.filter(
+        F.col("t_cand").isNotNull()
+        & (F.col("t_cand") >= F.col("c_prev"))
+        & (F.col("t_cand") < F.col("c_tokens"))
+    ).agg(F.max("t_cand").alias("t_star"))
+    return r.crossJoin(F.broadcast(cap)).select(
+        "source",
+        "c_tokens",
+        "budget",
+        F.col("t_star").alias("cap_tokens"),
+        F.when(F.col("t_star").isNull(), F.col("c_tokens"))
+        .otherwise(F.least(F.col("c_tokens"), F.col("t_star")))
+        .alias("alloc_tokens"),
+        (
+            F.col("t_star").isNotNull()
+            & (F.col("c_tokens") > F.col("t_star"))
+        ).alias("capped"),
+    )
+
+
+from personal_data_lakehouse_spark.plans.text_ops import _TOKS as _WF_TOKS  # noqa: E402
+
+REGISTRY["t_mix_waterfill"].oracle = REGISTRY["t_mix_waterfill"].oracle.replace(
+    "__TOKS__", _WF_TOKS
+)

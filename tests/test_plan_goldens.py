@@ -95,6 +95,7 @@ GOLDEN_EXTRA = [
     "q_drift_chisq",
     "q_first_touch_attribution",
     "t_sample_importance",
+    "t_mix_waterfill",
 ]
 
 # Goldens are generated against the canonical smoke fixture; other SF dirs

@@ -577,3 +577,24 @@ def test_importance_sampling_rate_tracks_weight(spark):
         docs.agg(F.sum(F.least(F.col("n_chars"), F.lit(2000)))).first()[0] / 2000.0
     )
     assert 0.5 * exp < len(kept) < 1.5 * exp
+
+
+def test_waterfill_optimality(spark):
+    """The cap is feasible (sum alloc <= budget) and maximal (raising the
+    cap by 1 token would blow the budget); uncapped sources keep all
+    their tokens, capped sources are exactly at the cap."""
+    rows = REGISTRY["t_mix_waterfill"].fn(spark, SF_DIR).collect()
+    budget = rows[0]["budget"]
+    t_star = rows[0]["cap_tokens"]
+    total_alloc = sum(r["alloc_tokens"] for r in rows)
+    assert total_alloc <= budget
+    if t_star is not None:
+        bumped = sum(min(r["c_tokens"], t_star + 1) for r in rows)
+        assert bumped > budget, (t_star, budget, bumped)
+        for r in rows:
+            if r["capped"]:
+                assert r["alloc_tokens"] == t_star < r["c_tokens"]
+            else:
+                assert r["alloc_tokens"] == r["c_tokens"] <= t_star
+    else:
+        assert all(r["alloc_tokens"] == r["c_tokens"] for r in rows)
