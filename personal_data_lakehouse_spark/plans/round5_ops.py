@@ -2163,3 +2163,80 @@ from personal_data_lakehouse_spark.plans.text_ops import _TOKS as _WF_TOKS  # no
 REGISTRY["t_mix_waterfill"].oracle = REGISTRY["t_mix_waterfill"].oracle.replace(
     "__TOKS__", _WF_TOKS
 )
+
+
+# ---------------------------------------------------------------------------
+# Rolling distinct active users (DAU / WAU / stickiness)
+
+
+@query(
+    "q_rolling_active_users",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    wau AS (
+        SELECT w_day, COUNT(DISTINCT user_id) AS wau
+        FROM (SELECT user_id, d + CAST(k AS INT) AS w_day
+              FROM ud, range(0, 7) r(k))
+        GROUP BY 1
+    ),
+    dau AS (SELECT d, COUNT(*) AS dau FROM ud GROUP BY 1)
+    SELECT CAST(dau.d AS DATE) AS active_day,
+           CAST(dau.dau AS BIGINT) AS dau,
+           CAST(wau.wau AS BIGINT) AS wau,
+           ROUND(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+    FROM dau JOIN wau ON wau.w_day = dau.d
+    """,
+)
+def q_rolling_active_users(spark, sf_dir):
+    """Rolling engagement curve: for every observed day, DAU (distinct
+    users that day) and WAU (distinct users over the trailing 7 days),
+    plus the DAU/WAU stickiness ratio. Distinct-over-a-sliding-window
+    does NOT decompose into per-day partials (distinct is not algebraic),
+    so the standard scale shape is: dedup to the (user, day) activity
+    grid first — ONE corpus-sized distinct, after which everything is
+    bounded by |users|·|days| — then explode each activity day into the
+    ≤7 window days it serves and count distinct per window day. The
+    trailing window direction (day d serves windows d..d+6) means each
+    activity row fans out exactly 7×, independent of window length
+    semantics. The DAU/WAU join is day-keyed and tiny.
+
+    Stickiness is one double division, rounded — no float reduction."""
+    # persist the activity grid: both the DAU and WAU branches consume it,
+    # and without the persist each re-derives it from a full corpus scan.
+    # The grid is |users|·|active days| — the whole point of dedup-first is
+    # that it's orders of magnitude smaller than the event log. Coalesced
+    # so the cached plan doesn't pin one near-empty task per shuffle
+    # partition under a default session (same rationale as q_anomaly_mad).
+    ud = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("user_id", F.col("ts").cast("date").alias("d"))
+        .distinct()
+        .coalesce(spark.sparkContext.defaultParallelism)
+        .persist()
+    )
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+        ).alias("w_day"),
+    )
+    wau = contrib.groupBy("w_day").agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    return (
+        dau.join(wau, dau["d"] == wau["w_day"])
+        .select(
+            F.col("d").alias("active_day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias(
+                "stickiness"
+            ),
+        )
+    )

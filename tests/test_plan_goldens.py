@@ -96,6 +96,7 @@ GOLDEN_EXTRA = [
     "q_first_touch_attribution",
     "t_sample_importance",
     "t_mix_waterfill",
+    "q_rolling_active_users",
 ]
 
 # Goldens are generated against the canonical smoke fixture; other SF dirs

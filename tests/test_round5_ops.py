@@ -598,3 +598,34 @@ def test_waterfill_optimality(spark):
                 assert r["alloc_tokens"] == r["c_tokens"] <= t_star
     else:
         assert all(r["alloc_tokens"] == r["c_tokens"] for r in rows)
+
+
+def test_rolling_active_users_bounds(spark):
+    """WAU bounds: max trailing DAU <= WAU <= sum of trailing DAUs, and
+    WAU recomputed brute-force from the raw (user, day) set matches."""
+    import datetime
+
+    rows = REGISTRY["q_rolling_active_users"].fn(spark, SF_DIR).collect()
+    ud = (
+        t(spark, SF_DIR, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("user_id", F.col("ts").cast("date").alias("d"))
+        .distinct()
+        .collect()
+    )
+    by_day = {}
+    for r in ud:
+        by_day.setdefault(r["d"], set()).add(r["user_id"])
+    for r in rows:
+        day = r["active_day"]
+        trailing = [
+            by_day.get(day - datetime.timedelta(days=k), set())
+            for k in range(7)
+        ]
+        brute = set().union(*trailing)
+        assert r["dau"] == len(by_day[day])
+        assert r["wau"] == len(brute), day
+        assert max(len(s) for s in trailing) <= r["wau"] <= sum(
+            len(s) for s in trailing
+        )
+        assert 0 < r["stickiness"] <= 1
