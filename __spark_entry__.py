@@ -70,9 +70,9 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # and every bench-headline query holds a round-5 row.
 # Round-6 rotation guidance: point the window at (a) any r5 reds, (b)
 # queries new in r6, (c) the r2-latest bench headliners squeezed below the
-# cap by the wave-10 additions (q03_shipping_priority, q05_region_revenue,
-# q06_revenue_forecast, q07_nation_volume, q_window_topk, q_grouping_sets,
-# q_tumbling_window), then the remaining
+# cap by the wave-10 additions (q01_pricing_summary, q03_shipping_priority,
+# q05_region_revenue, q06_revenue_forecast, q07_nation_volume, q_window_topk,
+# q_grouping_sets, q_tumbling_window), then the remaining
 # r2-latest rows (the r2 set below
 # the cap here: q_cdc_apply, q_gap_fill_calendar, q_lateral_topn,
 # q_median_exact, q_pivot, q_range_join, q_recursive_hierarchy,
@@ -110,6 +110,7 @@ _PRIORITY = [
     "t_sample_importance",
     "t_mix_waterfill",
     "q_rolling_active_users",
+    "t_dedup_cluster_stats",
     # (b) only green row is round 1 — longest without re-proof
     "q_anti_join",
     "q_approx_distinct",
@@ -133,9 +134,9 @@ _PRIORITY = [
     "t_text_stats",
     "t_token_count",
     # (c) refill: bench headliners whose latest green row is round 2
-    "q01_pricing_summary",
     # ---- 50-query window cap falls here; the rest re-verify only if the
     # driver evaluates more than 50 ----
+    "q01_pricing_summary",
     "q03_shipping_priority",
     "q05_region_revenue",
     "q06_revenue_forecast",

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from personal_data_lakehouse_spark.dedup.cluster import dedup_clusters
+from personal_data_lakehouse_spark.dedup.minhash import lsh_candidate_pairs
 from personal_data_lakehouse_spark.functions.text import token_count_whitespace
 from personal_data_lakehouse_spark.plans.registry import REGISTRY, query, t
 
@@ -2240,3 +2242,73 @@ def q_rolling_active_users(spark, sf_dir):
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup savings accounting: per-source duplicate mass
+
+
+@query(
+    "t_dedup_cluster_stats",
+    oracle="""
+    WITH clusters AS (__CLUSTERS__),
+    d AS (SELECT doc_id, source, n_chars FROM documents)
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN c.is_canonical THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_canonical,
+           CAST(SUM(CASE WHEN c.is_canonical THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_redundant,
+           CAST(SUM(d.n_chars) AS BIGINT) AS chars_total,
+           CAST(SUM(CASE WHEN c.is_canonical THEN 0 ELSE d.n_chars END)
+                AS BIGINT) AS chars_redundant,
+           CASE WHEN SUM(d.n_chars) > 0
+                THEN ROUND(CAST(SUM(CASE WHEN c.is_canonical THEN 0
+                                         ELSE d.n_chars END) AS DOUBLE)
+                           / SUM(d.n_chars), 6) END AS dup_mass_pct
+    FROM clusters c JOIN d USING (doc_id)
+    GROUP BY 1
+    """,
+)
+def t_dedup_cluster_stats(spark, sf_dir):
+    """Dedup savings accounting — the policy input a 100 TB ingest needs
+    before turning dedup ON: per source, how many documents (and how much
+    character mass) the near-dup closure marks redundant. Reuses the
+    registered cluster closure (t_dedup_clusters) unchanged, joins the
+    labels back to (source, n_chars), and aggregates; the oracle EMBEDS
+    the registered t_dedup_clusters oracle verbatim via inject-time
+    composition, so the two queries cannot drift.
+
+    Scale: inherits t_dedup_clusters' shape (label propagation over the
+    sparse edge-incident subgraph; the corpus is touched once by the
+    label join); the stats rollup adds one doc_id-keyed join and a
+    |sources|-row aggregate. Integer sums, one division at the end."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(docs).filter(F.col("jaccard") >= 0.5)
+    cl = dedup_clusters(docs, pairs)
+    joined = cl.join(docs.select("doc_id", "source", "n_chars"), "doc_id")
+    red_chars = F.sum(
+        F.when(F.col("is_canonical"), 0).otherwise(F.col("n_chars"))
+    )
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("is_canonical"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_canonical"),
+        F.sum(F.when(F.col("is_canonical"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_redundant"),
+        F.sum("n_chars").cast("long").alias("chars_total"),
+        red_chars.cast("long").alias("chars_redundant"),
+        F.when(
+            F.sum("n_chars") > 0,
+            F.round(red_chars.cast("double") / F.sum("n_chars"), 6),
+        ).alias("dup_mass_pct"),
+    )
+
+
+from personal_data_lakehouse_spark.plans import cluster_ops as _cluster_ops  # noqa: E402,F401
+
+REGISTRY["t_dedup_cluster_stats"].oracle = REGISTRY[
+    "t_dedup_cluster_stats"
+].oracle.replace("__CLUSTERS__", REGISTRY["t_dedup_clusters"].oracle)

@@ -629,3 +629,26 @@ def test_rolling_active_users_bounds(spark):
             len(s) for s in trailing
         )
         assert 0 < r["stickiness"] <= 1
+
+
+def test_dedup_cluster_stats_conservation(spark):
+    """Stats must tie out against the underlying closure: per-source doc
+    counts match the raw table, canonical + redundant = total, and the
+    global redundant count equals sum(cluster_size - 1) over clusters."""
+    rows = REGISTRY["t_dedup_cluster_stats"].fn(spark, SF_DIR).collect()
+    docs = t(spark, SF_DIR, "documents")
+    per_source = {
+        r["source"]: r["cnt"]
+        for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    for r in rows:
+        assert r["n_docs"] == per_source[r["source"]]
+        assert r["n_canonical"] + r["n_redundant"] == r["n_docs"]
+        assert 0 <= r["chars_redundant"] <= r["chars_total"]
+        if r["dup_mass_pct"] is not None:
+            assert 0 <= r["dup_mass_pct"] <= 1
+    cl = REGISTRY["t_dedup_clusters"].fn(spark, SF_DIR)
+    n_red_expected = (
+        cl.filter(~F.col("is_canonical")).count()
+    )
+    assert sum(r["n_redundant"] for r in rows) == n_red_expected
