@@ -2044,20 +2044,13 @@ def t_sample_importance(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # Token-budget waterfilling: source-balanced allocation under a global cap
 
-
-@query(
-    "t_mix_waterfill",
-    oracle="""
-    WITH c AS (
-        SELECT source,
-               SUM(CAST(len(__TOKS__) AS BIGINT)) AS c_tokens
-        FROM documents GROUP BY 1
-    ),
-    tot AS (
-        SELECT SUM(c_tokens) AS total, COUNT(*) AS m,
-               SUM(c_tokens) // 2 AS budget
-        FROM c
-    ),
+# The cap-search SQL, shared verbatim between the registered oracle and the
+# hypothesis property test (tests/test_properties.py) which runs it over
+# random (counts, budget) tables in DuckDB against a brute-force reference —
+# the fixture only ever exercises budget = total//2, the template gets the
+# edge cases (budget 0, budget >= total, all-equal counts, one source).
+# Expects CTEs `c(source, c_tokens)` and `tot(total, m, budget)` upstream.
+WATERFILL_CAP_SQL = """
     r AS (
         SELECT c.source, c.c_tokens, t.budget, t.total, t.m,
                ROW_NUMBER() OVER w AS i,
@@ -2087,6 +2080,23 @@ def t_sample_importance(spark, sf_dir):
                AS alloc_tokens,
            (cap.t_star IS NOT NULL AND r.c_tokens > cap.t_star) AS capped
     FROM r, cap
+"""
+
+
+@query(
+    "t_mix_waterfill",
+    oracle="""
+    WITH c AS (
+        SELECT source,
+               SUM(CAST(len(__TOKS__) AS BIGINT)) AS c_tokens
+        FROM documents GROUP BY 1
+    ),
+    tot AS (
+        SELECT SUM(c_tokens) AS total, COUNT(*) AS m,
+               SUM(c_tokens) // 2 AS budget
+        FROM c
+    ),
+    __WATERFILL_CAP__
     """,
 )
 def t_mix_waterfill(spark, sf_dir):
@@ -2162,8 +2172,10 @@ def t_mix_waterfill(spark, sf_dir):
 
 from personal_data_lakehouse_spark.plans.text_ops import _TOKS as _WF_TOKS  # noqa: E402
 
-REGISTRY["t_mix_waterfill"].oracle = REGISTRY["t_mix_waterfill"].oracle.replace(
-    "__TOKS__", _WF_TOKS
+REGISTRY["t_mix_waterfill"].oracle = (
+    REGISTRY["t_mix_waterfill"]
+    .oracle.replace("__TOKS__", _WF_TOKS)
+    .replace("__WATERFILL_CAP__", WATERFILL_CAP_SQL)
 )
 
 

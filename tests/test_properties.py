@@ -295,3 +295,59 @@ def test_zorder_interleave_is_bijective(a, b):
     back_a = sum(((z >> (i * 2)) & 1) << i for i in range(16))
     back_b = sum(((z >> (i * 2 + 1)) & 1) << i for i in range(16))
     assert (back_a, back_b) == (a, b)
+
+
+# ---------------------------------------------------------------------------
+# Waterfill cap search (shared SQL template) vs brute force
+
+
+@given(
+    counts=st.lists(st.integers(0, 10_000), min_size=1, max_size=12),
+    budget_frac=st.floats(0.0, 1.2),
+)
+@settings(max_examples=150, deadline=None)
+def test_waterfill_cap_sql_matches_brute_force(counts, budget_frac):
+    """Run the exact cap-search SQL the t_mix_waterfill oracle embeds over
+    a random counts table and budget, and check the result against a
+    brute-force maximal-cap search: feasibility, maximality, and the
+    alloc = min(c, T) law. The registered query only ever sees
+    budget = total//2; this covers budget 0, budget beyond total,
+    all-equal counts, zero-token sources, and singleton mixes."""
+    import duckdb
+
+    from personal_data_lakehouse_spark.plans.round5_ops import (
+        WATERFILL_CAP_SQL,
+    )
+
+    total = sum(counts)
+    budget = int(total * budget_frac)
+    values = ", ".join(
+        f"('s{i}', {c}::BIGINT)" for i, c in enumerate(counts)
+    )
+    sql = f"""
+    WITH c(source, c_tokens) AS (VALUES {values}),
+    tot AS (SELECT {total}::BIGINT AS total, {len(counts)}::BIGINT AS m,
+                   {budget}::BIGINT AS budget),
+    {WATERFILL_CAP_SQL}
+    """
+    rows = duckdb.sql(sql).fetchall()
+    cols = [d[0] for d in duckdb.sql(sql).description]
+    rows = [dict(zip(cols, r)) for r in rows]
+    assert len(rows) == len(counts)
+
+    t_star = rows[0]["cap_tokens"]
+    alloc_total = sum(r["alloc_tokens"] for r in rows)
+    if budget >= total:
+        # budget covers everything: no cap, full allocation
+        assert t_star is None
+        assert alloc_total == total
+    else:
+        assert t_star is not None and t_star >= 0
+        # allocation law per source
+        for r in rows:
+            assert r["alloc_tokens"] == min(r["c_tokens"], t_star)
+            assert r["capped"] == (r["c_tokens"] > t_star)
+        # feasible
+        assert alloc_total <= budget
+        # maximal: T+1 must blow the budget
+        assert sum(min(c, t_star + 1) for c in counts) > budget
