@@ -66,11 +66,15 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #       re-proof — the oldest evidence in the ledger);
 #   (c) refill: the r2-latest-green bench headliners, then the oldest
 #       r2-era TPC-H shapes.
-# After this window, no query's newest green row is older than round 2,
-# and every bench-headline query holds a round-5 row.
+# After this window, no query's newest green row is older than round 2
+# (sole exception: t_token_count, squeezed below the cap by the late
+# wave-10 additions — first re-proof priority for r6), and every
+# bench-headline query holds a round-5 row.
 # Round-6 rotation guidance: point the window at (a) any r5 reds, (b)
-# queries new in r6, (c) the r2-latest bench headliners squeezed below the
-# cap by the wave-10 additions (q01_pricing_summary, q03_shipping_priority,
+# queries new in r6, (c) t_token_count FIRST among re-proofs — it is the one
+# r1-era query the wave-10 additions squeezed below the cap, so its only
+# green row is still round 1 — then the r2-latest bench headliners also
+# squeezed below (q01_pricing_summary, q03_shipping_priority,
 # q05_region_revenue, q06_revenue_forecast, q07_nation_volume, q_window_topk,
 # q_grouping_sets, q_tumbling_window), then the remaining
 # r2-latest rows (the r2 set below
@@ -111,6 +115,7 @@ _PRIORITY = [
     "t_mix_waterfill",
     "q_rolling_active_users",
     "t_dedup_cluster_stats",
+    "t_ngram_novelty",
     # (b) only green row is round 1 — longest without re-proof
     "q_anti_join",
     "q_approx_distinct",
@@ -132,10 +137,10 @@ _PRIORITY = [
     "t_minhash_signatures",
     "t_simhash",
     "t_text_stats",
-    "t_token_count",
-    # (c) refill: bench headliners whose latest green row is round 2
     # ---- 50-query window cap falls here; the rest re-verify only if the
     # driver evaluates more than 50 ----
+    "t_token_count",
+    # (c) refill: bench headliners whose latest green row is round 2
     "q01_pricing_summary",
     "q03_shipping_priority",
     "q05_region_revenue",

@@ -18,7 +18,12 @@ from pyspark.sql import functions as F
 
 from personal_data_lakehouse_spark.dedup.cluster import dedup_clusters
 from personal_data_lakehouse_spark.dedup.minhash import lsh_candidate_pairs
-from personal_data_lakehouse_spark.functions.text import token_count_whitespace
+from personal_data_lakehouse_spark.functions.text import (
+    token_count_whitespace,
+    tokens,
+    word_shingles,
+)
+from personal_data_lakehouse_spark.operators.partitioning import spread
 from personal_data_lakehouse_spark.plans.registry import REGISTRY, query, t
 
 # ---------------------------------------------------------------------------
@@ -2324,3 +2329,83 @@ from personal_data_lakehouse_spark.plans import cluster_ops as _cluster_ops  # n
 REGISTRY["t_dedup_cluster_stats"].oracle = REGISTRY[
     "t_dedup_cluster_stats"
 ].oracle.replace("__CLUSTERS__", REGISTRY["t_dedup_clusters"].oracle)
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty: how much genuinely-new content each document adds
+
+
+@query(
+    "t_ngram_novelty",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id, unnest(__SHINGLES__) AS s
+        FROM (SELECT doc_id, __TOKS2__ AS w FROM documents)
+    ),
+    first_seen AS (
+        SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY 1
+    )
+    SELECT sh.doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           ROUND(CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS novelty_pct
+    FROM sh JOIN first_seen f USING (s)
+    GROUP BY 1
+    """,
+)
+def t_ngram_novelty(spark, sf_dir):
+    """Content novelty curve: per document, the fraction of its distinct
+    3-word shingles that first appear in THAT document (first-seen =
+    minimum doc_id over the corpus — in production, ingestion order).
+    The curation signal behind "is this crawl adding anything": a source
+    whose novelty collapses toward 0 is re-serving content the corpus
+    already holds, and dedup thresholds alone miss partial-overlap decay.
+    Documents with no 3-word shingle (< 3 tokens) are absent from the
+    output, matching the oracle's unnest-of-empty-list semantics.
+
+    Scale: one shingle explode (the corpus pays |docs|·|shingles/doc|
+    rows), a map-side-combinable MIN per shingle, and a shingle-keyed
+    join back — the join reuses the first-seen aggregate's hash
+    partitioning on s, so the chain is two exchanges over the exploded
+    set plus the final doc_id rollup. Hot (boilerplate) shingles fan the
+    join but not the aggregate; at 100 TB cap them with the
+    t_boilerplate_spans hot-gram guard first."""
+    # spread(): shingle construction is CPU-bound string work; a
+    # single-row-group input file would otherwise pin it to one core
+    # (no-op when the scan already splits — see operators/partitioning)
+    sh = (
+        spread(t(spark, sf_dir, "documents"))
+        .select(
+            "doc_id",
+            F.explode(word_shingles(tokens("text"))).alias("s"),
+        )
+    )
+    first_seen = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return (
+        sh.join(first_seen, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            novel.cast("long").alias("n_novel"),
+            F.round(novel.cast("double") / F.count(F.lit(1)), 6).alias(
+                "novelty_pct"
+            ),
+        )
+    )
+
+
+from personal_data_lakehouse_spark.plans.text_ops import (  # noqa: E402
+    _SHINGLES as _NV_SHINGLES,
+    _TOKS as _NV_TOKS,
+)
+
+REGISTRY["t_ngram_novelty"].oracle = (
+    REGISTRY["t_ngram_novelty"]
+    .oracle.replace("__SHINGLES__", _NV_SHINGLES)
+    .replace("__TOKS2__", _NV_TOKS)
+)

@@ -97,6 +97,7 @@ GOLDEN_EXTRA = [
     "t_sample_importance",
     "t_mix_waterfill",
     "q_rolling_active_users",
+    "t_ngram_novelty",
 ]
 
 # Goldens are generated against the canonical smoke fixture; other SF dirs

@@ -652,3 +652,29 @@ def test_dedup_cluster_stats_conservation(spark):
         cl.filter(~F.col("is_canonical")).count()
     )
     assert sum(r["n_redundant"] for r in rows) == n_red_expected
+
+
+def test_ngram_novelty_conservation(spark):
+    """Every distinct corpus shingle is novel in exactly one document, so
+    sum(n_novel) = |distinct shingles|; the earliest shingled doc is 100%
+    novel; and short docs (< 3 tokens) are absent."""
+    from personal_data_lakehouse_spark.functions.text import (
+        tokens as _tokens,
+        word_shingles as _ws,
+    )
+
+    rows = REGISTRY["t_ngram_novelty"].fn(spark, SF_DIR).collect()
+    docs = t(spark, SF_DIR, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(_ws(_tokens("text"))).alias("s")
+    )
+    n_distinct = sh.select("s").distinct().count()
+    assert sum(r["n_novel"] for r in rows) == n_distinct
+    by_doc = {r["doc_id"]: r for r in rows}
+    first_doc = min(by_doc)
+    assert by_doc[first_doc]["novelty_pct"] == 1.0
+    for r in rows:
+        assert 0 <= r["n_novel"] <= r["n_shingles"]
+        assert 0 <= r["novelty_pct"] <= 1
+    shingled_docs = {r["doc_id"] for r in sh.select("doc_id").distinct().collect()}
+    assert set(by_doc) == shingled_docs
