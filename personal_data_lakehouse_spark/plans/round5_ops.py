@@ -2409,3 +2409,112 @@ REGISTRY["t_ngram_novelty"].oracle = (
     .oracle.replace("__SHINGLES__", _NV_SHINGLES)
     .replace("__TOKS2__", _NV_TOKS)
 )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocation mining (log-free: exact lift ratio)
+
+
+@query(
+    "t_pmi_collocations",
+    oracle="""
+    WITH w AS (SELECT doc_id, __TOKS3__ AS w FROM documents),
+    uni AS (
+        SELECT tok, COUNT(*) AS c_tok
+        FROM (SELECT unnest(w) AS tok FROM w)
+        GROUP BY 1
+    ),
+    pairs AS (
+        SELECT unnest(list_transform(range(1, len(w)),
+                                     i -> struct_pack(x := w[i],
+                                                      y := w[i + 1]))) AS p
+        FROM w WHERE len(w) >= 2
+    ),
+    bc AS (
+        SELECT p.x AS x, p.y AS y, COUNT(*) AS c_xy
+        FROM pairs GROUP BY 1, 2
+    ),
+    tot AS (SELECT SUM(c_xy) AS n FROM bc)
+    SELECT x, y, CAST(c_xy AS BIGINT) AS c_xy,
+           CAST(ux.c_tok AS BIGINT) AS c_x,
+           CAST(uy.c_tok AS BIGINT) AS c_y,
+           ROUND(CAST(n AS DOUBLE) * CAST(c_xy AS DOUBLE)
+                 / (CAST(ux.c_tok AS DOUBLE) * CAST(uy.c_tok AS DOUBLE)),
+                 6) AS lift
+    FROM bc
+    JOIN uni ux ON ux.tok = bc.x
+    JOIN uni uy ON uy.tok = bc.y, tot
+    WHERE c_xy >= 5
+    ORDER BY CAST(n AS DOUBLE) * CAST(c_xy AS DOUBLE)
+             / (CAST(ux.c_tok AS DOUBLE) * CAST(uy.c_tok AS DOUBLE)) DESC,
+             x, y
+    LIMIT 50
+    """,
+)
+def t_pmi_collocations(spark, sf_dir):
+    """Collocation mining: the top-50 adjacent word pairs by PMI lift
+    N·c(x,y) / (c(x)·c(y)) with min support c(x,y) ≥ 5 — the corpus-level
+    "these words belong together" signal behind tokenizer-vocab seeding
+    and phrase normalization. Log-free on purpose: PMI's log is monotone
+    in the lift, so ranking by the lift ratio gives the identical top-k
+    without a transcendental in a hashed output. The lift division runs
+    on exact integer counts with ONE double expression, op-order matched
+    on both engines, so the selected top-50 set (tie-broken on the pair)
+    is engine-identical.
+
+    Scale: unigram and bigram counts are map-side-combined aggregates
+    over the token stream (the corpus pays one tokenize+explode, spread()
+    across cores for unsplittable inputs); both count tables are
+    vocab-sized (zipf-truncated by the support filter) so the two
+    enrichment joins broadcast; the final rank is a 50-row
+    TakeOrderedAndProject, never a global sort."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    w = docs.select(tokens("text").alias("w"))
+    uni = (
+        w.select(F.explode("w").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c_tok"))
+    )
+    pairs = (
+        w.filter(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1), "
+                    "i -> struct(element_at(w, i) AS x, "
+                    "element_at(w, i + 1) AS y))"
+                )
+            ).alias("p")
+        )
+        .select("p.x", "p.y")
+    )
+    bc = pairs.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c_xy"))
+    tot = bc.agg(F.sum("c_xy").alias("n"))
+    ux = uni.select(F.col("tok").alias("x"), F.col("c_tok").alias("c_x"))
+    uy = uni.select(F.col("tok").alias("y"), F.col("c_tok").alias("c_y"))
+    lift = (
+        F.col("n").cast("double")
+        * F.col("c_xy").cast("double")
+        / (F.col("c_x").cast("double") * F.col("c_y").cast("double"))
+    )
+    return (
+        bc.filter(F.col("c_xy") >= 5)
+        .join(F.broadcast(ux), "x")
+        .join(F.broadcast(uy), "y")
+        .crossJoin(F.broadcast(tot))
+        .orderBy(lift.desc(), "x", "y")
+        .limit(50)
+        .select(
+            "x",
+            "y",
+            "c_xy",
+            "c_x",
+            "c_y",
+            F.round(lift, 6).alias("lift"),
+        )
+    )
+
+
+REGISTRY["t_pmi_collocations"].oracle = REGISTRY[
+    "t_pmi_collocations"
+].oracle.replace("__TOKS3__", _NV_TOKS)

@@ -98,6 +98,7 @@ GOLDEN_EXTRA = [
     "t_mix_waterfill",
     "q_rolling_active_users",
     "t_ngram_novelty",
+    "t_pmi_collocations",
 ]
 
 # Goldens are generated against the canonical smoke fixture; other SF dirs

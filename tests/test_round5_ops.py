@@ -678,3 +678,36 @@ def test_ngram_novelty_conservation(spark):
         assert 0 <= r["novelty_pct"] <= 1
     shingled_docs = {r["doc_id"] for r in sh.select("doc_id").distinct().collect()}
     assert set(by_doc) == shingled_docs
+
+
+def test_pmi_collocations_are_true_top50(spark):
+    """Recompute every supported bigram's lift brute-force in Python and
+    check the query returned exactly the 50 highest (with the documented
+    (lift, x, y) tie-break) and internally consistent counts."""
+    from personal_data_lakehouse_spark.functions.text import tokens as _tokens
+
+    rows = REGISTRY["t_pmi_collocations"].fn(spark, SF_DIR).collect()
+    assert len(rows) <= 50
+    docs = t(spark, SF_DIR, "documents").select(_tokens("text").alias("w")).collect()
+    from collections import Counter
+
+    uni, bi = Counter(), Counter()
+    for r in docs:
+        w = r["w"] or []
+        uni.update(w)
+        bi.update(zip(w, w[1:]))
+    n = sum(bi.values())
+    scored = sorted(
+        (
+            (-(n * c) / (uni[x] * uni[y]), x, y, c)
+            for (x, y), c in bi.items()
+            if c >= 5
+        ),
+    )[:50]
+    expect = {(x, y) for _, x, y, _ in scored}
+    got = {(r["x"], r["y"]) for r in rows}
+    assert got == expect
+    for r in rows:
+        assert r["c_xy"] >= 5
+        assert r["c_x"] == uni[r["x"]] and r["c_y"] == uni[r["y"]]
+        assert abs(r["lift"] - (n * r["c_xy"]) / (r["c_x"] * r["c_y"])) < 1e-4
