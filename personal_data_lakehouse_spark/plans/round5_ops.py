@@ -619,13 +619,11 @@ def t_tokenizer_fertility(spark, sf_dir):
 
     Scale: encode runs per DISTINCT word (vocabulary-sized, not
     corpus-sized); the corpus pays one hash join + one (lang) aggregate."""
-    from personal_data_lakehouse_spark.functions.bpe import (
-        encode_bpe,
-        train_bpe,
-    )
+    from personal_data_lakehouse_spark.functions.bpe import encode_bpe
+    from personal_data_lakehouse_spark.plans.training_ops import bpe_merges_for
 
     docs = t(spark, sf_dir, "documents")
-    enc = encode_bpe(docs, train_bpe(docs, "text", n_merges=8))
+    enc = encode_bpe(docs, bpe_merges_for(spark, sf_dir, n_merges=8))
     return (
         enc.join(docs.select("doc_id", "lang"), "doc_id")
         .groupBy("lang")
