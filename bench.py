@@ -56,6 +56,11 @@ HEADLINE = [
     # cell-blocked all-pairs kNN and content-defined substring sampling
     "s_knn_graph",
     "t_crossdoc_spans",
+    # round-5 wave-10 additions: the persisted-histogram robust-stats
+    # chain and the dedup-first sliding-distinct — both new plan shapes
+    # with no timing history
+    "q_anomaly_mad",
+    "q_rolling_active_users",
 ]
 
 
