@@ -2516,3 +2516,96 @@ def t_pmi_collocations(spark, sf_dir):
 REGISTRY["t_pmi_collocations"].oracle = REGISTRY[
     "t_pmi_collocations"
 ].oracle.replace("__TOKS3__", _NV_TOKS)
+
+
+# ---------------------------------------------------------------------------
+# Revenue concentration profile (Pareto curve at log2-bucket resolution)
+
+
+@query(
+    "q_revenue_concentration",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey,
+               SUM(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100
+                        AS BIGINT)) AS rev_cents
+        FROM orders GROUP BY 1
+    ),
+    h AS (
+        SELECT length(bin(rev_cents)) - 1 AS bucket,
+               COUNT(*) AS n_cust,
+               SUM(rev_cents) AS bucket_cents
+        FROM rev WHERE rev_cents > 0 GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n_cust) AS tc, SUM(bucket_cents) AS trev FROM h)
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(n_cust AS BIGINT) AS n_cust,
+           CAST(bucket_cents AS BIGINT) AS bucket_cents,
+           CAST(SUM(n_cust) OVER w AS BIGINT) AS cum_cust_from_top,
+           CAST(SUM(bucket_cents) OVER w AS BIGINT) AS cum_cents_from_top,
+           ROUND(CAST(SUM(n_cust) OVER w AS DOUBLE) / tc, 6)
+               AS cum_cust_share,
+           ROUND(CAST(SUM(bucket_cents) OVER w AS DOUBLE) / trev, 6)
+               AS cum_rev_share
+    FROM h, tot
+    WINDOW w AS (ORDER BY bucket DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_revenue_concentration(spark, sf_dir):
+    """Revenue concentration (Pareto) profile: customers bucketed by
+    floor(log2(lifetime revenue)), with cumulative customer and revenue
+    shares reading from the richest bucket down — "the top X% of
+    customers hold Y% of revenue" at power-of-two resolution. The exact
+    per-customer rank curve would need a corpus-global ordered window
+    over per-customer SUMS (whose domain is as large as the customer
+    count — the decile-histogram trick does NOT apply to sums); the
+    log2-bucket profile is the scale-honest version: one grouped
+    aggregate to per-customer revenue, one ~40-row histogram, windows
+    only over the histogram. floor(log2) via length(bin()) — integer-
+    exact on both engines, no float log. Cumulative sums are integer;
+    the two shares are single divisions, rounded."""
+    rev = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            # DOUBLE money -> DECIMAL(18,4) bridge before *100: a raw
+            # double*100 truncates differently across engines near
+            # representation boundaries (repo-wide money convention)
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,4)") * 100).cast(
+                    "long"
+                )
+            ).alias("rev_cents")
+        )
+    )
+    h = (
+        rev.filter(F.col("rev_cents") > 0)
+        .groupBy(
+            (F.length(F.bin("rev_cents")) - 1).cast("int").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum("rev_cents").alias("bucket_cents"),
+        )
+    )
+    tot = h.agg(
+        F.sum("n_cust").alias("tc"), F.sum("bucket_cents").alias("trev")
+    )
+    w = (
+        Window.orderBy(F.col("bucket").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return h.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_cust",
+        "bucket_cents",
+        F.sum("n_cust").over(w).alias("cum_cust_from_top"),
+        F.sum("bucket_cents").over(w).alias("cum_cents_from_top"),
+        F.round(
+            F.sum("n_cust").over(w).cast("double") / F.col("tc"), 6
+        ).alias("cum_cust_share"),
+        F.round(
+            F.sum("bucket_cents").over(w).cast("double") / F.col("trev"), 6
+        ).alias("cum_rev_share"),
+    )

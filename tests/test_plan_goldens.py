@@ -99,6 +99,7 @@ GOLDEN_EXTRA = [
     "q_rolling_active_users",
     "t_ngram_novelty",
     "t_pmi_collocations",
+    "q_revenue_concentration",
 ]
 
 # Goldens are generated against the canonical smoke fixture; other SF dirs

@@ -711,3 +711,45 @@ def test_pmi_collocations_are_true_top50(spark):
         assert r["c_xy"] >= 5
         assert r["c_x"] == uni[r["x"]] and r["c_y"] == uni[r["y"]]
         assert abs(r["lift"] - (n * r["c_xy"]) / (r["c_x"] * r["c_y"])) < 1e-4
+
+
+def test_revenue_concentration_ties_out(spark):
+    """The bucket profile must tie out against per-customer revenue
+    recomputed directly: bucket membership by floor(log2), conservation
+    of customers and cents, monotone cumulative shares reaching 1.0."""
+    rows = sorted(
+        REGISTRY["q_revenue_concentration"].fn(spark, SF_DIR).collect(),
+        key=lambda r: -r["bucket"],
+    )
+    rev = (
+        t(spark, SF_DIR, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,4)") * 100).cast("long")
+            ).alias("rc")
+        )
+        .filter(F.col("rc") > 0)
+        .collect()
+    )
+    by_bucket = {}
+    for r in rev:
+        b = r["rc"].bit_length() - 1
+        n, c = by_bucket.get(b, (0, 0))
+        by_bucket[b] = (n + 1, c + r["rc"])
+    assert {r["bucket"] for r in rows} == set(by_bucket)
+    cum_n = cum_c = 0
+    tot_n = sum(n for n, _ in by_bucket.values())
+    tot_c = sum(c for _, c in by_bucket.values())
+    for r in rows:
+        n, c = by_bucket[r["bucket"]]
+        assert (r["n_cust"], r["bucket_cents"]) == (n, c)
+        cum_n += n
+        cum_c += c
+        assert r["cum_cust_from_top"] == cum_n
+        assert r["cum_cents_from_top"] == cum_c
+    assert rows[-1]["cum_cust_share"] == 1.0
+    assert rows[-1]["cum_rev_share"] == 1.0
+    # Pareto sanity: the top buckets' revenue share must exceed their
+    # customer share (rich buckets are, per construction, richer)
+    assert rows[0]["cum_rev_share"] >= rows[0]["cum_cust_share"]
