@@ -37,6 +37,7 @@ def main() -> None:
             continue
         lines = shape.splitlines()
         n_scan = sum(1 for ln in lines if ln.startswith("FileScan"))
+        n_imr = sum(1 for ln in lines if ln.startswith("InMemoryRelation"))
         n_exch = sum(1 for ln in lines if ln.startswith("Exchange"))
         n_bcast = sum(1 for ln in lines if ln.startswith("BroadcastExchange"))
         joins = ",".join(
@@ -54,6 +55,12 @@ def main() -> None:
             # entries): the interesting plan ran inside the streaming job,
             # not in this batch tail — label it instead of ranking it
             joins = "(streaming-in-query/materialized)"
+        if n_imr:
+            # explain prints an InMemoryRelation's cached child plan
+            # (incl. its FileScan) once PER REFERENCE — execution
+            # materializes each cache once, so the scan/exchange counts
+            # above are textual over-counts for this query
+            joins = (joins + " " if joins else "") + f"(cached x{n_imr})"
         rows.append((name, n_scan, n_exch, n_bcast, joins))
     rows.sort(key=lambda r: (-r[1] if isinstance(r[1], int) else 0, r[0]))
     rows.sort(key=lambda r: -(r[2] if isinstance(r[2], int) else 99))
