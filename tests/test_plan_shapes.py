@@ -96,6 +96,13 @@ def test_headline_exchange_budgets(spark):
         # 4 = gram-dedup exchange (textually once per cached join side) +
         # the pair aggregate
         "t_crossdoc_spans": 4,
+        # 13 textual = the one histogram exchange re-printed per cached
+        # reference (InMemoryRelation child plans) + the tiny med/mad/final
+        # aggregates; executed: 1 corpus histogram + histogram-sized aggs
+        "q_anomaly_mad": 13,
+        # 6 textual = the (user, day) grid distinct re-printed per cached
+        # branch + the DAU/WAU aggregates + the explode re-group
+        "q_rolling_active_users": 6,
     }
     assert set(budget) == set(HEADLINE)
     for name, allowed in budget.items():
