@@ -2609,3 +2609,93 @@ def q_revenue_concentration(spark, sf_dir):
             F.sum("bucket_cents").over(w).cast("double") / F.col("trev"), 6
         ).alias("cum_rev_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel latency distribution (time-to-convert histogram)
+
+
+@query(
+    "q_funnel_latency",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view'
+                        THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t_view,
+               MIN(CASE WHEN event_type = 'purchase'
+                        THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t_purchase
+        FROM events GROUP BY user_id
+    ),
+    lat AS (
+        SELECT (t_purchase - t_view) // 1000000 AS lat_s
+        FROM u WHERE t_purchase > t_view
+    ),
+    h AS (
+        SELECT CASE WHEN lat_s = 0 THEN -1
+                    ELSE length(bin(lat_s)) - 1 END AS bucket,
+               COUNT(*) AS n_users,
+               MIN(lat_s) AS min_s, MAX(lat_s) AS max_s
+        FROM lat GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n_users) AS tn FROM h)
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(n_users AS BIGINT) AS n_users,
+           CAST(min_s AS BIGINT) AS min_s,
+           CAST(max_s AS BIGINT) AS max_s,
+           ROUND(CAST(n_users AS DOUBLE) / tn, 6) AS share
+    FROM h, tot
+    """,
+)
+def q_funnel_latency(spark, sf_dir):
+    """Time-to-convert distribution — the companion to q_funnel's counts:
+    for every user whose first purchase follows their first view, the
+    view→purchase latency in whole seconds, histogrammed on log2 buckets
+    (bucket k covers [2^k, 2^(k+1)) seconds; sub-second converts land in
+    bucket −1). Same first-touch MIN-per-step semantics as q_funnel, so
+    the two queries tell one coherent story. floor(log2) via
+    length(bin()) — integer-exact on both engines; the share is one
+    division.
+
+    Scale: one grouped aggregate to per-user step times (map-side
+    combined, the only corpus pass), then a ≤~27-row histogram (2^27 s
+    ≈ 4 years) and a 1-row total broadcast."""
+    u = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("event_type") == "view", F.unix_micros(F.col("ts"))
+                )
+            ).alias("t_view"),
+            F.min(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.unix_micros(F.col("ts")),
+                )
+            ).alias("t_purchase"),
+        )
+    )
+    lat = u.filter(F.col("t_purchase") > F.col("t_view")).select(
+        F.expr("(t_purchase - t_view) div 1000000").alias("lat_s")
+    )
+    h = lat.groupBy(
+        F.when(F.col("lat_s") == 0, F.lit(-1))
+        .otherwise(F.length(F.bin("lat_s")) - 1)
+        .cast("int")
+        .alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.min("lat_s").alias("min_s"),
+        F.max("lat_s").alias("max_s"),
+    )
+    tot = h.agg(F.sum("n_users").alias("tn"))
+    return h.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_users",
+        "min_s",
+        "max_s",
+        F.round(F.col("n_users").cast("double") / F.col("tn"), 6).alias(
+            "share"
+        ),
+    )

@@ -100,6 +100,7 @@ GOLDEN_EXTRA = [
     "t_ngram_novelty",
     "t_pmi_collocations",
     "q_revenue_concentration",
+    "q_funnel_latency",
 ]
 
 # Goldens are generated against the canonical smoke fixture; other SF dirs

@@ -753,3 +753,41 @@ def test_revenue_concentration_ties_out(spark):
     # Pareto sanity: the top buckets' revenue share must exceed their
     # customer share (rich buckets are, per construction, richer)
     assert rows[0]["cum_rev_share"] >= rows[0]["cum_cust_share"]
+
+
+def test_funnel_latency_ties_to_funnel_and_buckets(spark):
+    """Total converting users must equal a direct recomputation of
+    min-purchase-after-min-view; every user lands in exactly the bucket
+    floor(log2(lat_s)) (or -1 for sub-second); min/max stay in-bucket."""
+    rows = REGISTRY["q_funnel_latency"].fn(spark, SF_DIR).collect()
+    u = (
+        t(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "view", F.unix_micros(F.col("ts")))
+            ).alias("tv"),
+            F.min(
+                F.when(
+                    F.col("event_type") == "purchase", F.unix_micros(F.col("ts"))
+                )
+            ).alias("tp"),
+        )
+        .filter(F.col("tp") > F.col("tv"))
+        .collect()
+    )
+    lats = [(r["tp"] - r["tv"]) // 1_000_000 for r in u]
+    assert sum(r["n_users"] for r in rows) == len(lats)
+    from collections import Counter
+
+    expect = Counter(-1 if s == 0 else s.bit_length() - 1 for s in lats)
+    got = {r["bucket"]: r["n_users"] for r in rows}
+    assert got == dict(expect)
+    for r in rows:
+        if r["bucket"] >= 0:
+            assert 2 ** r["bucket"] <= r["min_s"] <= r["max_s"] < 2 ** (
+                r["bucket"] + 1
+            )
+        else:
+            assert r["min_s"] == r["max_s"] == 0
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
