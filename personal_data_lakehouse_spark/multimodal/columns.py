@@ -155,3 +155,74 @@ def read_media_dir(spark, path: str, glob: str = "*") -> DataFrame:
         F.col("modificationTime").alias("modified_at"),
         F.col("content").alias("payload"),
     )
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("out_h", T.IntegerType()),
+        T.StructField("pixel_sum", T.LongType()),
+        T.StructField("raster_sha", T.StringType()),
+    ]
+)
+
+
+def resize_media(
+    media: DataFrame, target_w: int = 32, target_h: int = 32
+) -> DataFrame:
+    """Arrow-batched resize stage: decode each payload into its
+    width×height raster (synthetic codec: the payload bytes tiled into
+    the grid — with real image libs the decode line becomes
+    ``PIL.Image.open``), nearest-neighbor downsample to
+    (target_w, target_h) with pure numpy index math, and emit the
+    resized raster's dimensions, pixel sum, and content hash.
+
+    The nearest-neighbor index math (ys = arange(th)·h // th) is the
+    REAL resize kernel — only the decode line is synthetic, so the whole
+    Spark-side contract (metadata-first pruning upstream, Arrow batch
+    shape, schema, spread() for unsplittable inputs, closure shipped by
+    value) is exercised and carries over unchanged when the codec lands.
+    Scale: embarrassingly parallel map; the payload bytes cross the
+    Python boundary once, already batched by Arrow."""
+    tw, th = int(target_w), int(target_h)
+
+    def rz(it):
+        import hashlib as _hl
+
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in it:
+            rows = []
+            for mid, w, h, payload in zip(
+                pdf["media_id"], pdf["width"], pdf["height"], pdf["payload"]
+            ):
+                w, h = int(w), int(h)
+                buf = _np.frombuffer(bytes(payload), dtype=_np.uint8)
+                # synthetic decode: tile payload bytes into the raster
+                raster = _np.resize(buf, w * h).reshape(h, w)
+                ys = (_np.arange(th) * h) // th
+                xs = (_np.arange(tw) * w) // tw
+                small = raster[ys][:, xs]
+                rows.append(
+                    (
+                        int(mid),
+                        tw,
+                        th,
+                        int(small.sum(dtype=_np.int64)),
+                        _hl.sha256(small.tobytes()).hexdigest(),
+                    )
+                )
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "out_w",
+                    "out_h",
+                    "pixel_sum",
+                    "raster_sha",
+                ],
+            )
+
+    return spread(media).mapInPandas(rz, schema=RESIZE_SCHEMA)

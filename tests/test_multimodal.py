@@ -79,3 +79,42 @@ def test_binaryfile_ingestion_and_length_pushdown(spark, tmp_path):
     assert {r.file_name for r in small.collect()} == {"img_0.bin", "img_1.bin"}
     plan = small._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "length" in plan
+
+
+def test_resize_media_nearest_neighbor_exact(spark):
+    """The resize stage must reproduce a driver-side numpy reference
+    exactly (same tiling decode, same nearest-neighbor index math), be
+    deterministic across partition layouts, and emit the target dims."""
+    import hashlib
+
+    import numpy as np
+
+    from personal_data_lakehouse_spark.multimodal.columns import (
+        attach_fake_media,
+        resize_media,
+    )
+    from personal_data_lakehouse_spark.plans.registry import t
+    from tests.conftest import SF_DIR
+
+    docs = t(spark, SF_DIR, "documents").limit(40)
+    media = attach_fake_media(docs)
+    out = {r["media_id"]: r for r in resize_media(media, 16, 8).collect()}
+    ref_rows = media.collect()
+    assert len(out) == len(ref_rows)
+    for r in ref_rows:
+        w, h = r["width"], r["height"]
+        buf = np.frombuffer(bytes(r["payload"]), dtype=np.uint8)
+        raster = np.resize(buf, w * h).reshape(h, w)
+        ys = (np.arange(8) * h) // 8
+        xs = (np.arange(16) * w) // 16
+        small = raster[ys][:, xs]
+        got = out[r["media_id"]]
+        assert (got["out_w"], got["out_h"]) == (16, 8)
+        assert got["pixel_sum"] == int(small.sum(dtype=np.int64))
+        assert got["raster_sha"] == hashlib.sha256(small.tobytes()).hexdigest()
+    # partition-layout independence
+    re_out = {
+        r["media_id"]: r["raster_sha"]
+        for r in resize_media(media.repartition(7), 16, 8).collect()
+    }
+    assert re_out == {k: v["raster_sha"] for k, v in out.items()}
