@@ -226,3 +226,76 @@ def resize_media(
             )
 
     return spread(media).mapInPandas(rz, schema=RESIZE_SCHEMA)
+
+
+RESAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("out_rate", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("sample_sum", T.LongType()),
+        T.StructField("signal_sha", T.StringType()),
+    ]
+)
+
+
+def resample_audio(
+    media: DataFrame, src_rate: int = 16000, dst_rate: int = 8000
+) -> DataFrame:
+    """Arrow-batched audio resample stage — the 1-D analog of
+    resize_media: decode each payload into a PCM signal (synthetic
+    codec: payload bytes as unsigned 8-bit samples — with real audio
+    libs the decode line becomes ``soundfile.read``/ffmpeg), then
+    linear-interpolation resample from src_rate to dst_rate with pure
+    numpy index math (the real DSP kernel, up to anti-alias filtering
+    which rides with the codec), emitting length, sample sum, and
+    content hash of the int32-rounded output.
+
+    Same contract as resize_media: metadata pruning upstream, Arrow
+    batch shape, spread(), closure by value. Embarrassingly parallel."""
+    sr, dr = int(src_rate), int(dst_rate)
+
+    def rs(it):
+        import hashlib as _hl
+
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                sig = _np.frombuffer(bytes(payload), dtype=_np.uint8).astype(
+                    _np.float64
+                )
+                if len(sig) == 0:
+                    sig = _np.zeros(1)
+                n_out = max(1, (len(sig) * dr) // sr)
+                # linear-interp positions in source index space
+                pos = _np.arange(n_out) * (len(sig) - 1) / max(1, n_out - 1) \
+                    if n_out > 1 else _np.zeros(1)
+                lo = _np.floor(pos).astype(_np.int64)
+                hi = _np.minimum(lo + 1, len(sig) - 1)
+                frac = pos - lo
+                out = sig[lo] * (1.0 - frac) + sig[hi] * frac
+                q = _np.round(out * 256.0).astype(_np.int64)  # fixed-point
+                rows.append(
+                    (
+                        int(mid),
+                        dr,
+                        int(n_out),
+                        int(q.sum()),
+                        _hl.sha256(q.tobytes()).hexdigest(),
+                    )
+                )
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "out_rate",
+                    "n_samples",
+                    "sample_sum",
+                    "signal_sha",
+                ],
+            )
+
+    return spread(media).mapInPandas(rs, schema=RESAMPLE_SCHEMA)

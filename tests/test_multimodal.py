@@ -118,3 +118,44 @@ def test_resize_media_nearest_neighbor_exact(spark):
         for r in resize_media(media.repartition(7), 16, 8).collect()
     }
     assert re_out == {k: v["raster_sha"] for k, v in out.items()}
+
+
+def test_resample_audio_linear_interp_exact(spark):
+    """The resample stage must reproduce a driver-side numpy reference
+    exactly (same synthetic PCM decode, same linear-interp positions,
+    same fixed-point quantization) and halve the sample count at 2:1."""
+    import hashlib
+
+    import numpy as np
+
+    from personal_data_lakehouse_spark.multimodal.columns import (
+        attach_fake_media,
+        resample_audio,
+    )
+    from personal_data_lakehouse_spark.plans.registry import t
+    from tests.conftest import SF_DIR
+
+    docs = t(spark, SF_DIR, "documents").limit(25)
+    media = attach_fake_media(docs)
+    out = {r["media_id"]: r for r in resample_audio(media, 16000, 8000).collect()}
+    for r in media.collect():
+        sig = np.frombuffer(bytes(r["payload"]), dtype=np.uint8).astype(np.float64)
+        if len(sig) == 0:
+            sig = np.zeros(1)
+        n_out = max(1, (len(sig) * 8000) // 16000)
+        pos = (
+            np.arange(n_out) * (len(sig) - 1) / max(1, n_out - 1)
+            if n_out > 1
+            else np.zeros(1)
+        )
+        lo = np.floor(pos).astype(np.int64)
+        hi = np.minimum(lo + 1, len(sig) - 1)
+        frac = pos - lo
+        q = np.round((sig[lo] * (1.0 - frac) + sig[hi] * frac) * 256.0).astype(
+            np.int64
+        )
+        got = out[r["media_id"]]
+        assert got["n_samples"] == n_out
+        assert abs(got["n_samples"] - len(sig) // 2) <= 1
+        assert got["sample_sum"] == int(q.sum())
+        assert got["signal_sha"] == hashlib.sha256(q.tobytes()).hexdigest()
