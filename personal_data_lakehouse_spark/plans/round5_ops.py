@@ -2699,3 +2699,92 @@ def q_funnel_latency(spark, sf_dir):
             "share"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Running z-score anomaly flags (sequential baseline, integer-exact)
+
+
+@query(
+    "q_running_zscore_flags",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_type, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+               CAST(floor(value * 100) AS BIGINT) AS x
+        FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+        SELECT event_type, x,
+               COUNT(x) OVER w AS n,
+               SUM(CAST(x AS HUGEINT)) OVER w AS sx,
+               SUM(CAST(x AS HUGEINT) * x) OVER w AS sxx
+        FROM e
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY ts_us NULLS FIRST, event_id NULLS FIRST
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type,
+           CAST(SUM(CASE WHEN n >= 10 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_scored,
+           CAST(SUM(CASE WHEN n >= 10
+                          AND (x * n - sx) * (x * n - sx)
+                              > 9 * (n * sxx - sx * sx)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+    FROM r GROUP BY 1
+    """,
+)
+def q_running_zscore_flags(spark, sf_dir):
+    """Sequential anomaly detection — the batch replay of a streaming
+    monitor: each event is scored against ITS USER'S OWN prior history
+    (running count/sum/sum-of-squares over a 1-PRECEDING frame, so the
+    baseline never includes the point being judged), flagged when
+    |x − μ| > 3σ with ≥10 prior observations. The 3σ test runs as the
+    cross-multiplied INTEGER inequality (x·n − Σx)² > 9·(n·Σx² − (Σx)²)
+    — no sqrt, no float, no order-dependent reduction. Headroom: the
+    binding term is the squared deviation; int128 holds while
+    x_max·n_user < ~1.3e19 (max cents × one user's history length — at
+    1e4-cent values that is 1e15 events per single user; beyond it,
+    score in windows or bump the comparison to the double path like
+    q_drift_chisq). Rolled up to per-type flag counts so the output
+    stays bounded.
+
+    Scale: ONE shuffle on user_id; the cumulative window is per user
+    (parallelism = |users|, per-partition work = user history — the
+    per-type variant would funnel the corpus through |types| tasks).
+    The same arithmetic drops into applyInPandasWithState for the live
+    streaming path with (n, Σx, Σx²) as the state triple."""
+    e = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+            F.floor(F.col("value") * 100).cast("long").alias("x"),
+        )
+    )
+    d19 = "decimal(19,0)"
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    xd = F.col("x").cast(d19)
+    r = e.select(
+        "event_type",
+        "x",
+        F.count("x").over(w).alias("n"),
+        F.sum(xd).over(w).alias("sx"),
+        F.sum(xd * F.col("x")).over(w).alias("sxx"),
+    )
+    dev = F.col("x").cast(d19) * F.col("n") - F.col("sx")
+    var_n2 = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    flagged = (F.col("n") >= 10) & (dev * dev > 9 * var_n2)
+    return r.groupBy("event_type").agg(
+        F.sum(F.when(F.col("n") >= 10, 1).otherwise(0))
+        .cast("long")
+        .alias("n_scored"),
+        F.sum(F.when(flagged, 1).otherwise(0)).cast("long").alias("n_flagged"),
+    )

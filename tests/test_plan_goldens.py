@@ -101,6 +101,7 @@ GOLDEN_EXTRA = [
     "t_pmi_collocations",
     "q_revenue_concentration",
     "q_funnel_latency",
+    "q_running_zscore_flags",
 ]
 
 # Goldens are generated against the canonical smoke fixture; other SF dirs

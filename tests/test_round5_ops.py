@@ -791,3 +791,48 @@ def test_funnel_latency_ties_to_funnel_and_buckets(spark):
         else:
             assert r["min_s"] == r["max_s"] == 0
     assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
+
+
+def test_running_zscore_flags_match_sequential_reference(spark):
+    """Replay every user's history sequentially in Python (Welford-free
+    integer sums, same 1-PRECEDING baseline) and compare scored/flagged
+    counts per event type exactly."""
+    rows = {
+        r["event_type"]: r
+        for r in REGISTRY["q_running_zscore_flags"].fn(spark, SF_DIR).collect()
+    }
+    ev = (
+        t(spark, SF_DIR, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+            F.floor(F.col("value") * 100).cast("long").alias("x"),
+        )
+        .collect()
+    )
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r["user_id"]].append(r)
+    scored = defaultdict(int)
+    flagged = defaultdict(int)
+    for hist in by_user.values():
+        hist.sort(key=lambda r: (r["ts_us"], r["event_id"]))
+        n = sx = sxx = 0
+        for r in hist:
+            x = r["x"]
+            if n >= 10:
+                scored[r["event_type"]] += 1
+                if (x * n - sx) ** 2 > 9 * (n * sxx - sx * sx):
+                    flagged[r["event_type"]] += 1
+            n += 1
+            sx += x
+            sxx += x * x
+    for et, row in rows.items():
+        assert row["n_scored"] == scored[et], et
+        assert row["n_flagged"] == flagged[et], et
+    assert sum(flagged.values()) > 0  # the rule actually fires on the fixture
