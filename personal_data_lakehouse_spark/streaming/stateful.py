@@ -112,3 +112,87 @@ def user_activity_stream(
         outputMode="update",
         timeoutConf=timeout_conf,
     )
+
+
+ANOMALY_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("x", T.LongType()),
+        T.StructField("n_prior", T.LongType()),
+        T.StructField("flagged", T.BooleanType()),
+    ]
+)
+
+ANOMALY_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("sx", T.LongType()),
+        T.StructField("sxx", T.LongType()),
+    ]
+)
+
+
+def anomaly_flag_stream(events: DataFrame) -> DataFrame:
+    """Live counterpart of q_running_zscore_flags: per-user running
+    (n, Σx, Σx²) state; each arriving event is scored against the state
+    BEFORE being folded in (the 1-PRECEDING baseline), flagged via the
+    same cross-multiplied integer inequality — Python ints, so exact at
+    any magnitude. Events are sorted by (ts, event_id) within each
+    micro-batch; with an in-order source (or one availableNow batch) the
+    emitted flags replay the batch query bit-for-bit — the parity test
+    pins exactly that.
+
+    Scale: state is three longs per user in the state store (shuffle on
+    user_id); no growth with history length. Same closure-by-value rule
+    as user_activity_stream."""
+    from pyspark.sql import functions as F
+
+    prepared = events.filter(F.col("value").isNotNull()).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.floor(F.col("value") * 100).cast("long").alias("x"),
+    )
+
+    def score(key, batches, state):
+        import pandas as pd
+
+        (user_id,) = key
+        n, sx, sxx = state.get if state.exists else (0, 0, 0)
+        pdf = pd.concat(list(batches))
+        pdf = pdf.sort_values(["ts", "event_id"])
+        rows = []
+        for r in pdf.itertuples(index=False):
+            x = int(r.x)
+            flagged = bool(
+                n >= 10 and (x * n - sx) ** 2 > 9 * (n * sxx - sx * sx)
+            )
+            rows.append(
+                (int(user_id), int(r.event_id), r.event_type, x, n, flagged)
+            )
+            n += 1
+            sx += x
+            sxx += x * x
+        state.update((n, sx, sxx))
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "user_id",
+                "event_id",
+                "event_type",
+                "x",
+                "n_prior",
+                "flagged",
+            ],
+        )
+
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        score,
+        outputStructType=ANOMALY_OUTPUT_SCHEMA,
+        stateStructType=ANOMALY_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -399,3 +399,57 @@ def test_stream_stream_join_restart_from_checkpoint(spark, tmp_path):
     assert streamed == batch
     # the restart actually continued (batch 2 contributed new pairs)
     assert len(streamed) > n1
+
+
+def test_anomaly_flag_stream_replays_batch_query(spark):
+    """The stateful streaming anomaly monitor, drained with availableNow,
+    must reproduce q_running_zscore_flags' per-type scored/flagged counts
+    exactly — streaming state (n, sx, sxx) IS the batch window."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__  # noqa: F401  — populates REGISTRY
+    from personal_data_lakehouse_spark.plans.registry import REGISTRY
+    from personal_data_lakehouse_spark.streaming.stateful import (
+        anomaly_flag_stream,
+    )
+    from personal_data_lakehouse_spark.streaming.windows import stream_events
+
+    events = stream_events(spark, f"{SF_DIR}/events.parquet")
+    flags = anomaly_flag_stream(events)
+    name = f"anom_{uuid.uuid4().hex[:8]}"
+    q = (
+        flags.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    try:
+        got = {
+            r["event_type"]: r
+            for r in spark.table(name)
+            .groupBy("event_type")
+            .agg(
+                F.sum(F.when(F.col("n_prior") >= 10, 1).otherwise(0))
+                .cast("long")
+                .alias("n_scored"),
+                F.sum(F.when(F.col("flagged"), 1).otherwise(0))
+                .cast("long")
+                .alias("n_flagged"),
+            )
+            .collect()
+        }
+        expect = {
+            r["event_type"]: r
+            for r in REGISTRY["q_running_zscore_flags"].fn(spark, SF_DIR).collect()
+        }
+        assert set(got) == set(expect)
+        for et in expect:
+            assert got[et]["n_scored"] == expect[et]["n_scored"], et
+            assert got[et]["n_flagged"] == expect[et]["n_flagged"], et
+        assert sum(r["n_flagged"] for r in got.values()) > 0
+    finally:
+        spark.catalog.dropTempView(name)
