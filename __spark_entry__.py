@@ -70,9 +70,10 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # (sole exception: t_token_count, squeezed below the cap by the late
 # wave-10 additions — first re-proof priority for r6), and every
 # bench-headline query holds a round-5 row. t_pmi_collocations,
-# q_revenue_concentration, q_funnel_latency, and q_running_zscore_flags
-# landed after the window filled (driver_sim green ×3 SFs each; not in
-# _PRIORITY) — give them r6 slots alongside t_token_count.
+# q_revenue_concentration, q_funnel_latency, q_running_zscore_flags, and
+# q_benford_digits landed after the window filled (driver_sim green
+# ×3 SFs each; not in _PRIORITY) — give them r6 slots alongside
+# t_token_count.
 # Round-6 rotation guidance: point the window at (a) any r5 reds, (b)
 # queries new in r6, (c) t_token_count FIRST among re-proofs — it is the one
 # r1-era query the wave-10 additions squeezed below the cap, so its only

@@ -2788,3 +2788,89 @@ def q_running_zscore_flags(spark, sf_dir):
         .alias("n_scored"),
         F.sum(F.when(flagged, 1).otherwise(0)).cast("long").alias("n_flagged"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit
+
+
+_BENFORD = {
+    1: 0.30103, 2: 0.176091, 3: 0.124939, 4: 0.09691, 5: 0.079181,
+    6: 0.066947, 7: 0.057992, 8: 0.051153, 9: 0.045757,
+}
+_BENFORD_SQL = (
+    "CASE digit "
+    + " ".join(f"WHEN {d} THEN {p}" for d, p in _BENFORD.items())
+    + " END"
+)
+
+
+@query(
+    "q_benford_digits",
+    oracle=f"""
+    WITH v AS (
+        SELECT CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS cents
+        FROM orders
+    ),
+    d AS (
+        SELECT CAST(substr(CAST(CAST(cents AS BIGINT) AS VARCHAR), 1, 1)
+                    AS INT) AS digit
+        FROM v WHERE cents >= 1
+    ),
+    h AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1),
+    tot AS (SELECT SUM(n) AS tn FROM h)
+    SELECT CAST(digit AS INT) AS digit,
+           CAST(n AS BIGINT) AS n,
+           ROUND(CAST(n AS DOUBLE) / tn, 6) AS share,
+           CAST({_BENFORD_SQL} AS DOUBLE) AS benford_expected,
+           ROUND(CAST(n AS DOUBLE) / tn
+                 - CAST({_BENFORD_SQL} AS DOUBLE), 6) AS deviation
+    FROM h, tot
+    """,
+)
+def q_benford_digits(spark, sf_dir):
+    """Benford first-digit audit over order totals — the classic
+    fabricated-data / unit-mixup signal: naturally-occurring money
+    amounts spread across orders of magnitude follow
+    P(d) = log10(1 + 1/d), and a column that deviates hard (uniform
+    digits, spikes at 5/9) was generated, truncated, or corrupted.
+    The first digit is extracted via string head of the integer cents
+    (exact on both engines — no float log10 in the bucketing), counts
+    are integers, and the nine Benford expectations are shared
+    hard-coded literals, so the only arithmetic is two rounded
+    divisions. (The fixture's synthetic uniform-ish totals deviate from
+    Benford, which is exactly what the audit should report.)
+
+    Scale: one map-side-combined 9-bucket histogram over the scan + a
+    1-row total broadcast. Nothing else."""
+    cents = F.col("o_totalprice").cast("decimal(18,4)") * 100
+    d = (
+        t(spark, sf_dir, "orders")
+        .select(cents.alias("cents"))
+        .filter(F.col("cents") >= 1)
+        .select(
+            F.substring(
+                F.col("cents").cast("long").cast("string"), 1, 1
+            )
+            .cast("int")
+            .alias("digit")
+        )
+    )
+    h = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = h.agg(F.sum("n").alias("tn"))
+    expected = F.col("digit")
+    benford = None
+    for dig, p in _BENFORD.items():
+        benford = (
+            F.when(expected == dig, F.lit(p))
+            if benford is None
+            else benford.when(expected == dig, F.lit(p))
+        )
+    share = F.col("n").cast("double") / F.col("tn")
+    return h.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        F.round(share, 6).alias("share"),
+        benford.alias("benford_expected"),
+        F.round(share - benford, 6).alias("deviation"),
+    )

@@ -102,6 +102,7 @@ GOLDEN_EXTRA = [
     "q_revenue_concentration",
     "q_funnel_latency",
     "q_running_zscore_flags",
+    "q_benford_digits",
 ]
 
 # Goldens are generated against the canonical smoke fixture; other SF dirs

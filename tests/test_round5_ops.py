@@ -836,3 +836,24 @@ def test_running_zscore_flags_match_sequential_reference(spark):
         assert row["n_scored"] == scored[et], et
         assert row["n_flagged"] == flagged[et], et
     assert sum(flagged.values()) > 0  # the rule actually fires on the fixture
+
+
+def test_benford_digits_exact_recount(spark):
+    """Digit histogram recomputed driver-side from the decimal cents;
+    shares sum to 1, expectations are the Benford constants."""
+    import math
+    from collections import Counter
+
+    rows = {r["digit"]: r for r in REGISTRY["q_benford_digits"].fn(spark, SF_DIR).collect()}
+    vals = (
+        t(spark, SF_DIR, "orders")
+        .select((F.col("o_totalprice").cast("decimal(18,4)") * 100).alias("c"))
+        .filter(F.col("c") >= 1)
+        .collect()
+    )
+    expect = Counter(int(str(int(r["c"]))[0]) for r in vals)
+    assert {d: r["n"] for d, r in rows.items()} == dict(expect)
+    assert abs(sum(r["share"] for r in rows.values()) - 1.0) < 1e-4
+    for d, r in rows.items():
+        assert abs(r["benford_expected"] - math.log10(1 + 1 / d)) < 1e-6
+        assert abs(r["deviation"] - (r["share"] - r["benford_expected"])) < 2e-6
