@@ -449,20 +449,24 @@ def q_stream_stream_join(spark, sf_dir):
     hash: views and clicks are consumed as two readStream sources
     (availableNow), joined by streaming.windows.attribution_join (both
     sides watermarked, explicit event-time bound so join state expires),
-    landed in a memory sink, and rolled up to the top-20 users by
-    attributed (click, view) pairs — which must hash-equal the batch
-    interval-join SQL. Completes the streaming parity suite: windows
-    (r2/r3), dedup + static enrich (r4), stream-stream join (r5).
+    landed append-mode in a parquet FILE sink (inner stream-stream joins
+    emit each match the micro-batch it forms — no watermark flush needed
+    for emission), and rolled up to the top-20 users by attributed
+    (click, view) pairs — which must hash-equal the batch interval-join
+    SQL. Completes the streaming parity suite: windows (r2/r3), dedup +
+    static enrich (r4), stream-stream join (r5).
 
     Scale: state per key is O(events inside the 30-min interval) — the
     watermark bound is what makes the join runnable on an unbounded
-    stream; on a cluster back it with the RocksDB state store. The
-    top-20 rollup bounds the driver materialization (same ≤25-row class
-    as q_stream_dedup)."""
-    import uuid
+    stream; on a cluster back it with the RocksDB state store. The pair
+    stream lands distributed in executor-written parquet (the memory sink
+    this replaces accumulated every pair in driver memory — linear in
+    stream length); only the ≤20-row rollup ever reaches the driver."""
+    import tempfile
 
     from personal_data_lakehouse_spark.streaming.windows import (
         attribution_join,
+        drain_stream_to_parquet,
         stream_events,
     )
 
@@ -473,23 +477,10 @@ def q_stream_stream_join(spark, sf_dir):
         F.col("event_type") == "click"
     )
     joined = attribution_join(views, clicks, "30 minutes", "30 minutes")
-    name = f"ssjoin_{uuid.uuid4().hex[:8]}"
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            joined.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    out = (
-        spark.table(name)
-        .groupBy("user_id")
+    work = tempfile.mkdtemp(prefix="pdl_ssjoin_")
+    pairs = drain_stream_to_parquet(joined, work)
+    return (
+        pairs.groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
             F.count_distinct("click_id").alias("n_clicks"),
@@ -497,17 +488,36 @@ def q_stream_stream_join(spark, sf_dir):
         .orderBy(F.desc("n_pairs"), "user_id")
         .limit(20)
     )
-    # Materialize the ≤20-row rollup and DROP the memory-sink view (same
-    # leak-avoidance contract as q_stream_dedup: uuid temp tables holding
-    # the full pair stream must not accumulate across invocations).
-    rows = out.collect()
-    schema = out.schema
-    spark.catalog.dropTempView(name)
-    return spark.createDataFrame(rows, schema)
 
 
 # ---------------------------------------------------------------------------
 # Triangle counting over the near-dup graph (oriented 3-way join)
+
+
+# Default-on out-degree cap for oriented triangle counting: a node keeps at
+# most this many out-neighbors (md5-hash-sampled, so the kept set is an
+# unbiased deterministic sample rather than the id-smallest neighbors). The
+# oriented join's fan-out per node is then ≤ CAP², whatever the graph — the
+# guard the Σd_out² bound needs against viral hubs (sf0.1 already reaches
+# out-degree 797; one 10⁵-degree template hub at 100 TB would otherwise put
+# 10¹⁰ rows on a single join key). Documented in SCALE.md.
+_TRI_OUT_DEGREE_CAP = 256
+
+
+def cap_out_degree(edges, cap: int = _TRI_OUT_DEGREE_CAP):
+    """Keep ≤ *cap* out-neighbors per ``id_a``, md5-hash-sampled.
+
+    The per-node window runs over the EDGE list (already candidate-bounded
+    by LSH banding), never corpus rows; the md5 order makes the sample
+    deterministic across engines and insensitive to id assignment."""
+    w = Window.partitionBy("id_a").orderBy(
+        F.md5(F.concat_ws(":", "id_a", "id_b").cast("binary")), "id_b"
+    )
+    return (
+        edges.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= cap)
+        .drop("rn")
+    )
 
 
 @query("m_triangle_count", oracle=None)  # oracle injected below (shares CTE)
@@ -522,10 +532,15 @@ def m_triangle_count(spark, sf_dir):
 
     Scale: with edges oriented low→high, join fan-out is bounded by
     out-degree (Σ d_out(v)²), the standard MapReduce triangle-counting
-    bound; a viral hub's edges all point OUT of lower ids, so cap
-    out-degree (or sample neighbors) for adversarial graphs. Three
-    shuffles of the edge list total; the corpus is touched only to build
-    the sketches."""
+    bound; a viral hub's edges all point OUT of lower ids, so out-degree
+    is CAPPED (default-on, ``cap_out_degree``): each node keeps at most
+    256 md5-sampled out-neighbors, making per-node fan-out ≤ 256²
+    whatever the graph. On dense template families the count becomes a
+    deterministic sample estimate — the same trade every production
+    triangle counter makes on adversarial graphs (and the oracle embeds
+    the identical cap, so the differential stays exact). Three shuffles
+    of the edge list total; the corpus is touched only to build the
+    sketches."""
     from personal_data_lakehouse_spark.dedup.simhash import (
         simhash_neardup_pairs,
     )
@@ -534,13 +549,11 @@ def m_triangle_count(spark, sf_dir):
     # fixtures' dup clusters are dense, and triangle work grows O(E^1.5) —
     # strong edges keep the graph sparse while the triangles they close
     # are exactly the high-confidence template families.
-    edges = (
+    edges = cap_out_degree(
         simhash_neardup_pairs(
             t(spark, sf_dir, "documents"), max_hamming=4
-        )
-        .select("id_a", "id_b")
-        .persist()
-    )
+        ).select("id_a", "id_b")
+    ).persist()
     ab = edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     bc = edges.select(F.col("id_a").alias("b2"), F.col("id_b").alias("c"))
     ac = edges.select(F.col("id_a").alias("a2"), F.col("id_b").alias("c2"))
@@ -574,11 +587,22 @@ def _inject_triangle_oracle() -> None:
           ON a.band = c.band AND a.bandval = c.bandval
          AND a.doc_id < c.doc_id
     ),
-    edges AS (
+    raw_edges AS (
         SELECT id_a, id_b FROM cand
         JOIN sk sa ON sa.doc_id = id_a
         JOIN sk sb ON sb.doc_id = id_b
         WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 4
+    ),
+    edges AS (
+        SELECT id_a, id_b FROM (
+            SELECT id_a, id_b,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY id_a
+                       ORDER BY md5(CAST(id_a AS VARCHAR) || ':'
+                                    || CAST(id_b AS VARCHAR)), id_b
+                   ) AS rn
+            FROM raw_edges
+        ) WHERE rn <= {_TRI_OUT_DEGREE_CAP}
     ),
     tri AS (
         SELECT ab.id_a AS a, ab.id_b AS b, bc.id_b AS c
@@ -1225,33 +1249,48 @@ def q_contribution_capped_agg(spark, sf_dir):
            SUM(CAST(floor(value * 100) AS BIGINT)) AS total_cents
     FROM (SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS b,
                  event_type, value
-          FROM events)
+          FROM events
+          WHERE ts IS NOT NULL)
     GROUP BY 1, 2
     """,
 )
 def q_stream_tumbling_agg(spark, sf_dir):
     """Real STREAMING tumbling aggregation proven batch-equal: the events
     fixture is consumed via readStream (availableNow), aggregated per
-    (1-hour event-time window, event_type) with a 30-minute watermark,
-    and emitted in COMPLETE mode to a memory sink — which must hash-equal
-    the batch GROUP BY. Amounts sum as integer cents so the reduce is
-    exact in any partition AND micro-batch order (a double sum would be
-    arrival-order dependent — the reason tumbling_counts' float column is
-    excluded here).
+    (1-hour event-time window, event_type) with a 30-minute watermark, and
+    emitted in APPEND mode to a parquet FILE sink — which must hash-equal
+    the batch GROUP BY. A far-future sentinel event unioned into the source
+    (watermark_flush_events) pushes the final watermark past every real
+    window so the bounded run finalizes them all; the sentinel's own group
+    is filtered on read-back. Amounts sum as integer cents so the reduce is
+    exact in any partition AND micro-batch order; NULL event times are
+    filtered on BOTH sides (Spark's window agg drops them silently, the
+    oracle would keep a NULL bucket).
 
     Scale: streaming state is one row per open (window, type) group —
-    bounded by time horizon × type cardinality, not event volume; with
-    append mode + a downstream sink table this is the production shape,
-    complete mode is what makes the one-shot parity check total. The
-    materialized rollup is O(windows × types) — 3,600 rows at sf0.1 —
-    independent of |events|."""
-    import uuid
+    bounded by time horizon × type cardinality, not event volume. Append
+    mode emits each window exactly once when it finalizes, so per-batch
+    emission is bounded by the batch's time span × types and the result
+    lands distributed in executor-written parquet — the driver never
+    materializes the rollup (the complete-mode memory sink this replaces
+    re-emitted the FULL aggregate every micro-batch into driver memory,
+    linear in the stream's time span)."""
+    import tempfile
 
-    from personal_data_lakehouse_spark.streaming.windows import stream_events
+    from personal_data_lakehouse_spark.streaming.windows import (
+        SENTINEL_EVENT_TYPE,
+        drain_stream_to_parquet,
+        stream_events,
+        watermark_flush_events,
+    )
 
-    s = stream_events(spark, f"{sf_dir}/events.parquet")
+    work = tempfile.mkdtemp(prefix="pdl_stumb_")
+    s = stream_events(spark, f"{sf_dir}/events.parquet").filter(
+        F.col("ts").isNotNull()
+    )
     agg = (
-        s.withWatermark("ts", "30 minutes")
+        s.unionByName(watermark_flush_events(spark, s, work))
+        .withWatermark("ts", "30 minutes")
         .groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -1266,25 +1305,9 @@ def q_stream_tumbling_agg(spark, sf_dir):
             "total_cents",
         )
     )
-    name = f"stumb_{uuid.uuid4().hex[:8]}"
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    out = spark.table(name)
-    rows = out.collect()
-    schema = out.schema
-    spark.catalog.dropTempView(name)
-    return spark.createDataFrame(rows, schema)
+    return drain_stream_to_parquet(agg, work).filter(
+        F.col("event_type") != SENTINEL_EVENT_TYPE
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1318,53 +1341,52 @@ def q_stream_tumbling_agg(spark, sf_dir):
 def q_stream_session_agg(spark, sf_dir):
     """Real STREAMING session windows proven batch-equal: per-user 30-min
     gap sessions assembled by the streaming engine (readStream →
-    ``session_window`` aggregation, complete mode, availableNow), then
+    ``session_window`` aggregation, APPEND mode, availableNow), then
     histogrammed by session length — which must hash-equal the classic
-    batch lag/gap/cumsum sessionization. The histogram (≤ max-session-len
-    rows) is the hashed surface, so the parity check covers every session
-    boundary decision while the driver materialization stays bounded by
-    session length, not session count.
+    batch lag/gap/cumsum sessionization. Session windows forbid update
+    mode (a merge would invalidate already-emitted rows), so append +
+    sentinel watermark-flush is the one scale-safe total harness: each
+    session is emitted exactly once when the watermark closes it, into a
+    parquet file sink; the histogram rollup runs as a batch query over the
+    sink, so the parity check covers every session boundary decision while
+    the driver materializes nothing.
 
     Scale: streaming session state is per (user, open session) and merges
-    on arrival — the canonical dynamic-gap operator; complete mode is the
-    one-shot parity harness, a production pipeline emits append-mode
-    finalized sessions past the watermark."""
-    import uuid
+    on arrival — the canonical dynamic-gap operator; per-batch emission is
+    bounded by sessions closing in that batch, never session history (the
+    complete-mode memory sink this replaces re-emitted every session ever
+    closed, each micro-batch, into driver memory)."""
+    import tempfile
 
-    from personal_data_lakehouse_spark.streaming.windows import stream_events
+    from personal_data_lakehouse_spark.streaming.windows import (
+        SENTINEL_USER_ID,
+        drain_stream_to_parquet,
+        stream_events,
+        watermark_flush_events,
+    )
 
+    work = tempfile.mkdtemp(prefix="pdl_ssess_")
     s = (
         stream_events(spark, f"{sf_dir}/events.parquet")
         .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
     )
     sess = (
-        s.withWatermark("ts", "30 minutes")
+        s.unionByName(watermark_flush_events(spark, s, work))
+        .withWatermark("ts", "30 minutes")
         .groupBy(F.session_window("ts", "30 minutes"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
-    )
-    name = f"ssess_{uuid.uuid4().hex[:8]}"
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            sess.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            "user_id",
+            "n_events",
         )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    out = (
-        spark.table(name)
-        .groupBy(F.col("n_events").alias("session_len"))
-        .agg(F.count(F.lit(1)).alias("n_sessions"))
     )
-    rows = out.collect()
-    schema = out.schema
-    spark.catalog.dropTempView(name)
-    return spark.createDataFrame(rows, schema)
+    finalized = drain_stream_to_parquet(sess, work).filter(
+        F.col("user_id") != SENTINEL_USER_ID
+    )
+    return finalized.groupBy(
+        F.col("n_events").alias("session_len")
+    ).agg(F.count(F.lit(1)).alias("n_sessions"))
 
 
 # ---------------------------------------------------------------------------
@@ -1382,6 +1404,7 @@ def q_stream_session_agg(spark, sf_dir):
                        time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))
                            - INTERVAL 1 HOUR]) AS b
         FROM events
+        WHERE ts IS NOT NULL
     )
     GROUP BY 1, 2
     """,
@@ -1390,22 +1413,35 @@ def q_stream_sliding_agg(spark, sf_dir):
     """Real STREAMING sliding-window aggregation (2-hour windows sliding
     hourly — every event lands in two windows) proven batch-equal: the
     streaming engine expands each event into its overlapping windows and
-    maintains one state row per open (window, type); complete mode +
-    availableNow makes the one-shot parity total against the batch
-    unnest-into-buckets SQL. With tumbling (q_stream_tumbling_agg) and
-    session (q_stream_session_agg) this closes streaming parity over all
-    three window types the engine ships.
+    maintains one state row per open (window, type); append mode into a
+    parquet file sink, with the sentinel watermark-flush finalizing the
+    trailing windows, makes the one-shot parity total against the batch
+    unnest-into-buckets SQL. NULL event times are filtered on BOTH sides
+    (matching q_stream_tumbling_agg). With tumbling and session windows
+    this closes streaming parity over all three window types the engine
+    ships.
 
     Scale: state rows = open windows × types (two windows per event-time
     hour); the overlap factor (window/slide) multiplies shuffle volume,
-    not state retention — watermark expiry still bounds memory."""
-    import uuid
+    not state retention — watermark expiry still bounds memory, append
+    emission stays bounded per batch, and the driver materializes
+    nothing."""
+    import tempfile
 
-    from personal_data_lakehouse_spark.streaming.windows import stream_events
+    from personal_data_lakehouse_spark.streaming.windows import (
+        SENTINEL_EVENT_TYPE,
+        drain_stream_to_parquet,
+        stream_events,
+        watermark_flush_events,
+    )
 
-    s = stream_events(spark, f"{sf_dir}/events.parquet")
+    work = tempfile.mkdtemp(prefix="pdl_sslide_")
+    s = stream_events(spark, f"{sf_dir}/events.parquet").filter(
+        F.col("ts").isNotNull()
+    )
     agg = (
-        s.withWatermark("ts", "30 minutes")
+        s.unionByName(watermark_flush_events(spark, s, work))
+        .withWatermark("ts", "30 minutes")
         .groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
@@ -1414,25 +1450,9 @@ def q_stream_sliding_agg(spark, sf_dir):
             "n_events",
         )
     )
-    name = f"sslide_{uuid.uuid4().hex[:8]}"
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    out = spark.table(name)
-    rows = out.collect()
-    schema = out.schema
-    spark.catalog.dropTempView(name)
-    return spark.createDataFrame(rows, schema)
+    return drain_stream_to_parquet(agg, work).filter(
+        F.col("event_type") != SENTINEL_EVENT_TYPE
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -152,6 +152,94 @@ def attribution_join(
     ).select("user_id", "click_id", "click_ts", "view_id", "view_ts")
 
 
+SENTINEL_EVENT_TYPE = "__sentinel__"
+SENTINEL_USER_ID = -1
+_SENTINEL_TS = "2100-01-01 00:00:00"
+
+
+def watermark_flush_events(
+    spark: SparkSession, like: DataFrame, work_dir: str
+) -> DataFrame:
+    """One-row far-future events stream that flushes append-mode output.
+
+    Append mode only emits a window once the watermark passes its end, and
+    a bounded availableNow run's watermark stops at (max real event time −
+    delay) — so the trailing windows would stay in state forever. Unioning
+    in a single sentinel event dated 2100 pushes the final watermark past
+    every real window, and the no-data micro-batch Spark runs before an
+    availableNow query stops emits them all. This is the bounded-run
+    equivalent of a production stream simply continuing to receive data;
+    the sentinel is keyed ``user_id = -1`` / ``event_type = '__sentinel__'``
+    so downstream consumers filter it by either column.
+
+    The sentinel must survive every pre-watermark filter (watermarks are
+    computed from the values the watermark node actually sees), hence
+    non-NULL values in every column the real pipelines filter on.
+    """
+    import datetime
+    import os
+
+    schema = like.schema
+    vals = {
+        "event_id": -1,
+        "ts": datetime.datetime(2100, 1, 1),
+        "user_id": SENTINEL_USER_ID,
+        "event_type": SENTINEL_EVENT_TYPE,
+        "value": 0.0,
+    }
+    row = tuple(vals.get(f.name) for f in schema.fields)
+    path = os.path.join(work_dir, "sentinel")
+    spark.createDataFrame([row], schema=schema).write.parquet(path)
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def drain_stream_to_parquet(
+    stream_df: DataFrame, work_dir: str, shuffle_partitions: int | None = 8
+) -> DataFrame:
+    """Run an availableNow APPEND-mode query into a parquet file sink and
+    return a batch DataFrame over the sink directory.
+
+    The scale-honest parity harness: each micro-batch appends only the rows
+    finalized in that batch (bounded by the batch's time span × key
+    cardinality, never the stream's full history), the result lands
+    distributed in executor-written files, and the driver materializes
+    nothing — unlike a complete-mode memory sink, which re-emits the entire
+    aggregate every batch and holds it in driver memory. The checkpoint dir
+    is deleted after termination; the sink dir must outlive this call (the
+    returned DataFrame reads it lazily), so callers should place
+    ``work_dir`` under the OS tempdir.
+
+    ``shuffle_partitions`` is pinned for the run because AQE is disabled in
+    stateful streaming — 32 default partitions over a few thousand state
+    rows is pure scheduling overhead at test scale.
+    """
+    import os
+    import shutil
+
+    spark = stream_df.sparkSession
+    out_dir = os.path.join(work_dir, "out")
+    ckpt = os.path.join(work_dir, "ckpt")
+    schema = stream_df.schema
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.read.schema(schema).parquet(out_dir)
+
+
 def merge_sink(
     stream: DataFrame, table: str, keys: Sequence[str], checkpoint: str
 ):

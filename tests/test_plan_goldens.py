@@ -68,9 +68,10 @@ GOLDEN_EXTRA = [
     "q_table_checksum",
     "q_decile_histogram",
     "s_label_outliers",
-    # round-5 operators (q_stream_stream_join excluded: memory-sink return,
-    # degenerate LocalTableScan batch plan — covered by the batch-equality
-    # test in tests/test_round5_ops.py instead)
+    # round-5 operators (q_stream_stream_join excluded: its returned plan
+    # scans a per-invocation temp-dir file sink, so the golden would embed
+    # a uuid path — covered by the batch-equality test in
+    # tests/test_round5_ops.py instead)
     "q_rolling_quantile",
     "t_minhash_containment",
     "t_quality_logit",

@@ -857,3 +857,37 @@ def test_benford_digits_exact_recount(spark):
     for d, r in rows.items():
         assert abs(r["benford_expected"] - math.log10(1 + 1 / d)) < 1e-6
         assert abs(r["deviation"] - (r["share"] - r["benford_expected"])) < 2e-6
+
+
+def test_triangle_out_degree_cap_bounds_hub_fanout(spark):
+    """The default-on out-degree cap must bound per-node fan-out on an
+    adversarial hub graph: a star whose center points OUT at 3x the cap
+    keeps exactly CAP md5-sampled neighbors, deterministically, while
+    nodes under the cap keep every edge."""
+    from personal_data_lakehouse_spark.plans.round5_ops import (
+        _TRI_OUT_DEGREE_CAP,
+        cap_out_degree,
+    )
+
+    cap = _TRI_OUT_DEGREE_CAP
+    star = [(0, j) for j in range(1, 3 * cap + 1)]  # viral hub
+    small = [(1000, 1000 + j) for j in range(1, 6)]  # well-behaved node
+    edges = spark.createDataFrame(star + small, "id_a long, id_b long")
+    capped = cap_out_degree(edges)
+    deg = {
+        r["id_a"]: r["d"]
+        for r in capped.groupBy("id_a")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .collect()
+    }
+    assert deg[0] == cap  # hub clamped exactly at the cap
+    assert deg[1000] == 5  # sub-cap nodes untouched
+    # deterministic: the same sample survives a recompute
+    kept1 = sorted(r["id_b"] for r in capped.filter(F.col("id_a") == 0).collect())
+    kept2 = sorted(
+        r["id_b"]
+        for r in cap_out_degree(edges).filter(F.col("id_a") == 0).collect()
+    )
+    assert kept1 == kept2
+    # hash-sampled, not id-smallest: the kept set must not be 1..cap
+    assert kept1 != list(range(1, cap + 1))
