@@ -421,6 +421,217 @@ def t_crossdoc_spans(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Full exact-substring dedup: anchors -> maximal shared spans -> per-doc
+# removable mass (completes t_crossdoc_spans' candidate generation into the
+# Lee-et-al dedup decision)
+
+# Consecutive selected anchors within one verbatim span merge when their
+# doc-A positions are at most this far apart. Content-defined selection
+# picks ~1/16 of positions, so the gap between consecutive anchors inside a
+# continuous shared span exceeds 256 with probability (15/16)^(256-63) ≈
+# 4e-6 — a span effectively never splits; unrelated same-offset matches
+# farther apart than this stay separate spans.
+_SPAN_MERGE_GAP = 256
+# Viral-gram guard (boilerplate): a gram occurring more than this many
+# times corpus-wide is dropped before pairing — a gram shared by d
+# positions emits up to d² anchor rows, so this caps the hottest join key
+# at 64² = 4,096 rows whatever the corpus.
+_GRAM_OCC_CAP = 64
+
+
+@query(
+    "t_substring_dedup",
+    oracle=f"""
+    WITH g AS (
+        SELECT doc_id, 1 + k AS p, md5(substr(text, 1 + k, {_GRAM_LEN})) AS gh
+        FROM documents, range(0, {_MAX_GRAM_POS}) r(k)
+        WHERE length(text) >= {_GRAM_LEN}
+          AND 1 + k <= length(text) - {_GRAM_LEN} + 1
+          AND substr(md5(substr(text, 1 + k, {_GRAM_LEN})), 1, 1) = '0'
+        QUALIFY COUNT(*) OVER (PARTITION BY gh) <= {_GRAM_OCC_CAP}
+    ),
+    anchors AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.p AS pa, b.p AS pb,
+               b.p - a.p AS diff
+        FROM g a JOIN g b ON a.gh = b.gh AND a.doc_id < b.doc_id
+    ),
+    runs AS (
+        SELECT id_b, pb,
+               SUM(CASE WHEN prev IS NULL OR pa - prev > {_SPAN_MERGE_GAP}
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY id_a, id_b, diff ORDER BY pa
+                         ROWS UNBOUNDED PRECEDING) AS run,
+               id_a, diff
+        FROM (SELECT *, LAG(pa) OVER (PARTITION BY id_a, id_b, diff
+                                      ORDER BY pa) AS prev
+              FROM anchors)
+    ),
+    spans AS (
+        SELECT id_b AS doc_id, MIN(pb) AS s, MAX(pb) + {_GRAM_LEN - 1} AS e
+        FROM runs GROUP BY id_a, id_b, diff, run
+    ),
+    iv AS (SELECT DISTINCT doc_id, s, e FROM spans),
+    u AS (
+        SELECT doc_id, s, e,
+               SUM(CASE WHEN rmax IS NULL OR s > rmax + 1 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY s, e DESC
+                         ROWS UNBOUNDED PRECEDING) AS grp
+        FROM (SELECT doc_id, s, e,
+                     MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e DESC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING) AS rmax
+              FROM iv)
+    ),
+    merged AS (
+        SELECT doc_id, grp, MIN(s) AS lo, MAX(e) AS hi FROM u GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT doc_id, COUNT(*) AS n_spans,
+               SUM(hi - lo + 1) AS removable_chars
+        FROM merged GROUP BY 1
+    )
+    SELECT a.doc_id, n_spans, removable_chars,
+           length(d.text) AS n_chars,
+           1000 * removable_chars // length(d.text) AS removable_permille
+    FROM agg a JOIN documents d ON a.doc_id = d.doc_id
+    """,
+)
+def t_substring_dedup(spark, sf_dir):
+    """Full EXACT-SUBSTRING dedup decision (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): the content-defined
+    64-gram anchors of t_crossdoc_spans, kept WITH positions, are merged
+    into maximal shared spans and reduced to the per-document mass of
+    verbatim text removable as a duplicate of an EARLIER document.
+    Dataflow: (1) sample ~1/16 of gram positions content-defined (md5
+    bucket — selection travels with the text, so a span shared at
+    different offsets selects the same grams); (2) drop viral grams
+    (> 64 occurrences — the boilerplate hot-key guard);
+    (3) self-join on gram hash into anchors (id_a < id_b); (4) anchors
+    with the same (pair, offset-delta) whose positions are ≤
+    256 apart merge into one span — two documents sharing a
+    verbatim region agree on the delta for every anchor inside it;
+    (5) spans land as intervals on the LATER doc (first occurrence
+    survives), are interval-unioned per doc (classic running-max sweep),
+    and summed into removable_chars / removable_permille.
+
+    Span extents are anchor-bounded (the true shared span extends up to
+    ~16 chars past the sampled anchors on each side), so the mass is a
+    slight underestimate — the price of never shuffling text, only
+    16-byte hashes and integer positions.
+
+    Scale: the map stage hashes every position (winnowing's envelope);
+    1/16 of gram rows shuffle once on gh (anchor join, hot keys capped at
+    64² rows), once on (pair, delta) for run-merging, and
+    the interval union windows run over span rows (candidate-bounded,
+    thousands per billion docs), never corpus rows. No text ever leaves
+    the scan stage."""
+    docs = t(spark, sf_dir, "documents")
+    eligible = docs.filter(F.length("text") >= _GRAM_LEN)
+    grams = (
+        eligible.select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.length("text") - F.lit(_GRAM_LEN - 1)
+                )
+            ).alias("p"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            "p",
+            F.md5(
+                F.expr(f"substring(text, p, {_GRAM_LEN})").cast("binary")
+            ).alias("gh"),
+        )
+        .filter(F.substring("gh", 1, 1) == "0")
+        .withColumn(
+            "occ", F.count(F.lit(1)).over(Window.partitionBy("gh"))
+        )
+        .filter(F.col("occ") <= _GRAM_OCC_CAP)
+        .drop("occ")
+        # persisted gram index: the anchor self-join reads it twice; the
+        # hash-every-position stage runs once (written intermediate at
+        # cluster scale).
+        .persist()
+    )
+    a = grams.select(
+        F.col("doc_id").alias("id_a"), F.col("p").alias("pa"), "gh"
+    )
+    b = grams.select(
+        F.col("doc_id").alias("id_b"), F.col("p").alias("pb"), "gh"
+    )
+    anchors = (
+        a.join(b, "gh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", "pa", "pb",
+            (F.col("pb") - F.col("pa")).alias("diff"),
+        )
+    )
+    wd = Window.partitionBy("id_a", "id_b", "diff").orderBy("pa")
+    runs = (
+        anchors.withColumn("prev", F.lag("pa").over(wd))
+        .withColumn(
+            "brk",
+            F.when(
+                F.col("prev").isNull()
+                | (F.col("pa") - F.col("prev") > _SPAN_MERGE_GAP),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "run",
+            F.sum("brk").over(
+                wd.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    spans = runs.groupBy("id_a", "id_b", "diff", "run").agg(
+        F.min("pb").alias("s"),
+        (F.max("pb") + F.lit(_GRAM_LEN - 1)).alias("e"),
+    )
+    iv = spans.select(F.col("id_b").alias("doc_id"), "s", "e").distinct()
+    wu = Window.partitionBy("doc_id").orderBy("s", F.desc("e"))
+    u = (
+        iv.withColumn(
+            "rmax",
+            F.max("e").over(wu.rowsBetween(Window.unboundedPreceding, -1)),
+        )
+        .withColumn(
+            "brk",
+            F.when(
+                F.col("rmax").isNull() | (F.col("s") > F.col("rmax") + 1),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "grp",
+            F.sum("brk").over(
+                wu.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    merged = u.groupBy("doc_id", "grp").agg(
+        F.min("s").alias("lo"), F.max("e").alias("hi")
+    )
+    agg = merged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("hi") - F.col("lo") + 1).alias("removable_chars"),
+    )
+    return (
+        agg.join(
+            docs.select("doc_id", F.length("text").alias("n_chars")),
+            "doc_id",
+        )
+        .withColumn(
+            "removable_permille",
+            F.expr("1000 * removable_chars div n_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Stream-stream interval join, batch-parity-proven under the oracle
 
 

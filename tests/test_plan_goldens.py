@@ -77,6 +77,9 @@ GOLDEN_EXTRA = [
     "t_quality_logit",
     "s_knn_graph",
     "t_crossdoc_spans",
+    # round-6: full exact-substring dedup (anchors -> spans -> interval
+    # union); the windows must run over anchor/span rows only
+    "t_substring_dedup",
     # oriented 3-way self-join over the persisted near-dup edge list
     # (t_tokenizer_fertility excluded: its plan embeds the merges learned
     # by the driver-coordinated BPE trainer at build time — covered by

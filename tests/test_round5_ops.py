@@ -891,3 +891,96 @@ def test_triangle_out_degree_cap_bounds_hub_fanout(spark):
     assert kept1 == kept2
     # hash-sampled, not id-smallest: the kept set must not be 1..cap
     assert kept1 != list(range(1, cap + 1))
+
+
+def test_substring_dedup_recovers_planted_span(spark, tmp_path):
+    """Plant one verbatim 200-char span into two otherwise-disjoint
+    documents at DIFFERENT offsets and check the operator recovers it:
+    exactly one merged span on the later doc, with the anchor-bounded
+    extent recomputed independently in pure Python from the same
+    content-defined selection rule."""
+    import hashlib
+
+    def hexstream(seed, n):
+        out = ""
+        i = 0
+        while len(out) < n:
+            out += hashlib.md5(f"{seed}:{i}".encode()).hexdigest()
+            i += 1
+        return out[:n]
+
+    span = hexstream("span", 200).upper()  # upper: disjoint from hex filler
+    doc_a = hexstream("prefixA", 50) + span + hexstream("suffixA", 150)
+    off_b = 117
+    doc_b = hexstream("prefixB", off_b) + span + hexstream("suffixB", 90)
+    doc_c = hexstream("unrelated", 300)
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [(1, doc_a), (2, doc_b), (3, doc_c)], "doc_id long, text string"
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    # independent expectation: selected anchors are the fully-shared
+    # 64-grams (md5 hex starting '0'); the reported span is anchor-bounded
+    rel = [
+        i
+        for i in range(len(span) - 63)
+        if hashlib.md5(span[i : i + 64].encode()).hexdigest().startswith("0")
+    ]
+    assert rel, "planted span must contain at least one selected gram"
+    # 1-based doc-B coordinates of the merged anchor run
+    s = off_b + rel[0] + 1
+    e = off_b + rel[-1] + 1 + 63
+    expected_removable = e - s + 1
+
+    rows = {
+        r["doc_id"]: r
+        for r in REGISTRY["t_substring_dedup"].fn(spark, sf).collect()
+    }
+    assert set(rows) == {2}  # only the LATER doc carries removable mass
+    assert rows[2]["n_spans"] == 1
+    assert rows[2]["removable_chars"] == expected_removable
+    assert rows[2]["n_chars"] == len(doc_b)
+    assert rows[2]["removable_permille"] == 1000 * expected_removable // len(doc_b)
+
+
+def test_substring_dedup_interval_union_no_double_count(spark, tmp_path):
+    """A doc duplicating a span present in TWO earlier docs gets the span
+    counted once: the per-doc interval union collapses the identical
+    intervals contributed by both partners."""
+    import hashlib
+
+    def hexstream(seed, n):
+        out = ""
+        i = 0
+        while len(out) < n:
+            out += hashlib.md5(f"{seed}:{i}".encode()).hexdigest()
+            i += 1
+        return out[:n]
+
+    span = hexstream("shared", 180).upper()
+    docs = [
+        (1, hexstream("pA", 40) + span + hexstream("sA", 60)),
+        (2, hexstream("pB", 90) + span + hexstream("sB", 30)),
+        (3, hexstream("pC", 10) + span + hexstream("sC", 110)),
+    ]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    rel = [
+        i
+        for i in range(len(span) - 63)
+        if hashlib.md5(span[i : i + 64].encode()).hexdigest().startswith("0")
+    ]
+    assert rel
+    one_span_mass = (rel[-1] + 63) - rel[0] + 1
+    rows = {
+        r["doc_id"]: r
+        for r in REGISTRY["t_substring_dedup"].fn(spark, sf).collect()
+    }
+    # docs 2 and 3 carry mass (each has an earlier copy); doc 1 none
+    assert set(rows) == {2, 3}
+    # doc 3 pairs with BOTH 1 and 2, same region: union counts it once
+    assert rows[3]["n_spans"] == 1
+    assert rows[3]["removable_chars"] == one_span_mass
+    assert rows[2]["removable_chars"] == one_span_mass
