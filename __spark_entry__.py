@@ -59,92 +59,41 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # The correctness gate evaluates queries in dict order and caps at the FIRST
 # 50. Verified rows from earlier rounds stay credited, so the window ROTATES
 # each round to maximize cumulative driver-verified coverage.
-# Round 5's window (per VERDICT r4 item 1): r4 came back 50/50 clean, so
-#   (a) queries NEW this round + s_label_outliers (the one query that had
-#       never seen a driver row — added after the r4 window froze);
-#   (b) the 21 queries whose ONLY green row is round-1 (3 rounds without
-#       re-proof — the oldest evidence in the ledger);
-#   (c) refill: the r2-latest-green bench headliners, then the oldest
-#       r2-era TPC-H shapes.
-# After this window, no query's newest green row is older than round 2
-# (sole exception: t_token_count, squeezed below the cap by the late
-# wave-10 additions — first re-proof priority for r6), and every
-# bench-headline query holds a round-5 row. t_pmi_collocations,
-# q_revenue_concentration, q_funnel_latency, q_running_zscore_flags, and
-# q_benford_digits landed after the window filled (driver_sim green
-# ×3 SFs each; not in _PRIORITY) — give them r6 slots alongside
-# t_token_count.
-# Round-6 rotation guidance: point the window at (a) any r5 reds, (b)
-# queries new in r6, (c) t_token_count FIRST among re-proofs — it is the one
-# r1-era query the wave-10 additions squeezed below the cap, so its only
-# green row is still round 1 — then the r2-latest bench headliners also
-# squeezed below (q01_pricing_summary, q03_shipping_priority,
-# q05_region_revenue, q06_revenue_forecast, q07_nation_volume, q_window_topk,
-# q_grouping_sets, q_tumbling_window), then the remaining
-# r2-latest rows (the r2 set below
-# the cap here: q_cdc_apply, q_gap_fill_calendar, q_lateral_topn,
-# q_median_exact, q_pivot, q_range_join, q_recursive_hierarchy,
-# q_scd2_intervals, q_session_window, q_snapshot_diff, q_zscore_outliers,
-# t_contamination, t_dedup_exact, t_ngram_jaccard_blocked, t_quality_filter,
-# t_simhash_neardup, m_kmeans_centroids, q15/16/17/18/19/20/21/22, ...),
-# then r3-latest rows.
+# Round 6's window (per VERDICT r5 items 1/3/4/6):
+#   (a) queries whose CODE changed this round — the four streaming-parity
+#       queries (complete-mode memory sinks -> append-mode file sinks with
+#       sentinel watermark flush) and m_triangle_count (default-on
+#       out-degree cap, oracle updated to match) — their r5 rows no longer
+#       describe the shipped plans; plus t_substring_dedup, new in r6;
+#   (b) the five wave-10 queries that have NEVER seen a driver row (added
+#       after the r5 window froze);
+#   (c) t_token_count — the one query whose only green row is round 1;
+#   (d) refill: every remaining slot goes to r2-latest rows, bench
+#       headliners first, then the r2-era relational/dedup shapes, then
+#       the oldest TPC-H shapes.
+# After this window the ledger should hold: 0 never-evaluated queries, no
+# row older than r2 except the 10 TPC-H shapes squeezed below the cap
+# (q13_custdist, q14_promo_share, q15_top_supplier, q16_supplier_cnt,
+# q17_small_qty_revenue, q18_large_orders, q19_disjunctive_revenue,
+# q20_excess_share_suppliers, q21_sole_return_supplier, q22_idle_customers)
+# — FIRST re-proof priority for r7, followed by the r3-latest rows.
 _PRIORITY = [
-    # (a) round-5 additions (plans/round5_ops.py) + the post-freeze r4 query
-    "s_label_outliers",
-    "q_rolling_quantile",
-    "t_minhash_containment",
-    "t_quality_logit",
-    "s_knn_graph",
-    "t_crossdoc_spans",
-    "q_stream_stream_join",
-    "m_triangle_count",
-    "t_tokenizer_fertility",  # rows-only by design (BPE chain; pytest-pinned)
-    "t_mix_upsample",
-    "m_copurchase_pairs",
-    "s_silhouette_labels",
-    "s_ann_recall_eval",
-    "t_minhash_estimate_error",
-    "s_knn_incremental",
-    "q_contribution_capped_agg",
+    # (a) code changed in r6 (+ the r6 addition) — must re-prove
+    "t_substring_dedup",
     "q_stream_tumbling_agg",
     "q_stream_session_agg",
     "q_stream_sliding_agg",
-    "t_dedup_survivorship",
-    "t_neardup_source_matrix",
-    "q_anomaly_mad",
-    "q_autocorrelation",
-    "q_drift_chisq",
-    "q_first_touch_attribution",
-    "t_sample_importance",
-    "t_mix_waterfill",
-    "q_rolling_active_users",
-    "t_dedup_cluster_stats",
-    "t_ngram_novelty",
-    # (b) only green row is round 1 — longest without re-proof
-    "q_anti_join",
-    "q_approx_distinct",
-    "q_approx_percentile",
-    "q_case_null_handling",
-    "q_date_functions",
-    "q_distinct",
-    "q_distinct_counts",
-    "q_exists_subquery",
-    "q_set_ops",
-    "q_sliding_window",
-    "q_sort_limit",
-    "q_stats_moments",
-    "q_string_functions",
-    "q_timezone_convert",
-    "s_srp_ann_topk",
-    "t_fingerprint",
-    "t_lang_id",
-    "t_minhash_signatures",
-    "t_simhash",
-    "t_text_stats",
-    # ---- 50-query window cap falls here; the rest re-verify only if the
-    # driver evaluates more than 50 ----
+    "q_stream_stream_join",
+    "m_triangle_count",
+    # (b) never driver-evaluated (post-r5-freeze wave-10)
+    "q_benford_digits",
+    "q_funnel_latency",
+    "q_revenue_concentration",
+    "q_running_zscore_flags",
+    "t_pmi_collocations",
+    # (c) only green row is round 1
     "t_token_count",
-    # (c) refill: bench headliners whose latest green row is round 2
+    # (d) refill: bench headliners whose latest green row is round 2
     "q01_pricing_summary",
     "q03_shipping_priority",
     "q05_region_revenue",
@@ -159,13 +108,34 @@ _PRIORITY = [
     "t_embed_neardup",
     "s_cosine_topk",
     "s_ivf_ann_topk",
-    # (c) refill: oldest r2-era TPC-H shapes
+    # (d) refill: r2-era relational/dedup/udf shapes
+    "q_cdc_apply",
+    "q_gap_fill_calendar",
+    "q_lateral_topn",
+    "q_median_exact",
+    "q_pivot",
+    "q_range_join",
+    "q_recursive_hierarchy",
+    "q_scd2_intervals",
+    "q_session_window",
+    "q_snapshot_diff",
+    "q_zscore_outliers",
+    "t_contamination",
+    "t_dedup_exact",
+    "t_ngram_jaccard_blocked",
+    "t_quality_filter",
+    "t_simhash_neardup",
+    "m_kmeans_centroids",
+    "q_applyinpandas_rank",
+    # (d) refill: oldest r2-era TPC-H shapes
     "q02_min_cost_supplier",
     "q04_order_priority",
     "q08_market_share",
     "q09_product_profit",
     "q10_returned_revenue",
     "q11_important_stock",
+    # ---- 50-query window cap falls here; the rest re-verify only if the
+    # driver evaluates more than 50 ----
     "q13_custdist",
     "q14_promo_share",
     "q15_top_supplier",
@@ -176,9 +146,6 @@ _PRIORITY = [
     "q20_excess_share_suppliers",
     "q21_sole_return_supplier",
     "q22_idle_customers",
-    "m_kmeans_centroids",
-    "t_sample_token_budget",
-    "s_label_centroids",
 ]
 
 
