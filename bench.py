@@ -6,13 +6,35 @@ JSON line {"metric": ..., "value": total_sec, "unit": "sec", "queries":
 Each query is forced through the noop sink (full computation of every output
 column, no driver-side collection) — the honest way to time a Spark plan.
 
-Timing protocol: each query executes once cold (recorded under
-"cold_queries" — pays Catalyst analysis + whole-stage-codegen compilation,
-~1-3 s per plan, a fixed cost that amortizes to nothing over a 100 TB
-input), then THREE warm runs; "queries" records the per-query MEDIAN
-(summed into "value") so a single host-contention spike (this VM swings up
-to 4×/query) can't masquerade as a plan regression. "warm_runs" keeps the
-raw triples for spread inspection.
+Timing protocol: each query executes once cold, split into plan-build
+(DataFrame construction — Catalyst analysis plus any O(K) driver-side
+setup a query performs) and first execution (recorded under "cold_plan" /
+"cold_exec"; their sum is "cold_queries" — a fixed cost that amortizes to
+nothing over a 100 TB input), then THREE warm runs; "queries" records the
+per-query MEDIAN (summed into "value") so a single host-contention spike
+(this VM swings up to 4x/query) can't masquerade as a plan regression.
+"warm_runs" keeps the raw samples for spread inspection.
+
+Contention protocol (round 6 — two rounds of officially-unusable numbers
+demanded a harness answer, not a hope for a quiet box):
+- A fixed CANARY plan (8-partition range-sum, cost independent of every
+  headline query) is timed three times before the sweep and once after
+  each query. Host contention inflates the canary exactly as it inflates
+  the queries, so canary p90/median is a machine-readable quietness
+  certificate (p90, not max: contention is SUSTAINED inflation — one
+  100ms scheduling hiccup must not flip the bit).
+- Any query whose warm triple spreads >1.5x max/min is automatically
+  re-run up to two more times (median over all samples).
+- If the whole sweep still certifies noisy (canary_spread > 2.0), the
+  WARM sweep is repeated up to two more times and the sweep with the
+  smallest canary spread becomes the official record — a transient noisy
+  phase cannot set the round's number. Cold metrics always come from the
+  first sweep (later sweeps run on a warm JVM).
+The cache is cleared between queries so one query's persisted
+intermediates never occupy memory during another's timing (and a
+long-lived bench driver doesn't accumulate cached blocks — the registry
+contract expects the harness to clearCache between queries, as
+tools/gen_plan_goldens.py does).
 """
 
 from __future__ import annotations
@@ -29,7 +51,13 @@ from personal_data_lakehouse_spark.session import get_spark
 # Headline set: one per operator family — agg pipeline, star join, top-k
 # join, selective scan, row-level cleaning, window, event-time bucketing,
 # plus the extension ops (text/dedup/similarity) as they land.
-HEADLINE = [
+# R1_BASELINE is the FROZEN 17-query set the 16.848s round-1 baseline was
+# measured on (BASELINE.md convention); "baseline17" sums exactly these.
+# Later rounds only ever append to HEADLINE, but the explicit name list —
+# not a positional slice — is what keeps the subtotal apples-to-apples
+# (the old `HEADLINE[:17]` slice plus a prose comment drifted: r5 added
+# six queries, the comment said two).
+R1_BASELINE = [
     "q01_pricing_summary",
     "q02_monthly_rollup",
     "q03_shipping_priority",
@@ -47,6 +75,8 @@ HEADLINE = [
     "t_embed_neardup",
     "s_cosine_topk",
     "s_ivf_ann_topk",
+]
+HEADLINE = R1_BASELINE + [
     # round-5 additions (VERDICT r4 item 6): the two most architecturally
     # novel wave-2 plans — iterative Pregel-as-joins and the incremental
     # band-index probe — enter the regression floor here.
@@ -61,7 +91,89 @@ HEADLINE = [
     # with no timing history
     "q_anomaly_mad",
     "q_rolling_active_users",
+    # round-6 addition: full exact-substring dedup (anchors -> maximal
+    # spans -> per-doc interval union) — the round's new plan shape
+    "t_substring_dedup",
 ]
+
+# A warm triple spreading beyond this max/min ratio triggers automatic
+# re-measurement (up to MAX_EXTRA extra runs; median over all samples).
+SPREAD_RETRY = 1.5
+MAX_EXTRA = 2
+# Whole-sweep retry: repeat the warm sweep while the canary certifies the
+# host noisy, up to this many total sweeps; keep the quietest.
+MAX_SWEEPS = 3
+QUIET_SPREAD = 2.0
+
+
+def canary(spark) -> float:
+    """Fixed-cost probe plan: 8-partition range sum, no shuffle, no scan.
+
+    Its runtime depends only on host/JVM conditions, never on headline
+    code, so its spread across the sweep is a machine-readable
+    contention certificate."""
+    t0 = time.perf_counter()
+    (
+        spark.range(0, 1 << 26, 1, 8)
+        .selectExpr("sum(id * 3 + 1) AS s")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    return round(time.perf_counter() - t0, 3)
+
+
+def warm_sweep(spark, qs, names, sf_dir, cold_out=None):
+    """One full pass over *names*: optional cold measurement (first sweep
+    only), three-or-more warm runs per query, canary probes throughout.
+    Returns a dict of per-sweep results."""
+    canary_runs: dict[str, float] = {}
+    for i in range(3):
+        canary_runs[f"pre{i}"] = canary(spark)
+    timings: dict[str, float] = {}
+    warm_runs: dict[str, list[float]] = {}
+    retried: list[str] = []
+    for name in names:
+        if cold_out is not None:
+            t0 = time.perf_counter()
+            df = qs[name](spark, sf_dir)
+            plan_s = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            exec_s = round(time.perf_counter() - t0, 3)
+            cold_out["cold_plan"][name] = plan_s
+            cold_out["cold_exec"][name] = exec_s
+            cold_out["cold_queries"][name] = round(plan_s + exec_s, 3)
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(round(time.perf_counter() - t0, 3))
+        extra = 0
+        while max(runs) / max(min(runs), 1e-9) > SPREAD_RETRY and extra < MAX_EXTRA:
+            if name not in retried:
+                retried.append(name)
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(round(time.perf_counter() - t0, 3))
+            extra += 1
+        warm_runs[name] = runs
+        timings[name] = sorted(runs)[len(runs) // 2]
+        canary_runs[name] = canary(spark)
+        # no cached-block carryover between queries (registry contract)
+        spark.catalog.clearCache()
+    c_vals = sorted(canary_runs.values())
+    c_med = c_vals[len(c_vals) // 2]
+    c_p90 = c_vals[min(int(len(c_vals) * 0.9), len(c_vals) - 1)]
+    spread = round(c_p90 / max(c_med, 1e-9), 2)
+    return {
+        "timings": timings,
+        "warm_runs": warm_runs,
+        "retried": retried,
+        "canary_runs": canary_runs,
+        "canary_spread": spread,
+        "quiet": spread <= QUIET_SPREAD,
+    }
 
 
 def main() -> None:
@@ -69,61 +181,84 @@ def main() -> None:
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark(app_name="pdl-bench")
 
+    # VERDICT r5 item 5: attribute how much fixed cost the 200+-query
+    # registry import itself carries (18 plan modules, oracle binding).
+    t0 = time.perf_counter()
     import __spark_entry__ as entry_mod
 
     qs = entry_mod.queries()
+    import_sec = round(time.perf_counter() - t0, 3)
+
     names = [n for n in HEADLINE if n in qs]
 
-    # JVM/codegen warmup on a trivial plan so q1 isn't charged for startup.
+    # JVM/codegen warmup on a trivial plan so q1 isn't charged for startup;
+    # two throwaway canary runs absorb the probe's own codegen compile.
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    canary(spark)
+    canary(spark)
 
-    timings: dict[str, float] = {}
-    cold: dict[str, float] = {}
-    warm_runs: dict[str, list[float]] = {}
-    for name in names:
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        cold[name] = round(time.perf_counter() - t0, 3)
-        runs = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs.append(round(time.perf_counter() - t0, 3))
-        warm_runs[name] = runs
-        timings[name] = sorted(runs)[1]
+    cold_out = {"cold_plan": {}, "cold_exec": {}, "cold_queries": {}}
+    sweeps = [warm_sweep(spark, qs, names, sf_dir, cold_out=cold_out)]
+    while not sweeps[-1]["quiet"] and len(sweeps) < MAX_SWEEPS:
+        sweeps.append(warm_sweep(spark, qs, names, sf_dir))
+    best = min(sweeps, key=lambda s: s["canary_spread"])
 
+    timings = best["timings"]
     total = round(sum(timings.values()), 3)
-    # The r1 baseline (16.848s) covers the first 17 headline queries;
-    # r5 added two more to the regression floor. baseline17 is the
-    # apples-to-apples subtotal against BASELINE.md.
-    r1_set = HEADLINE[:17]
-    baseline17 = round(sum(timings[n] for n in r1_set if n in timings), 3)
+    baseline17 = round(sum(timings[n] for n in R1_BASELINE if n in timings), 3)
     headline = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "baseline17": baseline17,
+        "canary_spread": best["canary_spread"],
+        "quiet_box": best["quiet"],
+        "n_sweeps": len(sweeps),
+        # cold attribution (VERDICT r5 item 5): registry import is a
+        # one-time ~0.05s — the r3->r5 cold-total drift is first-execution
+        # cost of a growing headline set (codegen compile + run), which
+        # amortizes to nothing at 100 TB, not per-query plan compilation.
+        "cold_total": round(sum(cold_out["cold_queries"].values()), 3),
+        "cold_plan_total": round(sum(cold_out["cold_plan"].values()), 3),
+        "cold_exec_total": round(sum(cold_out["cold_exec"].values()), 3),
+        "import_sec": import_sec,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "detail": "BENCH_LATEST.json",
     }
     full = dict(
         headline,
-        warm_runs=warm_runs,
-        cold_queries=cold,
-        cold_total=round(sum(cold.values()), 3),
+        warm_runs=best["warm_runs"],
+        cold_queries=cold_out["cold_queries"],
+        cold_plan=cold_out["cold_plan"],
+        cold_exec=cold_out["cold_exec"],
+        cold_plan_total=round(sum(cold_out["cold_plan"].values()), 3),
+        cold_exec_total=round(sum(cold_out["cold_exec"].values()), 3),
+        cold_total=round(sum(cold_out["cold_queries"].values()), 3),
+        import_sec=import_sec,
+        canary_runs=best["canary_runs"],
+        retried=best["retried"],
+        sweep_spreads=[s["canary_spread"] for s in sweeps],
+        sweep_baseline17=[
+            round(sum(s["timings"][n] for n in R1_BASELINE if n in s["timings"]), 3)
+            for s in sweeps
+        ],
         notes=(
-            "warm medians on sub-second queries wobble ±20-50% "
-            "run-to-run under host contention (r3's flagged "
-            "t_minhash_lsh_pairs +53% did not reproduce in r4: "
-            "0.689s, under its r2 time, zero operator change); "
-            "treat single-query deltas <0.5s as noise unless they "
-            "reproduce across rounds. Contention can even make "
-            "warm runs slower than cold with times GROWING across "
-            "reps (observed 5-10x on t_embed_neardup mid-r4, "
-            "cleared to 0.7s in isolation, zero code change) — "
-            "rerun on a quiet box before believing any regression; "
-            "quiet-box r4 reference: 12.1s warm / 23.1s cold"
+            "Contention certificate: canary_spread = p90/median over a "
+            "fixed-cost probe timed before the sweep and after every "
+            "query; quiet_box true means the host stayed within 2x for "
+            "the OFFICIAL sweep. A noisy sweep is re-run up to twice "
+            "(n_sweeps; sweep_spreads/sweep_baseline17 record every "
+            "attempt) and the quietest becomes official — treat any "
+            "per-query regression in a quiet_box=false record as "
+            "contention until it reproduces quietly. Queries in "
+            "'retried' spread >1.5x across their first warm triple and "
+            "were re-run (median over all samples). cold_plan is "
+            "DataFrame construction (Catalyst analysis + any O(K) "
+            "driver-side setup); cold_exec is the first noop-sink "
+            "execution; cold always measured on sweep 1. import_sec is "
+            "the one-time registry import + queries() build. Quiet-box "
+            "r4 reference: 12.1s warm / 23.1s cold (baseline17)."
         ),
     )
     # Truncation-proofing (BENCH_r04.json parsed null because the old
