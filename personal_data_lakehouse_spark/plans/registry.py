@@ -8,6 +8,14 @@ column is aliased identically on both sides, and float-producing
 aggregations are expressed through exact decimal arithmetic (associative →
 bit-identical across engines) with any final float derived by a single
 deterministic scalar operation.
+
+Cache contract: several queries ``persist()`` a small intermediate that the
+RETURNED lazy plan consumes (histogram, gram index, edge list …), so they
+cannot unpersist before the caller materializes the result. A long-lived
+driver that invokes many registry queries in one session is therefore
+expected to ``spark.catalog.clearCache()`` between queries — as bench.py,
+tools/plan_audit.py and tools/gen_plan_goldens.py do — or cached blocks
+accumulate across invocations.
 """
 
 from __future__ import annotations

@@ -138,11 +138,18 @@ def anomaly_flag_stream(events: DataFrame) -> DataFrame:
     """Live counterpart of q_running_zscore_flags: per-user running
     (n, Σx, Σx²) state; each arriving event is scored against the state
     BEFORE being folded in (the 1-PRECEDING baseline), flagged via the
-    same cross-multiplied integer inequality — Python ints, so exact at
-    any magnitude. Events are sorted by (ts, event_id) within each
-    micro-batch; with an in-order source (or one availableNow batch) the
-    emitted flags replay the batch query bit-for-bit — the parity test
-    pins exactly that.
+    same cross-multiplied integer inequality. The in-batch arithmetic is
+    Python ints (exact at any magnitude), but the PERSISTED state triple
+    is int64, so the stored Σx² bounds the operator's headroom:
+    n·x_max² < 2^63 ≈ 9.2e18 — at 1e6-cent values that is ~9e6 events
+    per single user, narrower than the batch query's decimal(19,0)
+    window path (whose binding term allows x_max·n < ~1.3e19). Past
+    that, widen the state schema to DecimalType(38,0) (Arrow ships
+    decimals fine) — int64 is kept while it holds because the state
+    store round-trips three fixed longs per user per micro-batch.
+    Events are sorted by (ts, event_id) within each micro-batch; with an
+    in-order source (or one availableNow batch) the emitted flags replay
+    the batch query bit-for-bit — the parity test pins exactly that.
 
     Scale: state is three longs per user in the state store (shuffle on
     user_id); no growth with history length. Same closure-by-value rule

@@ -453,3 +453,112 @@ def test_anomaly_flag_stream_replays_batch_query(spark):
         assert sum(r["n_flagged"] for r in got.values()) > 0
     finally:
         spark.catalog.dropTempView(name)
+
+
+def test_anomaly_flag_stream_restart_from_checkpoint(spark, tmp_path):
+    """The live anomaly monitor's (n, sx, sxx) state must survive a restart
+    bit-exactly: run over batch 1, stop, add batch 2 (later event times),
+    restart from the SAME checkpoint — batch-2 events must be scored
+    against state accumulated in run 1, and the union of emitted flags
+    must equal a single-pass batch recomputation over the full history.
+    A third run with no new data must emit nothing (exactly-once)."""
+    import os
+
+    from personal_data_lakehouse_spark.streaming.stateful import (
+        anomaly_flag_stream,
+    )
+
+    src_dir = str(tmp_path / "src")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src_dir)
+    ev = t(spark, SF_DIR, "events")
+    median_us = ev.select(F.unix_micros("ts").alias("us")).approxQuantile(
+        "us", [0.5], 0.0
+    )[0]
+    median_ts = F.timestamp_micros(F.lit(int(median_us)))
+    ev.filter(F.col("ts") <= median_ts).coalesce(1).write.parquet(
+        f"{src_dir}/b=0"
+    )
+    schema = spark.read.parquet(src_dir).schema
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src_dir)
+        flags = anomaly_flag_stream(stream)
+
+        def append(batch, epoch_id):
+            batch.write.mode("append").parquet(out_dir)
+
+        q = (
+            flags.writeStream.outputMode("update")
+            .foreachBatch(append)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()  # batch 1 only
+    n1 = spark.read.parquet(out_dir).count()
+    assert n1 > 0
+    ev.filter(F.col("ts") > median_ts).coalesce(1).write.parquet(
+        f"{src_dir}/b=1"
+    )
+    run_once()  # restart: state restored, only b=1 processed
+    emitted = spark.read.parquet(out_dir)
+
+    # single-pass batch truth over the full history (same integer test)
+    from pyspark.sql import Window
+
+    e = (
+        spark.read.parquet(src_dir)
+        .filter(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            F.floor(F.col("value") * 100).cast("long").alias("x"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d19 = "decimal(19,0)"
+    xd = F.col("x").cast(d19)
+    truth = e.select(
+        "event_id",
+        "x",
+        F.count("x").over(w).alias("n"),
+        F.sum(xd).over(w).alias("sx"),
+        F.sum(xd * F.col("x")).over(w).alias("sxx"),
+    ).select(
+        "event_id",
+        "x",
+        F.col("n").alias("n_prior"),
+        (
+            (F.col("n") >= 10)
+            & (
+                (F.col("x").cast(d19) * F.col("n") - F.col("sx"))
+                * (F.col("x").cast(d19) * F.col("n") - F.col("sx"))
+                > 9
+                * (
+                    F.col("n") * F.col("sxx")
+                    - F.col("sx") * F.col("sx")
+                )
+            )
+        ).alias("flagged"),
+    )
+    got = {
+        r["event_id"]: (r["x"], r["n_prior"], bool(r["flagged"]))
+        for r in emitted.collect()
+    }
+    want = {
+        r["event_id"]: (r["x"], r["n_prior"], bool(r["flagged"]))
+        for r in truth.collect()
+    }
+    assert len(got) == len(want)  # every event emitted exactly once
+    assert got == want  # state crossed the restart bit-exactly
+    run_once()  # idempotent replay: no new offsets, nothing emitted
+    assert spark.read.parquet(out_dir).count() == len(want)
