@@ -103,6 +103,12 @@ def test_headline_exchange_budgets(spark):
         # 6 textual = the (user, day) grid distinct re-printed per cached
         # branch + the DAU/WAU aggregates + the explode re-group
         "q_rolling_active_users": 6,
+        # 7 textual = the gram-occurrence window exchange re-printed per
+        # cached join side (InMemoryRelation child plans) + the (pair,
+        # delta) run-merge sort, the interval-union window, the two span
+        # aggregates, and the doc-length broadcast's child; executed: one
+        # gh shuffle + anchor/span-sized windows
+        "t_substring_dedup": 7,
     }
     assert set(budget) == set(HEADLINE)
     for name, allowed in budget.items():
