@@ -984,3 +984,102 @@ def test_substring_dedup_interval_union_no_double_count(spark, tmp_path):
     assert rows[3]["n_spans"] == 1
     assert rows[3]["removable_chars"] == one_span_mass
     assert rows[2]["removable_chars"] == one_span_mass
+
+
+def _substring_dedup_reference(docs):
+    """Pure-Python reimplementation of the t_substring_dedup SPEC (not the
+    Spark code): content-defined 1/16 gram selection, 64-occurrence viral
+    cap, (pair, offset-delta) run-merge with gap 256, interval union on
+    the later doc. Independent ground truth for randomized corpora."""
+    import hashlib
+    from collections import defaultdict
+
+    GRAM, GAP, CAP = 64, 256, 64
+    grams = []  # (doc_id, 1-based pos, gh)
+    for doc_id, text in docs:
+        for i in range(len(text) - GRAM + 1):
+            gh = hashlib.md5(text[i : i + GRAM].encode()).hexdigest()
+            if gh.startswith("0"):
+                grams.append((doc_id, i + 1, gh))
+    occ = defaultdict(int)
+    for _, _, gh in grams:
+        occ[gh] += 1
+    grams = [g for g in grams if occ[g[2]] <= CAP]
+    by_gh = defaultdict(list)
+    for doc_id, p, gh in grams:
+        by_gh[gh].append((doc_id, p))
+    anchors = defaultdict(list)  # (ida, idb, diff) -> [pa]
+    for gh, rows in by_gh.items():
+        for ida, pa in rows:
+            for idb, pb in rows:
+                if ida < idb:
+                    anchors[(ida, idb, pb - pa)].append((pa, pb))
+    intervals = defaultdict(set)  # idb -> {(s, e)}
+    for (ida, idb, diff), ps in anchors.items():
+        ps.sort()
+        run = [ps[0]]
+        for pa, pb in ps[1:]:
+            if pa - run[-1][0] > GAP:
+                s = run[0][1]
+                e = run[-1][1] + GRAM - 1
+                intervals[idb].add((s, e))
+                run = [(pa, pb)]
+            else:
+                run.append((pa, pb))
+        intervals[idb].add((run[0][1], run[-1][1] + GRAM - 1))
+    out = {}
+    lengths = dict(docs)
+    for doc_id, ivs in intervals.items():
+        merged = []
+        for s, e in sorted(ivs):
+            if merged and s <= merged[-1][1] + 1:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        removable = sum(e - s + 1 for s, e in merged)
+        n_chars = len(lengths[doc_id])
+        out[doc_id] = (
+            len(merged),
+            removable,
+            n_chars,
+            1000 * removable // n_chars,
+        )
+    return out
+
+
+def test_substring_dedup_matches_bruteforce_on_random_corpora(spark, tmp_path):
+    """Randomized phrase-pool corpora (shared multi-phrase runs at varying
+    offsets, repeats WITHIN a doc, overlapping spans from several
+    partners) must match an independent pure-Python reimplementation of
+    the spec exactly — the class of algebra bug a differential oracle
+    sharing the same SQL cannot catch."""
+    import hashlib
+    import random
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        phrases = [
+            hashlib.md5(f"phrase{seed}:{i}".encode()).hexdigest() * 3
+            for i in range(8)
+        ]  # 96-char phrases: every phrase spans >1 gram
+        docs = []
+        for doc_id in range(1, 13):
+            n = rng.randint(2, 5)
+            text = "".join(rng.choice(phrases) for _ in range(n))
+            docs.append((doc_id, text))
+        sf = str(tmp_path / f"sf{seed}")
+        spark.createDataFrame(
+            docs, "doc_id long, text string"
+        ).write.parquet(f"{sf}/documents.parquet")
+        got = {
+            r["doc_id"]: (
+                r["n_spans"],
+                r["removable_chars"],
+                r["n_chars"],
+                r["removable_permille"],
+            )
+            for r in REGISTRY["t_substring_dedup"].fn(spark, sf).collect()
+        }
+        want = _substring_dedup_reference(docs)
+        assert got == want, f"seed {seed}"
+        assert want, f"seed {seed} produced no shared spans (fixture bug)"
