@@ -72,10 +72,11 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #       headliners first, then the r2-era relational/dedup shapes, then
 #       the oldest TPC-H shapes.
 # After this window the ledger should hold: 0 never-evaluated queries, no
-# row older than r2 except the 10 TPC-H shapes squeezed below the cap
-# (q13_custdist, q14_promo_share, q15_top_supplier, q16_supplier_cnt,
-# q17_small_qty_revenue, q18_large_orders, q19_disjunctive_revenue,
-# q20_excess_share_suppliers, q21_sole_return_supplier, q22_idle_customers)
+# row older than r2 except the 11 TPC-H shapes squeezed below the cap
+# (q11_important_stock, q13_custdist, q14_promo_share, q15_top_supplier,
+# q16_supplier_cnt, q17_small_qty_revenue, q18_large_orders,
+# q19_disjunctive_revenue, q20_excess_share_suppliers,
+# q21_sole_return_supplier, q22_idle_customers)
 # — FIRST re-proof priority for r7, followed by the r3-latest rows.
 _PRIORITY = [
     # (a) code changed in r6 (+ the r6 addition) — must re-prove
@@ -84,6 +85,7 @@ _PRIORITY = [
     "q_stream_session_agg",
     "q_stream_sliding_agg",
     "q_stream_stream_join",
+    "q_stream_dedup",  # r4 memory sink -> file sink this round
     "m_triangle_count",
     # (b) never driver-evaluated (post-r5-freeze wave-10)
     "q_benford_digits",
@@ -133,9 +135,9 @@ _PRIORITY = [
     "q08_market_share",
     "q09_product_profit",
     "q10_returned_revenue",
-    "q11_important_stock",
     # ---- 50-query window cap falls here; the rest re-verify only if the
     # driver evaluates more than 50 ----
+    "q11_important_stock",
     "q13_custdist",
     "q14_promo_share",
     "q15_top_supplier",

@@ -602,20 +602,27 @@ def q_decile_histogram(spark, sf_dir):
 def q_stream_dedup(spark, sf_dir):
     """Streaming exact-dedup under the driver's hash: the events fixture is
     consumed via readStream (availableNow), ``dropDuplicatesWithinWatermark``
-    keyed on (user_id, event_type) emits each key once, the deduped append
-    stream lands in a memory sink, and the sink is aggregated to
-    (event_type, distinct users) — which must equal the batch
-    COUNT(DISTINCT). Only key-level facts are hashed (which ROW survives
-    dedup depends on micro-batch arrival order — deliberately excluded
-    from the deterministic output contract).
+    keyed on (user_id, event_type) emits each key once (first occurrence
+    passes through immediately in append mode; duplicates are dropped
+    against watermark-bounded state), the deduped append stream lands in
+    a parquet FILE sink, and the sink is aggregated to (event_type,
+    distinct users) — which must equal the batch COUNT(DISTINCT). Only
+    key-level facts are hashed (which ROW survives dedup depends on
+    micro-batch arrival order — deliberately excluded from the
+    deterministic output contract).
 
     Scale: dedup state is bounded by the watermark horizon (keys expire
     once the event-time watermark passes), the canonical streaming-dedup
-    memory story; the aggregation runs on the deduped (already small)
-    key stream."""
-    import uuid
+    memory story; the deduped key stream lands distributed in
+    executor-written files (the memory sink this replaces held the FULL
+    key set — O(users × types) — in driver memory), and only the
+    ≤|event_types|-row rollup reaches the driver."""
+    import tempfile
 
-    from personal_data_lakehouse_spark.streaming.windows import stream_events
+    from personal_data_lakehouse_spark.streaming.windows import (
+        drain_stream_to_parquet,
+        stream_events,
+    )
 
     s = stream_events(spark, f"{sf_dir}/events.parquet")
     deduped = (
@@ -623,34 +630,11 @@ def q_stream_dedup(spark, sf_dir):
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
-    name = f"sdedup_{uuid.uuid4().hex[:8]}"
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            deduped.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    out = (
-        spark.table(name)
-        .groupBy("event_type")
-        .agg(F.count_distinct("user_id").alias("n_users"))
+    work = tempfile.mkdtemp(prefix="pdl_sdedup_")
+    keys = drain_stream_to_parquet(deduped, work)
+    return keys.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users")
     )
-    # Materialize the ≤|event_types|-row rollup and DROP the memory-sink
-    # view — otherwise every invocation leaks a uuid-named temp table
-    # holding the full deduped key set in driver memory (clearCache does
-    # not unregister memory-sink tables). Same ≤10-row materialization
-    # class as the query-vector collect in similarity/vectorized.py.
-    rows = out.collect()
-    schema = out.schema
-    spark.catalog.dropTempView(name)
-    return spark.createDataFrame(rows, schema)
 
 
 # ---------------------------------------------------------------------------
