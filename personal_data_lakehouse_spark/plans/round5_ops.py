@@ -552,7 +552,10 @@ def t_substring_dedup(spark, sf_dir):
         .drop("occ")
         # persisted gram index: the anchor self-join reads it twice; the
         # hash-every-position stage runs once (written intermediate at
-        # cluster scale).
+        # cluster scale). Coalesced first: a cached plan keeps its shuffle
+        # partitioning, so downstream stages would otherwise inherit one
+        # near-empty task per shuffle partition under a default session.
+        .coalesce(spark.sparkContext.defaultParallelism)
         .persist()
     )
     a = grams.select(
@@ -760,11 +763,20 @@ def m_triangle_count(spark, sf_dir):
     # fixtures' dup clusters are dense, and triangle work grows O(E^1.5) —
     # strong edges keep the graph sparse while the triangles they close
     # are exactly the high-confidence template families.
-    edges = cap_out_degree(
-        simhash_neardup_pairs(
-            t(spark, sf_dir, "documents"), max_hamming=4
-        ).select("id_a", "id_b")
-    ).persist()
+    # coalesce before persist: the cached edge list keeps its shuffle
+    # partitioning (AQE cannot re-coalesce a cached plan), so without this
+    # every downstream join stage inherits one task per shuffle partition
+    # — 200 near-empty tasks per stage under a default session (same
+    # measured fix as q_anomaly_mad's histogram chain).
+    edges = (
+        cap_out_degree(
+            simhash_neardup_pairs(
+                t(spark, sf_dir, "documents"), max_hamming=4
+            ).select("id_a", "id_b")
+        )
+        .coalesce(spark.sparkContext.defaultParallelism)
+        .persist()
+    )
     ab = edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     bc = edges.select(F.col("id_a").alias("b2"), F.col("id_b").alias("c"))
     ac = edges.select(F.col("id_a").alias("a2"), F.col("id_b").alias("c2"))
