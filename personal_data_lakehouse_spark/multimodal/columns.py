@@ -299,3 +299,85 @@ def resample_audio(
             )
 
     return spread(media).mapInPandas(rs, schema=RESAMPLE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rank", T.IntegerType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("pixel_sum", T.LongType()),
+        T.StructField("frame_sha", T.StringType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, k: int = 8) -> DataFrame:
+    """Arrow-batched VIDEO frame-sampling stage — the temporal member of
+    the decode/feature/resize/resample family: decode each payload into
+    a (n_frames, height, width) clip (synthetic codec: payload bytes
+    tiled into whole frames, n_frames = ceil(len/(w·h)) ≥ 1 — with real
+    video libs the decode line becomes PyAV/ffmpeg frame iteration),
+    select ``k`` frames by UNIFORM TEMPORAL STRIDE (frame_idx =
+    (rank · n_frames) // k, the standard clip-sampling rule video models
+    train on), and emit one row per sampled frame with its pixel sum and
+    content hash.
+
+    When n_frames < k the stride repeats frames (ranks stay dense 0..k-1
+    — the fixed-length-clip contract video batching needs) rather than
+    shrinking the sample; downstream dedup can drop repeats by
+    (media_id, frame_idx) if it wants distinct frames.
+
+    The frame index math and the per-frame slicing are the REAL kernel —
+    only the decode line is synthetic, same contract as
+    resize_media/resample_audio (metadata pruning upstream, Arrow batch
+    shape, spread() for unsplittable inputs, closure shipped by value).
+    Scale: embarrassingly parallel map; output fan-out is a fixed k rows
+    per clip, so the stage's output volume is k·|media|, independent of
+    clip length — the whole point of sampling before feature
+    extraction."""
+    kk = int(k)
+
+    def sf(it):
+        import hashlib as _hl
+
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in it:
+            rows = []
+            for mid, w, h, payload in zip(
+                pdf["media_id"], pdf["width"], pdf["height"], pdf["payload"]
+            ):
+                w, h = int(w), int(h)
+                buf = _np.frombuffer(bytes(payload), dtype=_np.uint8)
+                fsz = w * h
+                n_frames = max(1, -(-len(buf) // fsz))  # ceil, ≥1
+                clip = _np.resize(buf, n_frames * fsz).reshape(n_frames, h, w)
+                for rank in range(kk):
+                    idx = (rank * n_frames) // kk
+                    frame = clip[idx]
+                    rows.append(
+                        (
+                            int(mid),
+                            rank,
+                            int(idx),
+                            int(n_frames),
+                            int(frame.sum(dtype=_np.int64)),
+                            _hl.sha256(frame.tobytes()).hexdigest(),
+                        )
+                    )
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "sample_rank",
+                    "frame_idx",
+                    "n_frames",
+                    "pixel_sum",
+                    "frame_sha",
+                ],
+            )
+
+    return spread(media).mapInPandas(sf, schema=FRAME_SCHEMA)

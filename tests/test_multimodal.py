@@ -159,3 +159,63 @@ def test_resample_audio_linear_interp_exact(spark):
         assert abs(got["n_samples"] - len(sig) // 2) <= 1
         assert got["sample_sum"] == int(q.sum())
         assert got["signal_sha"] == hashlib.sha256(q.tobytes()).hexdigest()
+
+
+def test_sample_frames_uniform_stride_exact(spark):
+    """The frame-sampling stage must reproduce a driver-side numpy
+    reference exactly (same tiling decode, same uniform-stride index
+    rule), keep ranks dense 0..k-1 even when clips are shorter than k
+    (repeated frames), and be partition-layout independent."""
+    import hashlib
+
+    import numpy as np
+
+    from personal_data_lakehouse_spark.multimodal.columns import (
+        attach_fake_media,
+        sample_frames,
+    )
+    from personal_data_lakehouse_spark.plans.registry import t
+    from tests.conftest import SF_DIR
+
+    docs = t(spark, SF_DIR, "documents").limit(30)
+    # small frames so fixtures span MANY frames; a second tiny-payload
+    # media row exercises the n_frames < k repeat path
+    media = attach_fake_media(docs).withColumn(
+        "width", F.lit(8)
+    ).withColumn("height", F.lit(4))
+    out = sample_frames(media, k=6).collect()
+    by_media = {}
+    for r in out:
+        by_media.setdefault(r["media_id"], []).append(r)
+    ref_rows = media.collect()
+    assert len(by_media) == len(ref_rows)
+    for m in ref_rows:
+        rows = sorted(by_media[m["media_id"]], key=lambda r: r["sample_rank"])
+        assert [r["sample_rank"] for r in rows] == list(range(6))
+        buf = np.frombuffer(bytes(m["payload"]), dtype=np.uint8)
+        fsz = 8 * 4
+        n_frames = max(1, -(-len(buf) // fsz))
+        clip = np.resize(buf, n_frames * fsz).reshape(n_frames, 4, 8)
+        for r in rows:
+            idx = (r["sample_rank"] * n_frames) // 6
+            assert r["frame_idx"] == idx
+            assert r["n_frames"] == n_frames
+            frame = clip[idx]
+            assert r["pixel_sum"] == int(frame.sum(dtype=np.int64))
+            assert r["frame_sha"] == hashlib.sha256(frame.tobytes()).hexdigest()
+    # n_frames < k: a 1-frame clip must repeat frame 0 across all ranks
+    one = attach_fake_media(
+        spark.createDataFrame([(999, "tiny")], "doc_id long, text string")
+    ).withColumn("width", F.lit(8)).withColumn("height", F.lit(4))
+    rows = sample_frames(one, k=6).collect()
+    assert len(rows) == 6
+    assert {r["frame_idx"] for r in rows} == {0}
+    assert len({r["frame_sha"] for r in rows}) == 1
+    # partition-layout independence
+    re_out = {
+        (r["media_id"], r["sample_rank"]): r["frame_sha"]
+        for r in sample_frames(media.repartition(7), k=6).collect()
+    }
+    assert re_out == {
+        (r["media_id"], r["sample_rank"]): r["frame_sha"] for r in out
+    }
