@@ -237,6 +237,10 @@ def drain_stream_to_parquet(
         if shuffle_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
         shutil.rmtree(ckpt, ignore_errors=True)
+    if not os.path.isdir(out_dir):
+        # a stream that committed no files never creates the sink dir —
+        # an empty result, not an error
+        return spark.createDataFrame([], schema)
     return spark.read.schema(schema).parquet(out_dir)
 
 
