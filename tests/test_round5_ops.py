@@ -1083,3 +1083,42 @@ def test_substring_dedup_matches_bruteforce_on_random_corpora(spark, tmp_path):
         want = _substring_dedup_reference(docs)
         assert got == want, f"seed {seed}"
         assert want, f"seed {seed} produced no shared spans (fixture bug)"
+
+
+def test_substring_dedup_multibyte_span(spark, tmp_path):
+    """Char-based gram positions over MULTIBYTE text: both engines slice
+    substrings by characters and hash their UTF-8 bytes, so a shared
+    span of 2- and 3-byte code points must be recovered with the same
+    char-coordinate arithmetic as ASCII. Guards the operator against
+    fixture evolution toward non-ASCII corpora."""
+    import hashlib
+
+    # non-periodic multibyte span (2- and 3-byte code points interleaved
+    # with hex), picked so its content-defined selection is non-empty
+    parts = []
+    for i in range(6):
+        h = hashlib.md5(f"mb0:{i}".encode()).hexdigest()
+        parts.append(h[:16] + "é你ñ" + h[16:24] + "ö好")
+    span = "".join(parts)[:120]
+    pre_a = "A" * 30
+    pre_b = "B" * 77
+    docs = [(1, pre_a + span + "x" * 40), (2, pre_b + span + "y" * 25)]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    rel = [
+        i
+        for i in range(len(span) - 63)
+        if hashlib.md5(span[i : i + 64].encode()).hexdigest().startswith("0")
+    ]
+    assert rel, "multibyte span must contain a selected gram"
+    s = len(pre_b) + rel[0] + 1
+    e = len(pre_b) + rel[-1] + 1 + 63
+    rows = {
+        r["doc_id"]: r
+        for r in REGISTRY["t_substring_dedup"].fn(spark, sf).collect()
+    }
+    assert set(rows) == {2}
+    assert rows[2]["removable_chars"] == e - s + 1  # CHAR count, not bytes
+    assert rows[2]["n_chars"] == len(docs[1][1])
