@@ -269,3 +269,104 @@ def lsh_candidate_pairs(
         "id_b",
         F.round(inter.cast("double") / union, 6).alias("jaccard"),
     )
+
+
+def neardup_candidate_stream(
+    stream_docs: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """STREAMING near-dup: candidates of a live document stream against a
+    static corpus band index — online crawl dedup, the streaming sibling
+    of ``lsh_batch_vs_corpus``.
+
+    The stream side computes its MinHash signature STATELESSLY per row
+    (shingles, k mins, and band buckets as pure array expressions — no
+    aggregation, no window, nothing a streaming plan forbids), then
+    probes the corpus index with a stream-static join; Jaccard
+    verification is more array arithmetic on the joined row. Every
+    operator is stateless, so rows emit the micro-batch they arrive and
+    state stays empty regardless of stream length. The banding scheme
+    (same hash family, same md5 bucket fold) is expression-identical to
+    ``_banded_docs``, so stream results equal the batch path exactly —
+    pinned by tests/test_streaming.py.
+
+    Scale: per-event work is O(|doc| · k) map-side; the static side is
+    the persisted corpus band index (broadcast if it fits, hash join
+    re-read per batch otherwise). A pair matching in several bands emits
+    one row per matching band — dedupe downstream (foreachBatch MERGE on
+    (batch_id, corpus_id), or DISTINCT at read) rather than holding
+    unbounded dropDuplicates state in the stream."""
+    rows = k // bands
+    p = F.lit(MERSENNE_P).cast("long")
+    words = F.split(normalize_text(text_col), " ")
+    n_sh = F.size(words) - (shingle_n - 1)
+    shingles = F.when(
+        n_sh > 0,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_sh),
+                lambda i: F.concat_ws(" ", F.slice(words, i, shingle_n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = stream_docs.select(
+        F.col(id_col).alias("batch_id"), shingles.alias("sh_a")
+    ).filter(F.size("sh_a") > 0)
+    fam = hash_family(k, seed)
+
+    def _hmin(a: int, b: int) -> F.Column:
+        return F.array_min(
+            F.transform(
+                F.col("sh_a"),
+                lambda s: (F.lit(a).cast("long") * _base_hash(s) + F.lit(b))
+                % p,
+            )
+        )
+
+    sig = base.select(
+        "batch_id",
+        "sh_a",
+        *[_hmin(a, b).alias(f"h{i}") for i, (a, b) in enumerate(fam)],
+    )
+    buckets = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                *[F.col(f"h{b * rows + r}").cast("string") for r in range(rows)],
+            )
+        )
+        for b in range(bands)
+    ]
+    banded_stream = sig.select(
+        "batch_id",
+        "sh_a",
+        F.posexplode(F.array(*buckets)).alias("band", "bucket"),
+    )
+    corpus_docs, corpus_banded = _banded_docs(
+        corpus_df, text_col, id_col, k, bands, shingle_n, seed
+    )
+    cand = banded_stream.join(
+        corpus_banded.select(
+            F.col(id_col).alias("corpus_id"), "band", "bucket"
+        ),
+        ["band", "bucket"],
+    )
+    withsh = cand.join(
+        corpus_docs.select(
+            F.col(id_col).alias("corpus_id"), F.col("shingles").alias("sh_b")
+        ),
+        "corpus_id",
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return withsh.select(
+        "batch_id",
+        "corpus_id",
+        F.round(inter.cast("double") / union, 6).alias("jaccard"),
+    )

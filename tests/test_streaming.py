@@ -562,3 +562,44 @@ def test_anomaly_flag_stream_restart_from_checkpoint(spark, tmp_path):
     assert got == want  # state crossed the restart bit-exactly
     run_once()  # idempotent replay: no new offsets, nothing emitted
     assert spark.read.parquet(out_dir).count() == len(want)
+
+
+def test_neardup_candidate_stream_matches_batch(spark, tmp_path):
+    """Online crawl dedup: a streamed batch of documents probed against
+    the static corpus band index must produce EXACTLY the candidate set
+    and Jaccard values of the batch incremental path
+    (lsh_batch_vs_corpus) — the stream computes signatures statelessly
+    per row, so banding must be expression-identical to the batch index
+    stage. Per-band duplicate emissions collapse under DISTINCT."""
+    import os
+
+    from personal_data_lakehouse_spark.dedup.minhash import (
+        lsh_batch_vs_corpus,
+        neardup_candidate_stream,
+    )
+    from personal_data_lakehouse_spark.streaming.windows import (
+        drain_stream_to_parquet,
+    )
+
+    docs = t(spark, SF_DIR, "documents").select("doc_id", "text")
+    batch_cond = F.col("doc_id") % 5 == 0
+    corpus = docs.filter(~batch_cond)
+    src = str(tmp_path / "incoming")
+    os.makedirs(src)
+    docs.filter(batch_cond).coalesce(1).write.parquet(f"{src}/b=0")
+    stream = spark.readStream.schema(
+        docs.schema
+    ).parquet(src)
+    cands = neardup_candidate_stream(stream, corpus)
+    got = (
+        drain_stream_to_parquet(cands, str(tmp_path / "drain"))
+        .distinct()
+        .collect()
+    )
+    want = lsh_batch_vs_corpus(docs, batch_cond).collect()
+    key = lambda r: (r["batch_id"], r["corpus_id"])  # noqa: E731
+    got_m = {key(r): r["jaccard"] for r in got}
+    want_m = {key(r): r["jaccard"] for r in want}
+    assert len(got) == len(got_m)  # distinct collapsed per-band dups
+    assert got_m == want_m
+    assert len(want_m) > 0  # fixture actually exercises the probe
