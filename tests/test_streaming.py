@@ -603,3 +603,54 @@ def test_neardup_candidate_stream_matches_batch(spark, tmp_path):
     assert len(got) == len(got_m)  # distinct collapsed per-band dups
     assert got_m == want_m
     assert len(want_m) > 0  # fixture actually exercises the probe
+
+
+def test_substring_anchor_stream_matches_batch(spark, tmp_path):
+    """The streaming exact-substring probe must emit exactly the anchor
+    set a batch join of the same selected grams produces: stateless
+    stream-side gram generation == the batch expressions, and the
+    stream-static probe against the viral-capped corpus index preserves
+    every (pair, position, delta)."""
+    import os
+
+    from personal_data_lakehouse_spark.dedup.substring import (
+        gram_index,
+        positional_grams,
+        substring_anchor_stream,
+    )
+
+    docs = t(spark, SF_DIR, "documents").select("doc_id", "text")
+    batch_cond = F.col("doc_id") % 4 == 0
+    corpus = docs.filter(~batch_cond)
+    idx = gram_index(corpus)
+    src = str(tmp_path / "incoming")
+    os.makedirs(src)
+    docs.filter(batch_cond).coalesce(1).write.parquet(f"{src}/b=0")
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    from personal_data_lakehouse_spark.streaming.windows import (
+        drain_stream_to_parquet,
+    )
+
+    got = {
+        (r["batch_id"], r["corpus_id"], r["pb"], r["pa"], r["diff"])
+        for r in drain_stream_to_parquet(
+            substring_anchor_stream(stream, idx), str(tmp_path / "drain")
+        ).collect()
+    }
+    want_df = (
+        positional_grams(docs.filter(batch_cond))
+        .select(F.col("doc_id").alias("batch_id"), F.col("p").alias("pb"), "gh")
+        .join(
+            idx.select(
+                F.col("doc_id").alias("corpus_id"), F.col("p").alias("pa"), "gh"
+            ),
+            "gh",
+        )
+    )
+    want = {
+        (r["batch_id"], r["corpus_id"], r["pb"], r["pa"], r["pb"] - r["pa"])
+        for r in want_df.collect()
+    }
+    assert got == want
+    assert len(want) > 0  # fixture exercises the probe
+    idx.unpersist()
