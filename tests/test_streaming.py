@@ -654,3 +654,50 @@ def test_substring_anchor_stream_matches_batch(spark, tmp_path):
     assert got == want
     assert len(want) > 0  # fixture exercises the probe
     idx.unpersist()
+
+
+def test_text_curation_surface_is_streaming_ready(spark, tmp_path):
+    """The text-analysis surface (fingerprint, language-ID, token counts,
+    quality features) is pure column expressions, so the same plan must
+    run UNCHANGED on a streaming DataFrame and emit batch-identical
+    rows — the curation front-door (filter incoming docs before dedup)
+    works online with zero state."""
+    import os
+
+    from personal_data_lakehouse_spark.functions.text import (
+        fingerprint,
+        lang_id,
+        quality_features,
+        token_count_whitespace,
+        tokens,
+    )
+
+    docs = t(spark, SF_DIR, "documents").select("doc_id", "text")
+
+    def curate(df):
+        feats = quality_features(F.col("text"))
+        return df.select(
+            "doc_id",
+            fingerprint("text").alias("fp"),
+            lang_id(tokens("text")).alias("lang_guess"),
+            token_count_whitespace("text").alias("n_tokens"),
+            *[c.alias(k) for k, c in feats.items()],
+        )
+
+    src = str(tmp_path / "incoming")
+    os.makedirs(src)
+    docs.coalesce(1).write.parquet(f"{src}/b=0")
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    from personal_data_lakehouse_spark.streaming.windows import (
+        drain_stream_to_parquet,
+    )
+
+    got = {
+        r["doc_id"]: tuple(r)
+        for r in drain_stream_to_parquet(
+            curate(stream), str(tmp_path / "drain")
+        ).collect()
+    }
+    want = {r["doc_id"]: tuple(r) for r in curate(docs).collect()}
+    assert got == want
+    assert len(want) > 0
