@@ -701,3 +701,107 @@ def test_text_curation_surface_is_streaming_ready(spark, tmp_path):
     want = {r["doc_id"]: tuple(r) for r in curate(docs).collect()}
     assert got == want
     assert len(want) > 0
+
+
+def test_streaming_ingest_pipeline_e2e(spark, tmp_path):
+    """The full ONLINE ingest pipeline in its production shape — one
+    streaming query whose composite foreachBatch (the reference's
+    ingest-then-MERGE dataflow, ingest_stocks.py:84-111, upgraded to
+    Structured Streaming): curate the incoming documents (stateless
+    quality features), gate on quality, MERGE the survivors into a
+    bronze table keyed on doc_id, and probe the static corpus LSH index
+    for near-dup candidates appended to a candidates sink. Asserts
+    batch-identical bronze content, batch-identical candidates, and
+    idempotent replay (a fresh run over the same files changes
+    nothing — MERGE absorbs redelivery)."""
+    import os
+
+    from personal_data_lakehouse_spark.dedup.minhash import (
+        lsh_batch_vs_corpus,
+    )
+    from personal_data_lakehouse_spark.functions.text import (
+        token_count_whitespace,
+    )
+    from personal_data_lakehouse_spark.operators.merge import (
+        merge_into_table,
+    )
+
+    docs = t(spark, SF_DIR, "documents").select("doc_id", "text")
+    incoming_cond = F.col("doc_id") % 3 == 0
+    corpus = docs.filter(~incoming_cond)
+    src = str(tmp_path / "incoming")
+    cand_dir = str(tmp_path / "cands")
+    os.makedirs(src)
+    docs.filter(incoming_cond).coalesce(1).write.parquet(f"{src}/b=0")
+    spark.sql("DROP TABLE IF EXISTS default.stream_bronze")
+
+    min_tokens = 5
+
+    def curate(df):
+        return df.select(
+            "doc_id",
+            "text",
+            token_count_whitespace("text").alias("n_tokens"),
+        ).filter(F.col("n_tokens") >= min_tokens)
+
+    def ingest(batch, epoch_id):
+        kept = curate(batch).persist()
+        merge_into_table(
+            batch.sparkSession, "default.stream_bronze", kept, ["doc_id"]
+        )
+        both = kept.select("doc_id", "text").unionByName(
+            corpus.select("doc_id", "text")
+        )
+        cands = lsh_batch_vs_corpus(both, F.col("doc_id").isin(
+            [r["doc_id"] for r in kept.select("doc_id").collect()]
+        ))
+        cands.write.mode("append").parquet(cand_dir)
+        kept.unpersist()
+
+    def run_once(ckpt):
+        stream = spark.readStream.schema(docs.schema).parquet(src)
+        q = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once(str(tmp_path / "ckpt1"))
+    spark.catalog.refreshTable("default.stream_bronze")
+    bronze = {
+        r["doc_id"]: r["n_tokens"]
+        for r in spark.table("default.stream_bronze").collect()
+    }
+    want_bronze = {
+        r["doc_id"]: r["n_tokens"]
+        for r in curate(docs.filter(incoming_cond)).collect()
+    }
+    assert bronze == want_bronze and len(bronze) > 0
+    key = lambda r: (r["batch_id"], r["corpus_id"])  # noqa: E731
+    got_c = {
+        key(r): r["jaccard"]
+        for r in spark.read.parquet(cand_dir).distinct().collect()
+    }
+    kept_ids = set(want_bronze)
+    want_c = {
+        key(r): r["jaccard"]
+        for r in lsh_batch_vs_corpus(
+            curate(docs.filter(incoming_cond))
+            .select("doc_id", "text")
+            .unionByName(corpus),
+            F.col("doc_id").isin(list(kept_ids)),
+        ).collect()
+    }
+    assert got_c == want_c and len(want_c) > 0
+    # redelivery: a FRESH checkpoint replays every file; MERGE absorbs it
+    run_once(str(tmp_path / "ckpt2"))
+    spark.catalog.refreshTable("default.stream_bronze")
+    again = {
+        r["doc_id"]: r["n_tokens"]
+        for r in spark.table("default.stream_bronze").collect()
+    }
+    assert again == bronze
+    spark.sql("DROP TABLE IF EXISTS default.stream_bronze")
