@@ -154,3 +154,74 @@ def ivf_blocked_neardup(
         .filter(F.col("cosine") >= F.lit(threshold))
         .select("id_a", "id_b", "cosine")
     )
+
+
+def ann_candidate_stream(
+    stream_vecs: DataFrame,
+    cells: DataFrame,
+    cents: DataFrame,
+    nprobe: int = 2,
+    query_id: str = "vec_id",
+    query_vec: str = "embedding",
+    cand_id: str = "vec_id",
+    cand_vec: str = "embedding",
+) -> DataFrame:
+    """STREAMING ANN probe: live query vectors against the static IVF cell
+    index — the embedding sibling of ``minhash.neardup_candidate_stream``
+    (online similarity search / near-dup of incoming embeddings).
+
+    ``assign_cells``'s per-vector argmax is a window, which a streaming
+    plan forbids; here the codebook is collected driver-side (O(k_cells)
+    rows — the same bounded-collect class as the query-vector collect in
+    similarity/vectorized.py) and each centroid is injected as a LITERAL
+    array column, so probe-cell selection becomes a stateless
+    sort_array-of-structs over k_cells entries per row. The similarity
+    arithmetic reuses ``dot_expr`` verbatim (same left-fold, double
+    precision), so stream results are bit-identical to the batch path —
+    pinned by tests/test_streaming.py. Tie-break matches assign_cells:
+    descending cosine, then lower cid.
+
+    Emits one candidate row per (query, cell-mate): (qid, cand_id,
+    cosine). Top-k ranking is windowed work for the ``foreachBatch``
+    consumer (a query's candidates land in its own micro-batch). Scale:
+    per-event work is O(dim · k_cells) map-side; the cell index is the
+    persisted corpus-side artifact, joined per micro-batch (broadcast
+    when it fits); state stays empty at any stream length.
+    """
+    rows = cents.select("cid", "ce", "_cen").collect()  # O(k_cells)
+    df = stream_vecs.select(
+        F.col(query_id).alias("qid"), F.col(query_vec).alias("qe")
+    ).withColumn("_qn", norm_col("qe"))
+    structs = []
+    for r in rows:
+        cname = f"_ce_{int(r['cid'])}"
+        df = df.withColumn(
+            cname, F.array(*[F.lit(float(v)) for v in r["ce"]])
+        )
+        csim = F.expr(dot_expr("qe", cname)) / (
+            F.col("_qn") * F.lit(float(r["_cen"]))
+        )
+        structs.append(
+            F.struct(
+                (-csim).alias("negsim"), F.lit(int(r["cid"])).alias("cid")
+            )
+        )
+    probes = F.slice(F.sort_array(F.array(*structs)), 1, nprobe)
+    probed = df.select(
+        "qid",
+        "qe",
+        "_qn",
+        F.explode(probes).alias("probe"),
+    ).select("qid", "qe", "_qn", F.col("probe.cid").alias("cell"))
+    idx = cells.select(
+        F.col(cand_id).alias("cand_id"),
+        F.col(cand_vec).alias("ce_v"),
+        "_vn",
+        "cell",
+    )
+    sim = F.expr(dot_expr("qe", "ce_v")) / (F.col("_qn") * F.col("_vn"))
+    return probed.join(idx, "cell").select(
+        "qid",
+        "cand_id",
+        F.round(sim, 6).alias("cosine"),
+    )

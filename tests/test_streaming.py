@@ -805,3 +805,71 @@ def test_streaming_ingest_pipeline_e2e(spark, tmp_path):
     }
     assert again == bronze
     spark.sql("DROP TABLE IF EXISTS default.stream_bronze")
+
+
+def test_ann_candidate_stream_matches_batch(spark, tmp_path):
+    """The streaming ANN probe must emit exactly the (query, cell-mate,
+    cosine) candidate set of the batch IVF path: literal-codebook probe
+    selection reproduces assign_cells' argmax (same tie-break), and the
+    reused dot_expr fold makes the cosines bit-identical."""
+    import os
+
+    from personal_data_lakehouse_spark.similarity.ivf import (
+        ann_candidate_stream,
+        assign_cells,
+        pick_centroids,
+    )
+    from personal_data_lakehouse_spark.similarity.brute_force import (
+        dot_expr,
+    )
+    from personal_data_lakehouse_spark.streaming.windows import (
+        drain_stream_to_parquet,
+    )
+
+    emb = t(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    qcond = F.col("vec_id") % 10 == 0
+    corpus = emb.filter(~qcond)
+    cents = pick_centroids(corpus, [1, 2, 3, 4, 6, 7, 8, 9]).persist()
+    cells = assign_cells(corpus, cents, "vec_id", "embedding", n=1).persist()
+
+    src = str(tmp_path / "queries")
+    os.makedirs(src)
+    emb.filter(qcond).coalesce(1).write.parquet(f"{src}/b=0")
+    stream = spark.readStream.schema(emb.schema).parquet(src)
+    got = {
+        (r["qid"], r["cand_id"]): r["cosine"]
+        for r in drain_stream_to_parquet(
+            ann_candidate_stream(stream, cells, cents, nprobe=2),
+            str(tmp_path / "drain"),
+        ).collect()
+    }
+
+    # batch reference: the ivf_topk candidate join without the final rank
+    probes = assign_cells(
+        emb.filter(qcond).withColumnRenamed("vec_id", "qid"),
+        cents,
+        "qid",
+        "embedding",
+        n=2,
+    ).select(
+        "qid",
+        F.col("embedding").alias("qe"),
+        F.col("_vn").alias("_qn"),
+        "cell",
+    )
+    joined = cells.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("ce_v"),
+        "_vn",
+        "cell",
+    ).join(F.broadcast(probes), "cell")
+    sim = F.expr(dot_expr("qe", "ce_v")) / (F.col("_qn") * F.col("_vn"))
+    want = {
+        (r["qid"], r["cand_id"]): r["cosine"]
+        for r in joined.select(
+            "qid", "cand_id", F.round(sim, 6).alias("cosine")
+        ).collect()
+    }
+    assert got == want and len(want) > 0
+    cents.unpersist()
+    cells.unpersist()
