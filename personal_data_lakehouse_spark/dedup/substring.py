@@ -120,3 +120,67 @@ def substring_anchor_stream(
         "pa",
         (F.col("pb") - F.col("pa")).alias("diff"),
     )
+
+
+def spans_from_anchors(
+    anchors: DataFrame,
+    gram_len: int = GRAM_LEN,
+    merge_gap: int = 256,
+) -> DataFrame:
+    """Batch span assembly for ``substring_anchor_stream``'s foreachBatch
+    consumer: merge anchors sharing (batch_id, corpus_id, diff) whose
+    incoming-doc positions are ≤ ``merge_gap`` apart into maximal shared
+    spans, then interval-union per incoming document into removable
+    character mass — the same run-merge/interval-union algebra the
+    registered ``t_substring_dedup`` operator pins against its DuckDB
+    oracle and a pure-Python reference, applied to the (batch × corpus)
+    anchor set.
+
+    Returns one row per incoming doc: (batch_id, n_spans,
+    removable_chars). Windows run over anchor/span rows only
+    (candidate-bounded, never corpus rows)."""
+    wd = Window.partitionBy("batch_id", "corpus_id", "diff").orderBy("pb")
+    runs = (
+        anchors.withColumn("prev", F.lag("pb").over(wd))
+        .withColumn(
+            "brk",
+            F.when(
+                F.col("prev").isNull()
+                | (F.col("pb") - F.col("prev") > merge_gap),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "run",
+            F.sum("brk").over(wd.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    spans = runs.groupBy("batch_id", "corpus_id", "diff", "run").agg(
+        F.min("pb").alias("s"),
+        (F.max("pb") + F.lit(gram_len - 1)).alias("e"),
+    )
+    iv = spans.select("batch_id", "s", "e").distinct()
+    wu = Window.partitionBy("batch_id").orderBy("s", F.desc("e"))
+    u = (
+        iv.withColumn(
+            "rmax",
+            F.max("e").over(wu.rowsBetween(Window.unboundedPreceding, -1)),
+        )
+        .withColumn(
+            "brk",
+            F.when(
+                F.col("rmax").isNull() | (F.col("s") > F.col("rmax") + 1), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "grp",
+            F.sum("brk").over(wu.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    merged = u.groupBy("batch_id", "grp").agg(
+        F.min("s").alias("lo"), F.max("e").alias("hi")
+    )
+    return merged.groupBy("batch_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("hi") - F.col("lo") + 1).alias("removable_chars"),
+    )

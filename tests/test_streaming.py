@@ -873,3 +873,63 @@ def test_ann_candidate_stream_matches_batch(spark, tmp_path):
     assert got == want and len(want) > 0
     cents.unpersist()
     cells.unpersist()
+
+
+def test_streaming_substring_spans_recover_planted_span(spark, tmp_path):
+    """Full incremental substring dedup: stream the incoming doc, probe
+    the corpus gram index, assemble spans in the foreachBatch-style
+    consumer — the planted span's anchor-bounded removable mass must
+    match an independent recomputation from the same selection rule."""
+    import hashlib
+    import os
+
+    from personal_data_lakehouse_spark.dedup.substring import (
+        gram_index,
+        spans_from_anchors,
+        substring_anchor_stream,
+    )
+    from personal_data_lakehouse_spark.streaming.windows import (
+        drain_stream_to_parquet,
+    )
+
+    def hexstream(seed, n):
+        out = ""
+        i = 0
+        while len(out) < n:
+            out += hashlib.md5(f"{seed}:{i}".encode()).hexdigest()
+            i += 1
+        return out[:n]
+
+    span = hexstream("inc-span", 220).upper()
+    corpus_doc = hexstream("old", 60) + span + hexstream("old2", 80)
+    off_new = 93
+    new_doc = hexstream("new", off_new) + span + hexstream("new2", 40)
+    corpus = spark.createDataFrame(
+        [(1, corpus_doc)], "doc_id long, text string"
+    )
+    idx = gram_index(corpus)
+    src = str(tmp_path / "incoming")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(2, new_doc)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(f"{src}/b=0")
+    stream = spark.readStream.schema(
+        "doc_id long, text string"
+    ).parquet(src)
+    anchors = drain_stream_to_parquet(
+        substring_anchor_stream(stream, idx), str(tmp_path / "drain")
+    )
+    out = spans_from_anchors(anchors).collect()
+
+    rel = [
+        i
+        for i in range(len(span) - 63)
+        if hashlib.md5(span[i : i + 64].encode()).hexdigest().startswith("0")
+    ]
+    assert rel, "planted span must contain a selected gram"
+    expected = (off_new + rel[-1] + 1 + 63) - (off_new + rel[0] + 1) + 1
+    assert len(out) == 1
+    assert out[0]["batch_id"] == 2
+    assert out[0]["n_spans"] == 1
+    assert out[0]["removable_chars"] == expected
+    idx.unpersist()
