@@ -933,3 +933,49 @@ def test_streaming_substring_spans_recover_planted_span(spark, tmp_path):
     assert out[0]["n_spans"] == 1
     assert out[0]["removable_chars"] == expected
     idx.unpersist()
+
+
+def test_streaming_probes_handle_short_documents(spark, tmp_path):
+    """Degenerate incoming docs — too short to shingle (minhash) or
+    shorter than one gram (substring) — must flow through the streaming
+    probes without error and emit nothing, matching the batch paths'
+    drop semantics."""
+    import os
+
+    from personal_data_lakehouse_spark.dedup.minhash import (
+        neardup_candidate_stream,
+    )
+    from personal_data_lakehouse_spark.dedup.substring import (
+        gram_index,
+        substring_anchor_stream,
+    )
+    from personal_data_lakehouse_spark.streaming.windows import (
+        drain_stream_to_parquet,
+    )
+
+    corpus = t(spark, SF_DIR, "documents").select("doc_id", "text").limit(50)
+    tiny = spark.createDataFrame(
+        [(9001, "two words"), (9002, "a"), (9003, "")],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "tiny")
+    os.makedirs(src)
+    tiny.coalesce(1).write.parquet(f"{src}/b=0")
+
+    stream1 = spark.readStream.schema(tiny.schema).parquet(src)
+    assert (
+        drain_stream_to_parquet(
+            neardup_candidate_stream(stream1, corpus),
+            str(tmp_path / "d1"),
+        ).count()
+        == 0
+    )
+    idx = gram_index(corpus)
+    stream2 = spark.readStream.schema(tiny.schema).parquet(src)
+    assert (
+        drain_stream_to_parquet(
+            substring_anchor_stream(stream2, idx), str(tmp_path / "d2")
+        ).count()
+        == 0
+    )
+    idx.unpersist()
