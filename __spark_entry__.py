@@ -81,9 +81,14 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # Also queued for r7 (plan-only fix + window slot together): apply the
 # coalesce-before-persist idiom (see q_anomaly_mad / r6's m_triangle_count)
 # to the cached intermediates of t_dedup_cluster_stats, s_ann_recall_eval,
-# m_pagerank_top20, and s_knn_incremental — each pays 200-near-empty-task
-# stages under a vanilla 200-partition driver session (measured 6.8s /
-# 6.5s / 5.3s / 2.8s at sf0.01 in the r6 full sweep).
+# and s_knn_incremental — each pays 200-near-empty-task stages under a
+# vanilla 200-partition driver session (measured 6.8s / 6.5s / 2.8s at
+# sf0.01 in the r6 full sweep). Coalesce ONLY caches whose downstream
+# stages don't reuse the cached hash layout: m_pagerank_top20 is
+# deliberately EXCLUDED — its 200-partition edge cache carries
+# hashpartitioning(src) that every iteration's join reuses, so a
+# coalesce would trade task-count overhead for 3 extra edge-list
+# shuffles and lose at scale.
 _PRIORITY = [
     # (a) code changed in r6 (+ the r6 addition) — must re-prove
     "t_substring_dedup",
