@@ -89,6 +89,26 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # hashpartitioning(src) that every iteration's join reuses, so a
 # coalesce would trade task-count overhead for 3 extra edge-list
 # shuffles and lose at scale.
+# r7 window arithmetic (precomputed from the r1-r5 ledgers): 11 TPC-H
+# r2-latest + 3 coalesce-fix queries + any r7 additions, refilled from
+# the 49 r3-latest rows (oldest evidence after this round):
+# m_binary_meta, m_frame_sample, q12_priority_split, q_bloom_semi_join,
+# q_corr, q_cross_join, q_event_dedup, q_explode_arrays,
+# q_first_last_frames, q_funnel, q_funnel_time_bound,
+# q_higher_order_funcs, q_histogram, q_hypertable_rollup,
+# q_latest_per_key, q_map_roundtrip, q_mapinpandas_tokens,
+# q_mode_per_group, q_not_in_null_semantics, q_ntile_cume,
+# q_open_order_concurrency, q_pct_of_total, q_percentiles, q_pivot_wide,
+# q_posexplode_tokens, q_ranking_functions, q_regr_slope,
+# q_retention_cohort, q_salted_two_stage_agg, q_scalar_subquery,
+# q_semi_join_api, q_sessionize, q_union_by_name, q_unpivot,
+# q_weighted_median, q_window_range_frame, t_bigram_familiarity,
+# t_char_trigram_profile, t_chunk_documents, t_dedup_clusters,
+# t_doc_term_rarity, t_mix_weighted, t_pack_sequences,
+# t_pack_sequences_sharded, t_pii_scrub, t_repetition_ratio,
+# t_sample_bernoulli_hash, t_sample_stratified, t_udtf_word_windows
+# (what misses the r7 cap rolls to r8, which then holds every row
+# within the trailing-3-round target).
 _PRIORITY = [
     # (a) code changed in r6 (+ the r6 addition) — must re-prove
     "t_substring_dedup",
