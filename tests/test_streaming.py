@@ -979,3 +979,87 @@ def test_streaming_probes_handle_short_documents(spark, tmp_path):
         == 0
     )
     idx.unpersist()
+
+
+def test_spans_from_anchors_matches_bruteforce_on_random_corpora(spark):
+    """The incremental span consumer must match a pure-Python
+    recomputation on randomized phrase-pool corpora: anchors from the
+    module's own probe (batch mode), spans/union recomputed
+    independently from the anchor rows."""
+    import hashlib
+    import random
+    from collections import defaultdict
+
+    from personal_data_lakehouse_spark.dedup.substring import (
+        gram_index,
+        positional_grams,
+        spans_from_anchors,
+    )
+
+    def hexstream(seed, n):
+        out = ""
+        i = 0
+        while len(out) < n:
+            out += hashlib.md5(f"{seed}:{i}".encode()).hexdigest()
+            i += 1
+        return out[:n]
+
+    rng = random.Random(41)
+    phrases = [hexstream(f"sp{i}", 96).upper() for i in range(6)]
+    docs = [
+        (i, "".join(rng.choice(phrases) for _ in range(rng.randint(2, 4))))
+        for i in range(1, 11)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    corpus = df.filter(F.col("doc_id") <= 5)
+    batch = df.filter(F.col("doc_id") > 5)
+    idx = gram_index(corpus)
+    anchors = (
+        positional_grams(batch)
+        .select(F.col("doc_id").alias("batch_id"), F.col("p").alias("pb"), "gh")
+        .join(
+            idx.select(
+                F.col("doc_id").alias("corpus_id"), F.col("p").alias("pa"), "gh"
+            ),
+            "gh",
+        )
+        .select(
+            "batch_id", "corpus_id", "pb", "pa",
+            (F.col("pb") - F.col("pa")).alias("diff"),
+        )
+    )
+    anchor_rows = [
+        (r["batch_id"], r["corpus_id"], r["pb"], r["pa"]) for r in anchors.collect()
+    ]
+    assert anchor_rows, "random fixture produced no anchors"
+    got = {
+        r["batch_id"]: (r["n_spans"], r["removable_chars"])
+        for r in spans_from_anchors(anchors).collect()
+    }
+
+    # independent recomputation from the raw anchor rows
+    groups = defaultdict(list)
+    for bid, cid, pb, pa in anchor_rows:
+        groups[(bid, cid, pb - pa)].append(pb)
+    ivs = defaultdict(set)
+    for (bid, cid, diff), pbs in groups.items():
+        pbs.sort()
+        run = [pbs[0]]
+        for pb in pbs[1:]:
+            if pb - run[-1] > 256:
+                ivs[bid].add((run[0], run[-1] + 63))
+                run = [pb]
+            else:
+                run.append(pb)
+        ivs[bid].add((run[0], run[-1] + 63))
+    want = {}
+    for bid, intervals in ivs.items():
+        merged = []
+        for s, e in sorted(intervals):
+            if merged and s <= merged[-1][1] + 1:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        want[bid] = (len(merged), sum(e - s + 1 for s, e in merged))
+    assert got == want
+    idx.unpersist()
