@@ -274,8 +274,9 @@ def main() -> None:
             "execution; cold always measured on sweep 1. import_sec is "
             "the one-time registry import + queries() build. Quiet-box "
             "r4 reference: 12.1s warm / 23.1s cold (baseline17). "
-            "Measured 2026-08-14 (7 certified runs, identical code): "
-            "baseline17 spans 11.10-13.89s with guest loadavg "
+            "Measured 2026-08-14 (8 certified runs, identical code): "
+            "baseline17 spans 11.10-15.53s, monotonically slowing "
+            "over one evening with the guest idle, guest loadavg "
             "UNCORRELATED (11.1s at load 4, 13.4s at load 0.03) — the "
             "variance is host-side (steal), invisible to guest probes; "
             "judge cross-round deltas against the BAND, not a single "
