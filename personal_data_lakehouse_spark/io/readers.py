@@ -79,3 +79,45 @@ def write_orc(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.orc(path)
+
+
+def read_text_docs(
+    spark: SparkSession, path: str, one_doc_per: str = "line"
+) -> DataFrame:
+    """Raw-text corpus on-ramp — the most common LLM-training-data input
+    shape: a directory of ``.txt``/``.jsonl``-adjacent text where each
+    LINE (default) or each FILE is one document.
+
+    Emits ``(doc_id string, source string, text string)``:
+
+    - ``doc_id`` is the md5 of the content — CONTENT-ADDRESSED, so ids
+      are stable under re-partitioning, re-listing order, and re-ingest
+      (a ``monotonically_increasing_id`` would be none of those), and
+      exact dedup is a groupBy on the id itself;
+    - ``source`` is the originating file (``input_file_name``), the
+      provenance column the mixing/attribution operators key on;
+    - empty lines are dropped in line mode (blank separators, not docs).
+
+    Scale: ``text`` is a splittable source in line mode (files chop at
+    ``spark.sql.files.maxPartitionBytes``); ``wholetext`` mode is one
+    task per file — bin-pack many small files via
+    ``maxPartitionBytes``/coalesce downstream, same caveat as
+    ``read_media_dir``. The md5 id is a map-side expression; no shuffle
+    anywhere in the reader.
+    """
+    from pyspark.sql import functions as F
+
+    if one_doc_per not in ("line", "file"):
+        raise ValueError(f"one_doc_per must be 'line' or 'file', got {one_doc_per!r}")
+    reader = spark.read.format("text")
+    if one_doc_per == "file":
+        reader = reader.option("wholetext", "true")
+    raw = reader.load(path)
+    docs = raw.select(
+        F.md5(F.col("value").cast("binary")).alias("doc_id"),
+        F.input_file_name().alias("source"),
+        F.col("value").alias("text"),
+    )
+    if one_doc_per == "line":
+        docs = docs.filter(F.length("text") > 0)
+    return docs

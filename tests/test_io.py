@@ -119,3 +119,48 @@ def test_python_datasource_stock_rest(spark):
                 row["volume"],
             )
     assert got == want and len(got) == 15
+
+
+def test_read_text_docs_line_and_file_modes(spark, tmp_path):
+    """Content-addressed raw-text ingestion: line mode emits one doc per
+    non-empty line with md5 ids stable across re-reads and partition
+    layouts; file mode emits one doc per file; duplicate lines across
+    files share an id (exact dedup = groupBy doc_id)."""
+    import hashlib
+    import os
+
+    from personal_data_lakehouse_spark.io.readers import read_text_docs
+
+    d = str(tmp_path / "corpus")
+    os.makedirs(d)
+    with open(f"{d}/a.txt", "w") as f:
+        f.write("alpha doc one\n\nshared doc\n")
+    with open(f"{d}/b.txt", "w") as f:
+        f.write("shared doc\nbeta doc two\n")
+
+    docs = read_text_docs(spark, d)
+    rows = docs.collect()
+    assert len(rows) == 4  # blank line dropped
+    by_text = {}
+    for r in rows:
+        by_text.setdefault(r["text"], []).append(r)
+    assert set(by_text) == {"alpha doc one", "shared doc", "beta doc two"}
+    for text, rs in by_text.items():
+        want = hashlib.md5(text.encode()).hexdigest()
+        assert all(r["doc_id"] == want for r in rs)
+        assert all(os.path.basename(r["source"]) in ("a.txt", "b.txt") for r in rs)
+    # duplicate content across files shares one id -> exact dedup is groupBy
+    assert len(by_text["shared doc"]) == 2
+    assert docs.select("doc_id").distinct().count() == 3
+    # stable across a re-read
+    again = {r["doc_id"] for r in read_text_docs(spark, d).collect()}
+    assert again == {r["doc_id"] for r in rows}
+
+    whole = read_text_docs(spark, d, one_doc_per="file").collect()
+    assert len(whole) == 2
+    for r in whole:
+        assert r["doc_id"] == hashlib.md5(r["text"].encode()).hexdigest()
+    import pytest
+
+    with pytest.raises(ValueError):
+        read_text_docs(spark, d, one_doc_per="paragraph")
