@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -100,9 +101,12 @@ HEADLINE = R1_BASELINE + [
 # re-measurement (up to MAX_EXTRA extra runs; median over all samples).
 SPREAD_RETRY = 1.5
 MAX_EXTRA = 2
-# Whole-sweep retry: repeat the warm sweep while the canary certifies the
-# host noisy, up to this many total sweeps; keep the quietest.
-MAX_SWEEPS = 3
+# Official record = pooled median over at least this many QUIET sweeps
+# (VERDICT r6 item 6: the documented 11.10-15.53s host band makes any
+# single sweep ±20% noise — spend the wall-clock). Noisy sweeps don't
+# count toward the quorum; give up after MAX_SWEEPS total either way.
+MIN_QUIET_SWEEPS = 3
+MAX_SWEEPS = 5
 QUIET_SPREAD = 2.0
 
 
@@ -171,12 +175,14 @@ def warm_sweep(spark, qs, names, sf_dir, cold_out=None):
             runs.append(round(time.perf_counter() - t0, 3))
             extra += 1
         warm_runs[name] = runs
-        timings[name] = sorted(runs)[len(runs) // 2]
+        # true median — sorted()[n//2] is the UPPER-middle element when
+        # retries make the sample count even, biasing the record high
+        timings[name] = round(statistics.median(runs), 3)
         canary_runs[name] = canary(spark)
         # no cached-block carryover between queries (registry contract)
         spark.catalog.clearCache()
     c_vals = sorted(canary_runs.values())
-    c_med = c_vals[len(c_vals) // 2]
+    c_med = statistics.median(c_vals)
     c_p90 = c_vals[min(int(len(c_vals) * 0.9), len(c_vals) - 1)]
     spread = round(c_p90 / max(c_med, 1e-9), 2)
     return {
@@ -213,11 +219,30 @@ def main() -> None:
 
     cold_out = {"cold_plan": {}, "cold_exec": {}, "cold_queries": {}}
     sweeps = [warm_sweep(spark, qs, names, sf_dir, cold_out=cold_out)]
-    while not sweeps[-1]["quiet"] and len(sweeps) < MAX_SWEEPS:
+    while (
+        sum(s["quiet"] for s in sweeps) < MIN_QUIET_SWEEPS
+        and len(sweeps) < MAX_SWEEPS
+    ):
         sweeps.append(warm_sweep(spark, qs, names, sf_dir))
-    best = min(sweeps, key=lambda s: s["canary_spread"])
+    official = [s for s in sweeps if s["quiet"]] or sweeps
 
-    timings = best["timings"]
+    # Pooled per-query median over every warm run of every OFFICIAL sweep
+    # (≥9 samples per query on a quiet box) — one sweep landing in a host
+    # slow-phase can no longer move the record by itself.
+    timings = {
+        n: round(
+            statistics.median(
+                [r for s in official for r in s["warm_runs"][n]]
+            ),
+            3,
+        )
+        for n in names
+    }
+    worst_spread = max(s["canary_spread"] for s in official)
+    retried_any = sorted({n for s in official for n in s["retried"]})
+    canary_all = {
+        f"sweep{i}": s["canary_runs"] for i, s in enumerate(official)
+    }
     total = round(sum(timings.values()), 3)
     baseline17 = round(sum(timings[n] for n in R1_BASELINE if n in timings), 3)
     headline = {
@@ -226,9 +251,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "baseline17": baseline17,
-        "canary_spread": best["canary_spread"],
-        "quiet_box": best["quiet"],
+        "canary_spread": worst_spread,
+        "quiet_box": all(s["quiet"] for s in official),
         "n_sweeps": len(sweeps),
+        "n_official_sweeps": len(official),
         # cold attribution (VERDICT r5 item 5): registry import is a
         # one-time ~0.05s — the r3->r5 cold-total drift is first-execution
         # cost of a growing headline set (codegen compile + run), which
@@ -242,7 +268,10 @@ def main() -> None:
     }
     full = dict(
         headline,
-        warm_runs=best["warm_runs"],
+        warm_runs={
+            n: [r for s in official for r in s["warm_runs"][n]]
+            for n in names
+        },
         cold_queries=cold_out["cold_queries"],
         cold_plan=cold_out["cold_plan"],
         cold_exec=cold_out["cold_exec"],
@@ -250,8 +279,8 @@ def main() -> None:
         cold_exec_total=round(sum(cold_out["cold_exec"].values()), 3),
         cold_total=round(sum(cold_out["cold_queries"].values()), 3),
         import_sec=import_sec,
-        canary_runs=best["canary_runs"],
-        retried=best["retried"],
+        canary_runs=canary_all,
+        retried=retried_any,
         sweep_spreads=[s["canary_spread"] for s in sweeps],
         sweep_loadavg=[s["loadavg"] for s in sweeps],
         sweep_baseline17=[
@@ -261,12 +290,15 @@ def main() -> None:
         notes=(
             "Contention certificate: canary_spread = p90/median over a "
             "fixed-cost probe timed before the sweep and after every "
-            "query; quiet_box true means the host stayed within 2x for "
-            "the OFFICIAL sweep. A noisy sweep is re-run up to twice "
-            "(n_sweeps; sweep_spreads/sweep_baseline17 record every "
-            "attempt) and the quietest becomes official — treat any "
-            "per-query regression in a quiet_box=false record as "
-            "contention until it reproduces quietly. Queries in "
+            "query; reported value is the WORST spread among official "
+            "sweeps. Official record (r7, VERDICT r6 item 6) = pooled "
+            "per-query median over every warm run of >=3 QUIET sweeps "
+            "(n_official_sweeps; noisy sweeps are excluded from the pool "
+            "and re-run, up to 5 total — sweep_spreads/sweep_baseline17 "
+            "record every attempt). quiet_box=false means the quorum was "
+            "never reached and ALL sweeps were pooled — treat any "
+            "regression in such a record as contention until it "
+            "reproduces quietly. Queries in "
             "'retried' spread >1.5x across their first warm triple and "
             "were re-run (median over all samples). cold_plan is "
             "DataFrame construction (Catalyst analysis + any O(K) "

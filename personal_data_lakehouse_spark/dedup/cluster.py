@@ -56,12 +56,24 @@ def connected_components(
     # would otherwise execute the (possibly expensive) edge-producing plan
     # upstream (e.g. the full MinHash-LSH pipeline) once per branch, and
     # the loop re-reads the result every round.
-    e0 = edges.select(
-        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
-    ).localCheckpoint()
+    # coalesce before every checkpoint: a checkpointed plan keeps its
+    # upstream shuffle partitioning (AQE cannot re-coalesce it), so the
+    # edge-incident subgraph — orders of magnitude smaller than whatever
+    # produced it — would otherwise drag one task per producer shuffle
+    # partition through EVERY propagation round (~5 rounds × 4 stages ×
+    # 200 near-empty tasks under a vanilla session; the measured
+    # t_dedup_cluster_stats fix). defaultParallelism = one task per core,
+    # the same idiom as m_triangle_count's edge cache.
+    npart = edges.sparkSession.sparkContext.defaultParallelism
+    e0 = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .coalesce(npart)
+        .localCheckpoint()
+    )
     sym = (
         e0.union(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
+        .coalesce(npart)
         .localCheckpoint()
     )
     node_set = (
@@ -69,33 +81,40 @@ def connected_components(
         if nodes is None
         else nodes
     )
-    labels = node_set.select(
-        F.col(node_col).alias("node"), F.col(node_col).alias("label")
-    ).localCheckpoint()
+    labels = (
+        node_set.select(
+            F.col(node_col).alias("node"), F.col(node_col).alias("label")
+        )
+        .coalesce(npart)
+        .localCheckpoint()
+    )
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym.b == labels.node)
             .groupBy("a")
             .agg(F.min("label").alias("nbr_min"))
         )
-        new_labels = (
+        # The changed flag rides INSIDE the checkpointed round (it is
+        # already known at the least() comparison), so convergence
+        # detection is a map-side sum over the checkpointed rows instead
+        # of a second join job per round — halves the loop's job count.
+        stepped = (
             labels.join(nbr_min, labels.node == nbr_min.a, "left")
             .select(
                 labels.node,
                 F.least(
                     labels.label, F.coalesce(F.col("nbr_min"), labels.label)
                 ).alias("label"),
+                (F.coalesce(F.col("nbr_min"), labels.label) < labels.label)
+                .cast("int")
+                .alias("_chg"),
             )
+            .coalesce(npart)
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        changed = stepped.agg(F.sum("_chg")).first()[0]
+        labels = stepped.drop("_chg")
+        if not changed:
             return labels
     raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
 
@@ -119,20 +138,28 @@ def dedup_clusters(
     # shuffles the sparse edge-node set per round while the 100 TB corpus
     # is touched exactly once, by the final left join.
     cc = connected_components(pairs, node_col=id_col, src_col=id_a, dst_col=id_b)
-    labeled = (
+    # Cluster sizes come from the tiny label table (every non-singleton
+    # member is edge-incident, so it IS in cc), with absent docs
+    # defaulting to size 1 — NOT from a corpus-wide
+    # Window.partitionBy(cluster_id), which would shuffle all 100 TB of
+    # doc ids a second time just to count the handful of multi-member
+    # clusters. The corpus is now touched by exactly one join (broadcast
+    # when the edge-incident subgraph fits, AQE decides).
+    sizes = cc.groupBy("label").agg(F.count(F.lit(1)).alias("_csz"))
+    labeled = cc.join(sizes, "label").select(
+        "node", F.col("label").alias("_cl"), "_csz"
+    )
+    return (
         docs.select(id_col)
-        .join(cc, F.col(id_col) == cc.node, "left")
+        .join(labeled, F.col(id_col) == labeled.node, "left")
         .select(
             F.col(id_col),
-            F.coalesce(F.col("label"), F.col(id_col)).alias("cluster_id"),
+            F.coalesce(F.col("_cl"), F.col(id_col)).alias("cluster_id"),
+            (
+                F.coalesce(F.col("_cl"), F.col(id_col)) == F.col(id_col)
+            ).alias("is_canonical"),
+            F.coalesce(F.col("_csz"), F.lit(1)).cast("long").alias(
+                "cluster_size"
+            ),
         )
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("cluster_id")
-    return labeled.select(
-        F.col(id_col),
-        F.col("cluster_id"),
-        (F.col(id_col) == F.col("cluster_id")).alias("is_canonical"),
-        F.count("*").over(w).alias("cluster_size"),
     )

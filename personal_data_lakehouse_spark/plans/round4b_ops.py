@@ -617,11 +617,10 @@ def q_stream_dedup(spark, sf_dir):
     executor-written files (the memory sink this replaces held the FULL
     key set — O(users × types) — in driver memory), and only the
     ≤|event_types|-row rollup reaches the driver."""
-    import tempfile
-
     from personal_data_lakehouse_spark.streaming.windows import (
         drain_stream_to_parquet,
         stream_events,
+        stream_work_dir,
     )
 
     s = stream_events(spark, f"{sf_dir}/events.parquet")
@@ -630,7 +629,7 @@ def q_stream_dedup(spark, sf_dir):
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
-    work = tempfile.mkdtemp(prefix="pdl_sdedup_")
+    work = stream_work_dir("sdedup")
     keys = drain_stream_to_parquet(deduped, work)
     return keys.groupBy("event_type").agg(
         F.count_distinct("user_id").alias("n_users")

@@ -676,12 +676,11 @@ def q_stream_stream_join(spark, sf_dir):
     stream lands distributed in executor-written parquet (the memory sink
     this replaces accumulated every pair in driver memory — linear in
     stream length); only the ≤20-row rollup ever reaches the driver."""
-    import tempfile
-
     from personal_data_lakehouse_spark.streaming.windows import (
         attribution_join,
         drain_stream_to_parquet,
         stream_events,
+        stream_work_dir,
     )
 
     views = stream_events(spark, f"{sf_dir}/events.parquet").filter(
@@ -691,7 +690,7 @@ def q_stream_stream_join(spark, sf_dir):
         F.col("event_type") == "click"
     )
     joined = attribution_join(views, clicks, "30 minutes", "30 minutes")
-    work = tempfile.mkdtemp(prefix="pdl_ssjoin_")
+    work = stream_work_dir("ssjoin")
     pairs = drain_stream_to_parquet(joined, work)
     return (
         pairs.groupBy("user_id")
@@ -1168,9 +1167,17 @@ def s_ann_recall_eval(spark, sf_dir):
     which is exactly what the 8-query fixture set models."""
     from personal_data_lakehouse_spark.plans.registry import REGISTRY
 
+    # coalesce before persist: the exact top-k ends in a qid window whose
+    # 200-partition shuffle layout the cache would otherwise pin onto both
+    # downstream hit-joins and the left-join refill — 200 near-empty tasks
+    # per stage for 40 ground-truth rows (the measured s_ann_recall_eval
+    # fix). Nothing downstream reuses the cached hash layout.
     exact = (
-        REGISTRY["s_cosine_topk"].fn(spark, sf_dir).select("qid", "vec_id")
-    ).persist()
+        REGISTRY["s_cosine_topk"].fn(spark, sf_dir)
+        .select("qid", "vec_id")
+        .coalesce(spark.sparkContext.defaultParallelism)
+        .persist()
+    )
     qids = exact.select("qid").distinct()
     parts = []
     for method, name in (("ivf", "s_ivf_ann_topk"), ("srp", "s_srp_ann_topk")):
@@ -1498,16 +1505,15 @@ def q_stream_tumbling_agg(spark, sf_dir):
     materializes the rollup (the complete-mode memory sink this replaces
     re-emitted the FULL aggregate every micro-batch into driver memory,
     linear in the stream's time span)."""
-    import tempfile
-
     from personal_data_lakehouse_spark.streaming.windows import (
-        SENTINEL_EVENT_TYPE,
+        SENTINEL_CUTOFF_US,
         drain_stream_to_parquet,
         stream_events,
+        stream_work_dir,
         watermark_flush_events,
     )
 
-    work = tempfile.mkdtemp(prefix="pdl_stumb_")
+    work = stream_work_dir("stumb")
     s = stream_events(spark, f"{sf_dir}/events.parquet").filter(
         F.col("ts").isNotNull()
     )
@@ -1528,8 +1534,10 @@ def q_stream_tumbling_agg(spark, sf_dir):
             "total_cents",
         )
     )
+    # sentinel rows are excluded by their far-future WINDOW TIME, not by
+    # business keys — a real event typed '__sentinel__' would survive
     return drain_stream_to_parquet(agg, work).filter(
-        F.col("event_type") != SENTINEL_EVENT_TYPE
+        F.col("window_start_us") < SENTINEL_CUTOFF_US
     )
 
 
@@ -1579,16 +1587,15 @@ def q_stream_session_agg(spark, sf_dir):
     bounded by sessions closing in that batch, never session history (the
     complete-mode memory sink this replaces re-emitted every session ever
     closed, each micro-batch, into driver memory)."""
-    import tempfile
-
     from personal_data_lakehouse_spark.streaming.windows import (
-        SENTINEL_USER_ID,
+        SENTINEL_CUTOFF,
         drain_stream_to_parquet,
         stream_events,
+        stream_work_dir,
         watermark_flush_events,
     )
 
-    work = tempfile.mkdtemp(prefix="pdl_ssess_")
+    work = stream_work_dir("ssess")
     s = (
         stream_events(spark, f"{sf_dir}/events.parquet")
         .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
@@ -1604,8 +1611,10 @@ def q_stream_session_agg(spark, sf_dir):
             "n_events",
         )
     )
+    # sentinel exclusion by far-future SESSION TIME, not by user_id — a
+    # real fixture user -1 would survive
     finalized = drain_stream_to_parquet(sess, work).filter(
-        F.col("user_id") != SENTINEL_USER_ID
+        F.col("session_start") < F.lit(SENTINEL_CUTOFF).cast("timestamp")
     )
     return finalized.groupBy(
         F.col("n_events").alias("session_len")
@@ -1649,16 +1658,15 @@ def q_stream_sliding_agg(spark, sf_dir):
     not state retention — watermark expiry still bounds memory, append
     emission stays bounded per batch, and the driver materializes
     nothing."""
-    import tempfile
-
     from personal_data_lakehouse_spark.streaming.windows import (
-        SENTINEL_EVENT_TYPE,
+        SENTINEL_CUTOFF_US,
         drain_stream_to_parquet,
         stream_events,
+        stream_work_dir,
         watermark_flush_events,
     )
 
-    work = tempfile.mkdtemp(prefix="pdl_sslide_")
+    work = stream_work_dir("sslide")
     s = stream_events(spark, f"{sf_dir}/events.parquet").filter(
         F.col("ts").isNotNull()
     )
@@ -1673,8 +1681,9 @@ def q_stream_sliding_agg(spark, sf_dir):
             "n_events",
         )
     )
+    # sentinel exclusion by far-future window time (see q_stream_tumbling_agg)
     return drain_stream_to_parquet(agg, work).filter(
-        F.col("event_type") != SENTINEL_EVENT_TYPE
+        F.col("window_start_us") < SENTINEL_CUTOFF_US
     )
 
 

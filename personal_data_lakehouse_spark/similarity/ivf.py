@@ -67,9 +67,19 @@ def assign_cells(
     Map-only against the broadcast codebook; the per-vector argmax is a
     window over k_cells rows, and the window's shuffle materializes
     ``_vn`` for all downstream consumers.
+
+    Zero-norm guard: a zero vector (or zero centroid) makes cosine 0/0 =
+    NaN, and Spark's ``desc`` ordering ranks NaN FIRST while the streaming
+    probe's ``sort_array`` ranks it LAST — the two paths would pick
+    different cells. Both paths therefore map a zero denominator to -inf
+    (rank last, ties broken by lower cid), keeping cell selection
+    bit-identical stream-vs-batch even on degenerate input.
     """
     w = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.col("cid"))
-    csim = F.expr(dot_expr(vec_col, "ce")) / (F.col("_vn") * F.col("_cen"))
+    denom = F.col("_vn") * F.col("_cen")
+    csim = F.when(denom == 0, F.lit(float("-inf"))).otherwise(
+        F.expr(dot_expr(vec_col, "ce")) / denom
+    )
     return (
         vectors.withColumn("_vn", norm_col(vec_col))
         .crossJoin(F.broadcast(cents))
@@ -98,7 +108,20 @@ def ivf_topk(
     broadcast — the join is cell-local. Both sides reuse the norms the
     assignment stage already materialized.
     """
-    cells = assign_cells(candidates, cents, cand_id, cand_vec, n=1).persist()
+    # coalesce before persist: the cached cell index keeps the assignment
+    # window's shuffle partitioning (AQE cannot re-coalesce a cached plan);
+    # without this the probe join and top-k window each run one task per
+    # shuffle partition — 200 near-empty tasks per stage under a vanilla
+    # session (the measured s_knn_incremental fix). Downstream joins are
+    # keyed on `cell`, not the cached id-hash layout, so no co-partitioning
+    # is lost (unlike m_pagerank_top20, where the cache layout IS the join
+    # key and coalescing would add shuffles).
+    spark = candidates.sparkSession
+    cells = (
+        assign_cells(candidates, cents, cand_id, cand_vec, n=1)
+        .coalesce(spark.sparkContext.defaultParallelism)
+        .persist()
+    )
     probes = assign_cells(
         queries, cents, query_id, query_vec, n=nprobe
     ).withColumnRenamed("_vn", "_qn")
@@ -130,8 +153,15 @@ def ivf_blocked_neardup(
     # Persist the assigned cells: the self-join consumes this subtree twice
     # (and a broadcast build side would otherwise re-execute the whole
     # assignment, re-inlining the norm folds per pair). Tiny: one row per
-    # vector. At cluster scale this is the written cell index.
-    cells = assign_cells(candidates, cents, cand_id, cand_vec, n=1).persist()
+    # vector. At cluster scale this is the written cell index. Coalesced
+    # first — the self-join re-shuffles on `cell` either way, so keeping
+    # the window's 200-partition id-hash layout only costs task overhead.
+    spark = candidates.sparkSession
+    cells = (
+        assign_cells(candidates, cents, cand_id, cand_vec, n=1)
+        .coalesce(spark.sparkContext.defaultParallelism)
+        .persist()
+    )
     a = cells.select(
         F.col("cell"),
         F.col(cand_id).alias("id_a"),
@@ -198,8 +228,11 @@ def ann_candidate_stream(
         df = df.withColumn(
             cname, F.array(*[F.lit(float(v)) for v in r["ce"]])
         )
-        csim = F.expr(dot_expr("qe", cname)) / (
-            F.col("_qn") * F.lit(float(r["_cen"]))
+        # zero-norm → -inf, mirroring assign_cells (NaN would sort LAST
+        # here but FIRST under the batch window's desc — see assign_cells)
+        denom = F.col("_qn") * F.lit(float(r["_cen"]))
+        csim = F.when(denom == 0, F.lit(float("-inf"))).otherwise(
+            F.expr(dot_expr("qe", cname)) / denom
         )
         structs.append(
             F.struct(

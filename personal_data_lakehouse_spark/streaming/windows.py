@@ -155,6 +155,42 @@ def attribution_join(
 SENTINEL_EVENT_TYPE = "__sentinel__"
 SENTINEL_USER_ID = -1
 _SENTINEL_TS = "2100-01-01 00:00:00"
+# Read-back filter boundary: any window/session starting at or after this
+# instant can only contain the sentinel (real fixture event time is ~2024;
+# the sentinel is pinned to 2100). Consumers filter sentinel OUTPUT rows by
+# this TIME bound, never by the sentinel's business-column keys — a real
+# fixture row that happened to collide with (user_id = -1,
+# event_type = '__sentinel__') would otherwise be silently dropped from
+# the parity results.
+SENTINEL_CUTOFF = "2090-01-01 00:00:00"
+SENTINEL_CUTOFF_US = 3786912000000000  # epoch microseconds of the cutoff
+
+
+def stream_work_dir(name: str) -> str:
+    """Per-query streaming work dir, REUSED (wiped + recreated) per call.
+
+    ``tempfile.mkdtemp`` per invocation leaked the full sink output of
+    every run — bench/correctness drivers invoke each streaming query 4+
+    times per sweep, accumulating key/pair-stream parquet in the OS
+    tempdir indefinitely. A deterministic per-query path bounds disk use
+    to ONE run's output; the wipe happens at the START of the next call
+    (the returned DataFrame reads the previous sink lazily, so it cannot
+    be deleted in-call), and ``atexit`` removes the whole root when the
+    process ends.
+    """
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(), "pdl_stream_work")
+    if not getattr(stream_work_dir, "_atexit_registered", False):
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        stream_work_dir._atexit_registered = True
+    d = os.path.join(root, name)
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    return d
 
 
 def watermark_flush_events(

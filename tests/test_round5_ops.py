@@ -1122,3 +1122,36 @@ def test_substring_dedup_multibyte_span(spark, tmp_path):
     assert set(rows) == {2}
     assert rows[2]["removable_chars"] == e - s + 1  # CHAR count, not bytes
     assert rows[2]["n_chars"] == len(docs[1][1])
+
+
+def test_fixture_docs_stay_under_oracle_gram_pos_bound():
+    """The t_crossdoc_spans / t_substring_dedup ORACLES enumerate gram
+    positions via a constant ``range(0, _MAX_GRAM_POS)`` (DuckDB's range()
+    rejects both lateral column bounds and scalar-subquery bounds, so the
+    bound cannot be derived from the data in SQL), while the Spark side
+    enumerates EVERY position with an unbounded sequence(). A fixture doc
+    longer than _MAX_GRAM_POS + gram_len - 1 chars would therefore produce
+    a silent false differential mismatch. Guard every shipped fixture SF
+    so fixture growth trips a loud test instead."""
+    import glob
+    import os
+
+    import duckdb
+
+    from personal_data_lakehouse_spark.plans.round5_ops import (
+        _GRAM_LEN,
+        _MAX_GRAM_POS,
+    )
+
+    bound = _MAX_GRAM_POS + _GRAM_LEN - 1
+    checked = 0
+    for path in sorted(glob.glob("/root/testdata/sf*/documents.parquet")):
+        mx = duckdb.sql(
+            f"SELECT COALESCE(MAX(LENGTH(text)), 0) FROM '{path}'"
+        ).fetchone()[0]
+        assert mx <= bound, (
+            f"{path}: max doc length {mx} exceeds the oracle position bound "
+            f"{bound}; raise _MAX_GRAM_POS in plans/round5_ops.py"
+        )
+        checked += 1
+    assert checked >= 1, "no fixture documents.parquet found to guard"

@@ -1063,3 +1063,64 @@ def test_spans_from_anchors_matches_bruteforce_on_random_corpora(spark):
         want[bid] = (len(merged), sum(e - s + 1 for s, e in merged))
     assert got == want
     idx.unpersist()
+
+
+def test_ann_probe_zero_norm_vector_picks_same_cells_as_batch(spark):
+    """Degenerate-input parity: a zero-norm query vector makes cosine
+    0/0 = NaN, which Spark's desc window ranks FIRST while sort_array
+    ranks LAST — without the -inf guard the streaming probe would pick
+    different cells than assign_cells. Both paths must agree (all-(-inf)
+    ties break to the lowest cids) on zero queries AND zero centroids."""
+    from personal_data_lakehouse_spark.similarity.ivf import (
+        ann_candidate_stream,
+        assign_cells,
+        pick_centroids,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 0.0]),  # zero-norm CENTROID candidate
+        (10, [0.5, 0.5, 0.0]),
+        (11, [0.0, 0.0, 0.0]),  # zero-norm corpus vector
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    cents = pick_centroids(emb, [1, 2, 3])
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    cells = assign_cells(corpus, cents, "vec_id", "embedding", n=1)
+
+    queries = spark.createDataFrame(
+        [(100, [0.0, 0.0, 0.0]), (101, [1.0, 1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    # ann_candidate_stream's plan is pure generate/map/join — it runs
+    # identically over a batch frame, which is exactly what makes the
+    # stream/batch parity provable
+    got = {
+        (r["qid"], r["cand_id"])
+        for r in ann_candidate_stream(
+            queries, cells, cents, nprobe=2
+        ).collect()
+    }
+    probes = assign_cells(
+        queries.withColumnRenamed("vec_id", "qid"),
+        cents,
+        "qid",
+        "embedding",
+        n=2,
+    ).select("qid", "cell")
+    want = {
+        (r["qid"], r["vec_id"])
+        for r in probes.join(
+            cells.select("vec_id", "cell"), "cell"
+        ).collect()
+    }
+    assert got == want
+    # the zero query must still probe exactly 2 cells — the lowest cids
+    zq = {
+        r["cell"]
+        for r in probes.filter(F.col("qid") == 100).collect()
+    }
+    assert zq == {1, 2}
