@@ -1,0 +1,273 @@
+"""Round-7 registered queries: the raw-text corpus on-ramp proven
+end-to-end, and the streaming exact-substring probe proven batch-equal.
+
+Both close round-6 verdict items: `read_text_docs` (io/readers.py) had
+pytest coverage but no driver-hashed row wiring a raw text directory
+through the intake funnel, and the streaming substring-anchor probe
+(dedup/substring.py) was pytest-pinned but never oracle-hashed.
+
+Reference capability: the reference ingests API/CSV payloads into bronze
+with content-keyed MERGE dedup (pipelines/stock_api/ingest_stocks.py:61-100);
+the raw-text on-ramp is the LLM-corpus analogue of that bronze intake
+(files → content-addressed ids → dedup → quality gate), and the streaming
+probe is the online form of the Lee-et-al substring dedup extension
+(BASELINE.json north star).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from personal_data_lakehouse_spark.plans.registry import query, t
+
+# --- shared DuckDB fragments (mirror functions.text exactly) ---------------
+_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+_TOKS = f"string_split({_NORM}, ' ')"
+
+# Intake gates (documented policy, mirrored verbatim in the oracle):
+# long enough to train on, enough whitespace tokens to be prose, and at
+# least half the characters ASCII-alphabetic (a deliberately latin-script
+# gate — the fixtures' zh documents exercise the reject path).
+_MIN_CHARS = 100
+_MIN_TOKENS = 10
+
+
+@query(
+    "q_text_intake",
+    oracle=rf"""
+    WITH lines AS (
+        SELECT translate(text, chr(10) || chr(13), '  ') AS text
+        FROM documents WHERE text IS NOT NULL
+    ),
+    d AS (
+        SELECT md5(text) AS doc_id, text, COUNT(*) AS n_copies
+        FROM lines WHERE length(text) > 0 GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(n_copies AS BIGINT) AS n_copies,
+           CAST(length(text) AS INT) AS n_chars,
+           CAST(len({_TOKS}) AS INT) AS n_tokens_ws,
+           CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS INT)
+               AS n_alpha,
+           (length(text) >= {_MIN_CHARS}
+            AND len({_TOKS}) >= {_MIN_TOKENS}
+            AND 2 * length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                >= length(text)) AS admitted
+    FROM d
+    """,
+)
+def q_text_intake(spark, sf_dir):
+    """Raw-text corpus intake funnel, END-TO-END from actual text FILES:
+    the documents fixture is materialized as a plain-text directory (one
+    doc per line, newlines collapsed — the most common LLM-training-data
+    input shape), read back through ``read_text_docs`` (content-addressed
+    md5 ids, provenance column, blank-line drop), exact-deduped on the
+    content id, and scored through the intake quality gates
+    (length / whitespace-token / latin-alpha ratios). One row per UNIQUE
+    document: its duplicate count and admit/reject decision.
+
+    The oracle recomputes the same funnel from the ``documents`` view
+    directly — valid precisely BECAUSE the reader's ids are
+    content-addressed: md5(line) is reproducible from the source rows,
+    independent of file layout, listing order, or the temp directory
+    path (nothing path-derived is emitted).
+
+    Scale: the text source is splittable in line mode (files chop at
+    maxPartitionBytes); the md5 id is a map-side expression; the funnel
+    is one groupBy on the id plus map-side gate expressions — no second
+    corpus shuffle, no window, no UDF. The write stage exists only to
+    manufacture the file fixture; a real deployment points
+    ``read_text_docs`` at the crawl directory. Integer gate arithmetic
+    (2·n_alpha ≥ n_chars), so no float crosses an engine boundary.
+
+    Reference parity: ingest_stocks.py:61-100 (content-keyed bronze
+    intake with dedup); SURVEY.md §2 S6+ (raw-text reader)."""
+    from personal_data_lakehouse_spark.functions.text import (
+        token_count_whitespace,
+    )
+    from personal_data_lakehouse_spark.io.readers import read_text_docs
+    from personal_data_lakehouse_spark.streaming.windows import (
+        stream_work_dir,
+    )
+
+    work = stream_work_dir("textintake")
+    src = f"{work}/txt"
+    (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(F.translate("text", "\n\r", "  ").alias("value"))
+        # deterministic multi-file layout (hash of the content itself) so
+        # the read-back exercises a real multi-file directory scan; the
+        # output is layout-independent either way
+        .repartition(8, F.col("value"))
+        .write.text(src)
+    )
+    raw = read_text_docs(spark, src, one_doc_per="line")
+    per_doc = raw.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        # all copies of a content-addressed id carry identical text;
+        # MIN is a deterministic representative pick
+        F.min("text").alias("text"),
+    )
+    n_toks = token_count_whitespace("text")
+    n_alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", "")).cast(
+        "int"
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_copies",
+        F.length("text").cast("int").alias("n_chars"),
+        n_toks.alias("n_tokens_ws"),
+        n_alpha.alias("n_alpha"),
+        (
+            (F.length("text") >= _MIN_CHARS)
+            & (n_toks >= _MIN_TOKENS)
+            & (n_alpha * 2 >= F.length("text"))
+        ).alias("admitted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming exact-substring probe, batch-parity-proven under the oracle
+
+# Mirrors dedup.substring (GRAM_LEN/OCC_CAP) and the t_substring_dedup
+# span algebra; the oracle enumerates positions with the same constant
+# range() bound (guarded by
+# tests/test_round5_ops.test_fixture_docs_stay_under_oracle_gram_pos_bound).
+_SS_STREAM_PRED = "doc_id % 10 = 0"
+
+
+def _stream_spans_oracle() -> str:
+    from personal_data_lakehouse_spark.dedup.substring import (
+        GRAM_LEN,
+        OCC_CAP,
+    )
+    from personal_data_lakehouse_spark.plans.round5_ops import (
+        _MAX_GRAM_POS,
+        _SPAN_MERGE_GAP,
+    )
+
+    gram = (
+        f"SELECT doc_id, 1 + k AS p, "
+        f"md5(substr(text, 1 + k, {GRAM_LEN})) AS gh "
+        f"FROM documents, range(0, {_MAX_GRAM_POS}) r(k) "
+        f"WHERE {{pred}} AND length(text) >= {GRAM_LEN} "
+        f"AND 1 + k <= length(text) - {GRAM_LEN} + 1 "
+        f"AND substr(md5(substr(text, 1 + k, {GRAM_LEN})), 1, 1) = '0'"
+    )
+    return f"""
+    WITH g AS (
+        {gram.format(pred=f"NOT ({_SS_STREAM_PRED})")}
+        QUALIFY COUNT(*) OVER (PARTITION BY gh) <= {OCC_CAP}
+    ),
+    q AS (
+        {gram.format(pred=_SS_STREAM_PRED)}
+    ),
+    anchors AS (
+        SELECT q.doc_id AS batch_id, g.doc_id AS corpus_id,
+               q.p AS pb, g.p AS pa, q.p - g.p AS diff
+        FROM q JOIN g USING (gh)
+    ),
+    runs AS (
+        SELECT batch_id, corpus_id, diff, pb,
+               SUM(CASE WHEN prev IS NULL OR pb - prev > {_SPAN_MERGE_GAP}
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY batch_id, corpus_id, diff ORDER BY pb
+                         ROWS UNBOUNDED PRECEDING) AS run
+        FROM (SELECT *, LAG(pb) OVER (PARTITION BY batch_id, corpus_id,
+                                      diff ORDER BY pb) AS prev
+              FROM anchors)
+    ),
+    spans AS (
+        SELECT batch_id, MIN(pb) AS s, MAX(pb) + {GRAM_LEN - 1} AS e
+        FROM runs GROUP BY batch_id, corpus_id, diff, run
+    ),
+    iv AS (SELECT DISTINCT batch_id, s, e FROM spans),
+    u AS (
+        SELECT batch_id, s, e,
+               SUM(CASE WHEN rmax IS NULL OR s > rmax + 1 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY batch_id ORDER BY s, e DESC
+                         ROWS UNBOUNDED PRECEDING) AS grp
+        FROM (SELECT batch_id, s, e,
+                     MAX(e) OVER (PARTITION BY batch_id ORDER BY s, e DESC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING) AS rmax
+              FROM iv)
+    ),
+    merged AS (
+        SELECT batch_id, grp, MIN(s) AS lo, MAX(e) AS hi FROM u GROUP BY 1, 2
+    )
+    SELECT batch_id AS doc_id,
+           COUNT(*) AS n_spans,
+           SUM(hi - lo + 1) AS removable_chars
+    FROM merged GROUP BY 1
+    """
+
+
+@query("q_stream_substring_spans", oracle=None)  # oracle injected below
+def q_stream_substring_spans(spark, sf_dir):
+    """STREAMING exact-substring dedup probe proven batch-equal under the
+    driver's hash: every 10th document arrives as a LIVE STREAM
+    (readStream, availableNow) and is probed against the static,
+    viral-capped corpus gram index (``dedup.substring.gram_index`` over
+    the other 90%); the stateless anchor stream (generate/map + a
+    stream-static join — state empty at any stream length) lands
+    append-mode in a parquet FILE sink, and the sink's anchors are
+    assembled by ``spans_from_anchors`` (run-merge on (pair,
+    offset-delta), per-doc interval union) into the per-incoming-doc
+    removable character mass. Must hash-equal the pure-batch SQL over the
+    same stream/corpus split — every anchor selection, viral-cap, merge
+    and union decision is differentially checked.
+
+    This is online crawl dedup: documents are scored against the corpus
+    AT INGEST, before admission — the streaming sibling of
+    t_substring_dedup exactly as neardup_candidate_stream is to
+    t_minhash_lsh_pairs.
+
+    Scale: per-event work is O(|doc|) map-side hashing; the index join
+    fans out ≤ occ_cap rows per gram by construction; anchors land
+    distributed in executor-written parquet; the span-assembly windows
+    run over anchor/span rows only (candidate-bounded, never corpus
+    rows). In production the assembly runs per micro-batch in
+    foreachBatch (anchors of one doc always share a batch — pinned by
+    tests/test_streaming.py); assembling the bounded run's sink
+    afterwards computes the identical result.
+
+    Reference capability: online form of the Lee-et-al substring dedup
+    north star (BASELINE.json); streaming MERGE intake parity with
+    ingest_stocks.py:61-100."""
+    from personal_data_lakehouse_spark.dedup.substring import (
+        gram_index,
+        spans_from_anchors,
+        substring_anchor_stream,
+    )
+    from personal_data_lakehouse_spark.streaming.windows import (
+        drain_stream_to_parquet,
+        stream_work_dir,
+    )
+
+    work = stream_work_dir("sspans")
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    pred = F.expr(_SS_STREAM_PRED)
+    idx = gram_index(docs.filter(~pred))
+
+    src = f"{work}/src"
+    docs.filter(pred).write.parquet(src)
+    stream_docs = spark.readStream.schema(
+        "doc_id bigint, text string"
+    ).parquet(src)
+    anchors = drain_stream_to_parquet(
+        substring_anchor_stream(stream_docs, idx), work
+    )
+    return spans_from_anchors(anchors).withColumnRenamed(
+        "batch_id", "doc_id"
+    )
+
+
+def _inject_stream_spans_oracle() -> None:
+    from personal_data_lakehouse_spark.plans.registry import REGISTRY
+
+    REGISTRY["q_stream_substring_spans"].oracle = _stream_spans_oracle()
+
+
+_inject_stream_spans_oracle()

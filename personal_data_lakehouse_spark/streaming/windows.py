@@ -177,13 +177,20 @@ def stream_work_dir(name: str) -> str:
     (the returned DataFrame reads the previous sink lazily, so it cannot
     be deleted in-call), and ``atexit`` removes the whole root when the
     process ends.
+
+    The root is per-PID: two concurrent drivers (e.g. pytest beside a
+    bench sweep) must not wipe each other's live sink mid-read. A stale
+    same-PID root from a dead process is harmlessly overwritten by the
+    start-of-call wipe; the atexit sweep keeps the normal case clean.
     """
     import atexit
     import os
     import shutil
     import tempfile
 
-    root = os.path.join(tempfile.gettempdir(), "pdl_stream_work")
+    root = os.path.join(
+        tempfile.gettempdir(), f"pdl_stream_work_{os.getpid()}"
+    )
     if not getattr(stream_work_dir, "_atexit_registered", False):
         atexit.register(shutil.rmtree, root, ignore_errors=True)
         stream_work_dir._atexit_registered = True

@@ -1155,3 +1155,67 @@ def test_fixture_docs_stay_under_oracle_gram_pos_bound():
         )
         checked += 1
     assert checked >= 1, "no fixture documents.parquet found to guard"
+
+
+def test_text_intake_dedup_counts_and_gates(spark, tmp_path):
+    """Planted raw-text funnel behavior: triplicate content collapses to
+    one content-addressed id with n_copies=3; a short doc, a
+    low-token-count doc and a non-latin doc are rejected by their
+    respective gates; a long prose doc is admitted."""
+    import hashlib
+
+    prose = ("the quick brown fox jumps over the lazy dog " * 4).strip()
+    short = "tiny doc"
+    onetoken = "x" * 150
+    zh = "中文文档" * 40
+    docs = [
+        (1, prose), (2, prose), (3, prose),
+        (4, short), (5, onetoken), (6, zh),
+    ]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in REGISTRY["q_text_intake"].fn(spark, sf).collect()
+    }
+    key = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert set(rows) == {key(prose), key(short), key(onetoken), key(zh)}
+    assert rows[key(prose)]["n_copies"] == 3
+    assert rows[key(prose)]["admitted"] is True
+    assert rows[key(short)]["admitted"] is False  # length gate
+    assert rows[key(onetoken)]["admitted"] is False  # token gate
+    assert rows[key(zh)]["admitted"] is False  # latin-alpha gate
+    assert rows[key(zh)]["n_alpha"] == 0
+
+
+def test_stream_substring_spans_finds_planted_span(spark, tmp_path):
+    """A 200-char verbatim region planted in a streamed doc (doc_id 10,
+    stream predicate doc_id % 10 = 0) and a corpus doc must surface as
+    removable mass on the STREAMED doc; an unrelated streamed doc must
+    not appear."""
+    import random
+
+    rng = random.Random(7)
+    alpha = "abcdefghijklmnopqrstuvwxyz "
+    mk = lambda n: "".join(rng.choice(alpha) for _ in range(n))  # noqa: E731
+    span = mk(200)
+    docs = [
+        (3, mk(80) + span + mk(40)),  # corpus doc carrying the span
+        (10, mk(55) + span + mk(30)),  # STREAMED doc sharing it
+        (20, mk(300)),  # streamed, unrelated
+        (7, mk(260)),  # corpus, unrelated
+    ]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in REGISTRY["q_stream_substring_spans"].fn(spark, sf).collect()
+    }
+    assert 10 in rows, "streamed doc sharing the span must be flagged"
+    assert 20 not in rows and 3 not in rows and 7 not in rows
+    # anchor-bounded extent: within the span but never beyond it
+    assert 0 < rows[10]["removable_chars"] <= len(span)
