@@ -95,6 +95,11 @@ HEADLINE = R1_BASELINE + [
     # round-6 addition: full exact-substring dedup (anchors -> maximal
     # spans -> per-doc interval union) — the round's new plan shape
     "t_substring_dedup",
+    # round-7 additions: the raw-text file on-ramp (text scan -> content
+    # ids -> dedup -> gates) and the streaming substring probe (stateless
+    # stream-static anchor join + span assembly) — both new plan shapes
+    "q_text_intake",
+    "q_stream_substring_spans",
 ]
 
 # A warm triple spreading beyond this max/min ratio triggers automatic

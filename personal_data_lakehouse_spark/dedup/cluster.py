@@ -65,13 +65,26 @@ def connected_components(
     # t_dedup_cluster_stats fix). defaultParallelism = one task per core,
     # the same idiom as m_triangle_count's edge cache.
     npart = edges.sparkSession.sparkContext.defaultParallelism
-    e0 = (
-        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
-        .coalesce(npart)
-        .localCheckpoint()
-    )
+    # Symmetrize by EXPLODING both orientations out of one pass rather
+    # than unioning two branches: a union would execute the (possibly
+    # expensive) edge-producing plan once per branch — the old shape
+    # checkpointed the raw edges first to avoid that, paying an extra
+    # materialization + codegen round. The explode keeps single-execution
+    # without the intermediate.
     sym = (
-        e0.union(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+                    ),
+                    F.struct(
+                        F.col(dst_col).alias("a"), F.col(src_col).alias("b")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
         .distinct()
         .coalesce(npart)
         .localCheckpoint()

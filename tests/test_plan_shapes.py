@@ -109,6 +109,14 @@ def test_headline_exchange_budgets(spark):
         # aggregates, and the doc-length broadcast's child; executed: one
         # gh shuffle + anchor/span-sized windows
         "t_substring_dedup": 7,
+        # 1 = the content-id dedup groupBy — the RETURNED funnel plan is
+        # scan -> map -> one exchange (the fixture-write stage is eager,
+        # outside the plan)
+        "q_text_intake": 1,
+        # 3 = the (pair, delta) run-merge sort + interval-union window +
+        # per-doc span aggregate, all over anchor/span rows read back
+        # from the streaming file sink
+        "q_stream_substring_spans": 3,
     }
     assert set(budget) == set(HEADLINE)
     for name, allowed in budget.items():
