@@ -126,7 +126,7 @@ def t_udtf_word_windows(spark, sf_dir):
 
     from personal_data_lakehouse_spark.functions.text import normalize_text
 
-    @udtf(returnType="chunk_id int, piece string")
+    @udtf(returnType="chunk_id int, piece string", useArrow=True)
     class WordWindows:
         def eval(self, text: str):
             toks = text.split(" ")

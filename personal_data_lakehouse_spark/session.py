@@ -63,6 +63,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python UDTFs evaluate through Arrow batches (ArrowEvalPythonUDTF)
+        # instead of row-at-a-time pickling (BatchEvalPythonUDTF) — same
+        # rows, ~10× less serialization overhead on wide corpus scans; the
+        # registry-wide lint (tests/test_plan_lint.py) forbids the row path.
+        .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
