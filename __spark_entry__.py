@@ -167,9 +167,30 @@ _PRIORITY = [
     # (d) reference-model translations benched every round, rows from r4
     "q02_monthly_rollup",
     "q_silver_cleaning",
-    # (e) refill: first 22 of the 49 r3-latest rows (r6 comment order;
-    # t_dedup_clusters already claimed by (a));
-    # q_percentiles..t_udtf_word_windows (26 names) roll to r8
+    # (a, late-r7) t_udtf_word_windows: the UDTF now evaluates through
+    # Arrow (decorator-level useArrow=True — session-independent, so the
+    # driver's vanilla session gets ArrowEvalPythonUDTF too, not the
+    # row-pickling BatchEvalPythonUDTF; same rows, verified identical at
+    # sf0.001/sf0.01), so its r3 row no longer describes the shipped plan
+    "t_udtf_word_windows",
+    # (a, late-r7) the minhash LSH index cache is now coalesced before
+    # persist (dedup/minhash.py _banded_docs — the same idiom as the r7
+    # connected_components/ivf fixes; it was the remaining source of
+    # 200-near-empty-task stages in the dedup family under a vanilla
+    # session). Every lsh_candidate_pairs consumer's plan changed, so the
+    # six whose latest rows predate the change re-prove here; the dedup
+    # trio above already holds slots. Six refills roll to r8 to make room.
+    "t_minhash_lsh_pairs",
+    "t_minhash_containment",
+    "t_minhash_estimate_error",
+    "t_neardup_incremental",
+    "t_neardup_source_matrix",
+    "t_neardup_verified",
+    # (e) refill: first 15 of the 49 r3-latest rows (r6 comment order;
+    # t_dedup_clusters already claimed by (a)); q_map_roundtrip,
+    # q_mapinpandas_tokens, q_mode_per_group, q_not_in_null_semantics,
+    # q_ntile_cume, q_open_order_concurrency + q_pct_of_total +
+    # q_percentiles..(26 names) roll to r8 = 33 rows
     "m_binary_meta",
     "m_frame_sample",
     "q12_priority_split",
@@ -185,6 +206,8 @@ _PRIORITY = [
     "q_histogram",
     "q_hypertable_rollup",
     "q_latest_per_key",
+    # ---- 50-query window cap falls here; the rest re-verify only if the
+    # driver evaluates more than 50 ----
     "q_map_roundtrip",
     "q_mapinpandas_tokens",
     "q_mode_per_group",
@@ -192,8 +215,6 @@ _PRIORITY = [
     "q_ntile_cume",
     "q_open_order_concurrency",
     "q_pct_of_total",
-    # ---- 50-query window cap falls here; the rest re-verify only if the
-    # driver evaluates more than 50 ----
     "q_percentiles",
     "q_pivot_wide",
     "q_posexplode_tokens",
@@ -219,7 +240,6 @@ _PRIORITY = [
     "t_repetition_ratio",
     "t_sample_bernoulli_hash",
     "t_sample_stratified",
-    "t_udtf_word_windows",
 ]
 
 

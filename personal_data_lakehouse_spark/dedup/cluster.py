@@ -48,9 +48,11 @@ def connected_components(
     isolated nodes, which keep their own id.  Deterministic: the fixpoint
     is unique regardless of execution order.
 
-    Raises ``RuntimeError`` if not converged within ``max_iter`` rounds
-    (a real corpus converges in < 6; hitting the cap means the edge list
-    is chain-shaped and the large-star/small-star variant should be used).
+    Raises ``RuntimeError`` if not converged within ``max_iter`` rounds;
+    each round materializes TWO propagation hops, so the cap allows
+    component diameters up to 2·max_iter (a real near-dup corpus
+    converges in ≤ 3 rounds; hitting the cap means the edge list is
+    chain-shaped and the large-star/small-star variant should be used).
     """
     # Materialize the edge list ONCE, before symmetrizing — the union
     # would otherwise execute the (possibly expensive) edge-producing plan
@@ -101,27 +103,34 @@ def connected_components(
         .coalesce(npart)
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    def _hop(lab: DataFrame) -> DataFrame:
         nbr_min = (
-            sym.join(labels, sym.b == labels.node)
+            sym.join(lab, sym.b == lab.node)
             .groupBy("a")
             .agg(F.min("label").alias("nbr_min"))
         )
-        # The changed flag rides INSIDE the checkpointed round (it is
-        # already known at the least() comparison), so convergence
-        # detection is a map-side sum over the checkpointed rows instead
-        # of a second join job per round — halves the loop's job count.
+        return lab.join(nbr_min, lab.node == nbr_min.a, "left").select(
+            lab.node,
+            F.least(
+                lab.label, F.coalesce(F.col("nbr_min"), lab.label)
+            ).alias("label"),
+            (F.coalesce(F.col("nbr_min"), lab.label) < lab.label)
+            .cast("int")
+            .alias("_chg"),
+        )
+
+    # TWO propagation hops per materialized round: each checkpoint (a
+    # full shuffle barrier + driver job) covers distance-2 propagation,
+    # halving the serial-barrier count for the shallow components LSH
+    # emits — the loop's cost at any scale is barriers, not rows.
+    # Convergence needs only the SECOND hop's change flags: hop 2 is a
+    # complete propagation step over hop 1's labels, so zero changes in
+    # hop 2 means those labels were already the fixpoint (whatever hop 1
+    # did). The flag rides inside the checkpointed rows, so detection is
+    # a map-side sum over the checkpoint, not a separate join job.
+    for _ in range(max_iter):
         stepped = (
-            labels.join(nbr_min, labels.node == nbr_min.a, "left")
-            .select(
-                labels.node,
-                F.least(
-                    labels.label, F.coalesce(F.col("nbr_min"), labels.label)
-                ).alias("label"),
-                (F.coalesce(F.col("nbr_min"), labels.label) < labels.label)
-                .cast("int")
-                .alias("_chg"),
-            )
+            _hop(_hop(labels).drop("_chg"))
             .coalesce(npart)
             .localCheckpoint()
         )

@@ -147,6 +147,14 @@ def _banded_docs(
     docs = (
         ex.groupBy(id_col)
         .agg(*mins, F.collect_list("s").alias("shingles"))
+        # coalesce before persist: the cached plan keeps the aggregate's
+        # shuffle partitioning (AQE cannot re-coalesce through the cache),
+        # so every downstream consumer — band explode, pair join, the two
+        # shingle re-attach joins — would otherwise drag one near-empty
+        # task per shuffle partition under a default 200-partition
+        # session. defaultParallelism = one task per core, the standing
+        # idiom (m_triangle_count's edge cache, ivf_topk's cell index).
+        .coalesce(df.sparkSession.sparkContext.defaultParallelism)
         .persist()  # one row per doc: sig mins + shingle set
     )
     bucket_cols = [

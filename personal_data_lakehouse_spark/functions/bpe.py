@@ -59,6 +59,12 @@ def train_bpe(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select("cnt", F.split("w", "").alias("syms"))
+        # coalesce before persist: the cache keeps the groupBy's shuffle
+        # partitioning, and every merge round's pair-count + fold stage
+        # inherits it — n_merges × 200 near-empty tasks under a vanilla
+        # session. The DISTINCT-word table is tiny relative to the corpus;
+        # one partition per core is the right layout for the loop.
+        .coalesce(docs.sparkSession.sparkContext.defaultParallelism)
     )
     wc.persist()
     merges: list[tuple[str, str, int]] = []

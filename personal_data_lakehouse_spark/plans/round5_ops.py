@@ -275,7 +275,15 @@ def s_knn_graph(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     members = emb.filter(F.col("vec_id") >= _N_QUERIES)
     cents = pick_centroids(emb, _CENTROID_IDS)
-    cells = assign_cells(members, cents, "vec_id", "embedding", n=1).persist()
+    # coalesce before persist: the cache keeps the assignment window's
+    # shuffle partitioning (200 near-empty tasks per downstream stage
+    # under a vanilla session); the self-join re-keys on `cell` anyway,
+    # so no co-partitioning is lost (same idiom as ivf_topk's cell index).
+    cells = (
+        assign_cells(members, cents, "vec_id", "embedding", n=1)
+        .coalesce(spark.sparkContext.defaultParallelism)
+        .persist()
+    )
     a = cells.select(
         "cell",
         F.col("vec_id").alias("src_id"),
