@@ -121,3 +121,41 @@ def read_text_docs(
     if one_doc_per == "line":
         docs = docs.filter(F.length("text") > 0)
     return docs
+
+
+def read_jsonl_docs(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    corrupt_col: str = "_corrupt",
+) -> DataFrame:
+    """JSONL corpus on-ramp — the standard LLM-training-data interchange
+    format (one JSON object per line: The Pile, RedPajama, Dolma, and
+    every crawl-dump pipeline emit it). Unlike ``read_text_docs``, the
+    payload is STRUCTURED (text + metadata fields survive the trip, and
+    embedded newlines/quotes arrive escaped, so nothing is collapsed).
+
+    Policy choices a 100 TB ingest needs, baked in:
+
+    - ``schema`` is an EXPLICIT DDL string ("doc_id bigint, text string,
+      ..."), never inferred — Spark's JSON schema inference is a full
+      extra pass over the input before the real scan (2× the I/O at any
+      scale), and an inferred schema drifts with whatever fields the
+      first sampled files happen to carry.
+    - PERMISSIVE parse with a QUARANTINE column: a malformed line does
+      not kill the job (FAILFAST) nor silently vanish (DROPMALFORMED) —
+      it lands with all schema fields NULL and the raw line preserved in
+      ``corrupt_col``, so the intake funnel can count, inspect, and
+      route rejects exactly like any other quality gate.
+
+    Scale: JSONL is line-splittable (files chop at maxPartitionBytes,
+    same as the text reader); parsing is JVM-side Jackson inside the
+    scan — no Python, no shuffle, no second pass.
+    """
+    full = T.StructType.fromDDL(schema).add(corrupt_col, T.StringType())
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )

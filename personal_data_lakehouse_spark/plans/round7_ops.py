@@ -271,3 +271,113 @@ def _inject_stream_spans_oracle() -> None:
 
 
 _inject_stream_spans_oracle()
+
+
+# ---------------------------------------------------------------------------
+# JSONL corpus on-ramp, proven end-to-end (parse + quarantine + metadata)
+
+# Deliberately-malformed lines injected into the written fixture to prove
+# the PERMISSIVE quarantine path differentially (they are not valid JSON,
+# so they can never collide with a to_json output line). The oracle embeds
+# their count and total length as computed constants.
+_BAD_JSONL_LINES = ("{oops", "not json at all", "[3,")
+
+
+@query(
+    "q_jsonl_intake",
+    oracle=rf"""
+    WITH d AS (
+        SELECT COALESCE(lang, '__null__') AS lang_bucket,
+               doc_id,
+               length(text) AS chars,
+               len({_TOKS}) AS toks
+        FROM documents
+    )
+    SELECT lang_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           CAST(SUM(chars) AS BIGINT) AS chars_total,
+           CAST(SUM(toks) AS BIGINT) AS tokens_total
+    FROM d GROUP BY 1
+    UNION ALL
+    SELECT '__corrupt__',
+           CAST({len(_BAD_JSONL_LINES)} AS BIGINT),
+           CAST(NULL AS BIGINT),
+           CAST({sum(len(b) for b in _BAD_JSONL_LINES)} AS BIGINT),
+           CAST(NULL AS BIGINT)
+    """,
+)
+def q_jsonl_intake(spark, sf_dir):
+    """JSONL corpus intake, END-TO-END from actual .jsonl FILES — the
+    standard LLM-training-data interchange format (one JSON object per
+    line). The documents fixture is serialized with ``to_json`` (embedded
+    newlines/quotes survive as escapes — the structural win over the
+    raw-text on-ramp, whose line mode must collapse them), three
+    deliberately-malformed lines are injected, and the directory is read
+    back through ``read_jsonl_docs`` (explicit DDL schema — NO inference
+    pass — PERMISSIVE parse, quarantine column). Output: the per-language
+    intake rollup (doc count, id checksum, character and whitespace-token
+    mass) plus the ``__corrupt__`` quarantine bucket.
+
+    The oracle recomputes the rollup from the ``documents`` view directly
+    — valid because JSON serialization is lossless for these fields — and
+    embeds the injected reject lines' count/length as constants; a parser
+    that dropped, duplicated, or mis-escaped ANY line (or silently
+    swallowed a reject) hash-mismatches. ``id_sum`` pins the BIGINT field
+    round-trip, not just the text.
+
+    Scale: JSONL is line-splittable; parsing is JVM-side Jackson inside
+    the scan; the funnel is one groupBy on a ≤|langs|+2-key bucket — no
+    second corpus pass, no window, no UDF. The write stage exists only to
+    manufacture the fixture; a real deployment points ``read_jsonl_docs``
+    at the dump directory. Reference parity: ingest_stocks.py:61-100
+    (bronze intake + quarantine gate analogue); SURVEY.md §2 S6+.
+    """
+    from personal_data_lakehouse_spark.functions.text import (
+        token_count_whitespace,
+    )
+    from personal_data_lakehouse_spark.io.readers import read_jsonl_docs
+    from personal_data_lakehouse_spark.streaming.windows import (
+        stream_work_dir,
+    )
+
+    work = stream_work_dir("jsonlintake")
+    src = f"{work}/jsonl"
+    jl = (
+        t(spark, sf_dir, "documents")
+        .select(F.to_json(F.struct("doc_id", "lang", "text")).alias("value"))
+    )
+    bad = spark.createDataFrame(
+        [(b,) for b in _BAD_JSONL_LINES], "value string"
+    )
+    # deterministic multi-file layout (hash of the line itself) so the
+    # read-back exercises a real multi-file directory scan
+    jl.unionByName(bad).repartition(8, F.col("value")).write.text(src)
+
+    raw = read_jsonl_docs(
+        spark, src, "doc_id bigint, lang string, text string"
+    )
+    bucket = F.when(
+        F.col("_corrupt").isNotNull(), F.lit("__corrupt__")
+    ).otherwise(F.coalesce(F.col("lang"), F.lit("__null__")))
+    return (
+        raw.select(
+            bucket.alias("lang_bucket"),
+            "doc_id",
+            F.length(F.coalesce("text", "_corrupt")).alias("chars"),
+            # explicit null guard: size(NULL) is -1 under ansi=false but
+            # NULL under ansi=true, so the bare token count would be
+            # SESSION-dependent on quarantined rows (caught by the strict
+            # differential under the tuned session vs the vanilla driver)
+            F.when(
+                F.col("text").isNotNull(), token_count_whitespace("text")
+            ).alias("toks"),
+        )
+        .groupBy("lang_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+            F.sum("chars").cast("long").alias("chars_total"),
+            F.sum("toks").cast("long").alias("tokens_total"),
+        )
+    )

@@ -1,9 +1,12 @@
 """Connected-components dedup clustering: unit semantics on hand-built
-graphs (the differential gate covers the LSH-fed query end-to-end)."""
+graphs, plus a hypothesis differential against a sequential union-find
+(the differential gate covers the LSH-fed query end-to-end)."""
 
 from __future__ import annotations
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from personal_data_lakehouse_spark.dedup.cluster import (
@@ -57,7 +60,42 @@ def test_dedup_clusters_full_corpus_labeling(spark):
 
 
 def test_nonconvergence_raises(spark):
-    # max_iter=1 cannot close a 4-node chain.
+    # max_iter=1 (= 2 propagation hops) cannot close a 4-node chain.
     e = _edges(spark, [(10, 11), (11, 12), (12, 13)])
     with pytest.raises(RuntimeError, match="no fixpoint"):
         connected_components(e, max_iter=1)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_random_graphs_match_union_find(spark, pairs):
+    """The two-hop-per-round propagation must reach the same unique
+    fixpoint (min node id per component) as a sequential union-find on
+    ANY edge list — including self-loops, duplicate/reversed edges, and
+    the chain shapes that need the most rounds. Guards the fused round
+    structure and its hop-2-only convergence test against off-by-one-hop
+    early exits."""
+    parent = list(range(10))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {n for e in pairs for n in e}
+    want = {n: find(n) for n in nodes}
+
+    e = _edges(spark, [(a, b) for a, b in pairs])
+    got = {r.node: r.label for r in connected_components(e).collect()}
+    assert got == want

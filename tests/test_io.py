@@ -164,3 +164,44 @@ def test_read_text_docs_line_and_file_modes(spark, tmp_path):
 
     with pytest.raises(ValueError):
         read_text_docs(spark, d, one_doc_per="paragraph")
+
+
+def test_read_jsonl_docs_parse_quarantine_and_escaping(spark, tmp_path):
+    """JSONL on-ramp: structured fields survive, embedded newlines/quotes
+    round-trip through JSON escaping (the win over the raw-text reader),
+    and malformed lines land in the quarantine column with all schema
+    fields NULL — never dropped, never fatal."""
+    import json
+
+    from personal_data_lakehouse_spark.io.readers import read_jsonl_docs
+
+    d = str(tmp_path / "corpus")
+    (tmp_path / "corpus").mkdir()
+    good = [
+        {"doc_id": 1, "lang": "en", "text": 'line one\nline "two"'},
+        {"doc_id": 2, "lang": None, "text": "plain"},
+        {"doc_id": 3, "text": "missing lang field"},
+    ]
+    bad = ["{oops", "not json at all"]
+    (tmp_path / "corpus" / "a.jsonl").write_text(
+        "\n".join([json.dumps(g) for g in good[:2]] + bad[:1]) + "\n"
+    )
+    (tmp_path / "corpus" / "b.jsonl").write_text(
+        "\n".join([json.dumps(good[2])] + bad[1:]) + "\n"
+    )
+
+    df = read_jsonl_docs(spark, d, "doc_id bigint, lang string, text string")
+    assert [f.name for f in df.schema.fields] == [
+        "doc_id", "lang", "text", "_corrupt",
+    ]
+    collected = df.collect()
+    rows = {r["doc_id"]: r for r in collected if r["doc_id"] is not None}
+    assert rows[1]["text"] == 'line one\nline "two"'  # escaping round-trip
+    assert rows[1]["_corrupt"] is None
+    assert rows[2]["lang"] is None and rows[3]["lang"] is None
+    corrupt = [r for r in collected if r["_corrupt"] is not None]
+    assert sorted(r["_corrupt"] for r in corrupt) == sorted(bad)
+    assert all(
+        r["doc_id"] is None and r["text"] is None for r in corrupt
+    )  # quarantined rows carry NO parsed fields
+    assert len(collected) == 5  # nothing dropped
