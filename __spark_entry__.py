@@ -138,6 +138,7 @@ _PRIORITY = [
     "q_text_intake",
     "q_stream_substring_spans",
     "q_jsonl_intake",
+    "t_semdedup_clusters",
     # (a) code/plan changed in r7 — r6 rows no longer describe the
     # shipped plans, must re-prove
     "t_dedup_clusters",
@@ -187,11 +188,12 @@ _PRIORITY = [
     "t_neardup_incremental",
     "t_neardup_source_matrix",
     "t_neardup_verified",
-    # (e) refill: first 14 of the 49 r3-latest rows (r6 comment order;
-    # t_dedup_clusters already claimed by (a)); q_latest_per_key,
-    # q_map_roundtrip, q_mapinpandas_tokens, q_mode_per_group,
-    # q_not_in_null_semantics, q_ntile_cume, q_open_order_concurrency +
-    # q_pct_of_total + q_percentiles..(26 names) roll to r8 = 34 rows
+    # (e) refill: first 13 of the 49 r3-latest rows (r6 comment order;
+    # t_dedup_clusters already claimed by (a)); q_hypertable_rollup,
+    # q_latest_per_key, q_map_roundtrip, q_mapinpandas_tokens,
+    # q_mode_per_group, q_not_in_null_semantics, q_ntile_cume,
+    # q_open_order_concurrency + q_pct_of_total + q_percentiles..
+    # (26 names) roll to r8 = 35 rows
     "m_binary_meta",
     "m_frame_sample",
     "q12_priority_split",
@@ -205,9 +207,9 @@ _PRIORITY = [
     "q_funnel_time_bound",
     "q_higher_order_funcs",
     "q_histogram",
-    "q_hypertable_rollup",
     # ---- 50-query window cap falls here; the rest re-verify only if the
     # driver evaluates more than 50 ----
+    "q_hypertable_rollup",
     "q_latest_per_key",
     "q_map_roundtrip",
     "q_mapinpandas_tokens",

@@ -100,6 +100,11 @@ HEADLINE = R1_BASELINE + [
     # stream-static anchor join + span assembly) — both new plan shapes
     "q_text_intake",
     "q_stream_substring_spans",
+    # late round-7 additions: the JSONL on-ramp (schema'd Jackson scan +
+    # quarantine funnel) and the SemDeDup closure (cell-blocked pairs +
+    # two-hop label propagation) — both new plan shapes
+    "q_jsonl_intake",
+    "t_semdedup_clusters",
 ]
 
 # A warm triple spreading beyond this max/min ratio triggers automatic

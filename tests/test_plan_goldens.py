@@ -107,6 +107,12 @@ GOLDEN_EXTRA = [
     "q_funnel_latency",
     "q_running_zscore_flags",
     "q_benford_digits",
+    # (q_text_intake / q_stream_substring_spans / q_jsonl_intake are in
+    # HEADLINE and pinnable — normalize_plan strips the work-dir paths;
+    # t_semdedup_clusters is HEADLINE too but golden-EXCLUDED below: its
+    # labels come from loop-checkpointed RDDs, the t_dedup_clusters /
+    # m_pagerank_top20 precedent — pinned by the differential gate +
+    # plan lint instead.)
 ]
 
 # Goldens are generated against the canonical smoke fixture; other SF dirs
@@ -118,7 +124,9 @@ _GOLDEN_SF = "/root/testdata/sf0.001"
 # GOLDEN_EXTRA note: its in-plan persist lineage interacts with the
 # generator's clearCache); dict.fromkeys dedupes HEADLINE∩GOLDEN_EXTRA.
 _GOLDEN_NAMES = [
-    n for n in dict.fromkeys(HEADLINE + GOLDEN_EXTRA) if n != "m_pagerank_top20"
+    n
+    for n in dict.fromkeys(HEADLINE + GOLDEN_EXTRA)
+    if n not in ("m_pagerank_top20", "t_semdedup_clusters")
 ]
 
 

@@ -109,6 +109,11 @@ BUDGET: dict[str, dict[str, int]] = {
     "t_pack_sequences": {"single_part": 1},
     "t_pmi_collocations": {"bnlj": 1, "single_part": 1},
     "t_sample_token_budget": {"single_part": 1},
+    # Catalyst-injected runtime bloom-filter pushdown for the final
+    # corpus-labeling join: a scalar bloom_filter_agg build (bounded at
+    # spark.sql.optimizer.runtime.bloomFilter.maxNumBytes), not a data
+    # funnel.
+    "t_semdedup_clusters": {"single_part": 1},
     "t_split_leakage_audit": {"single_part": 2},
     "t_tfidf_topterms": {"bnlj": 1, "single_part": 1},
 }
