@@ -74,14 +74,22 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #       q_stream_stream_join re-proven out of caution);
 #   (b) new in r7: q_text_intake (raw-text on-ramp end-to-end, VERDICT
 #       item 3), q_stream_substring_spans (streaming substring probe,
-#       VERDICT item 4) — 2 additions, well under the <=10 cap;
+#       VERDICT item 4), q_jsonl_intake (JSONL on-ramp + quarantine) and
+#       t_semdedup_clusters (semantic dedup closure) — 4 additions,
+#       under the <=10 cap;
 #   (c) VERDICT item 1: the 11 r2-latest TPC-H shapes (oldest evidence);
 #   (d) VERDICT item 8: q02_monthly_rollup + q_silver_cleaning (benched
 #       every round, latest rows r4);
-#   (e) refill: the first 22 of the 49 r3-latest rows (list below) —
-#       the remaining 27 (q_percentiles .. t_udtf_word_windows in the
-#       r6 comment's ordering) roll to r8, which then holds every row
-#       within the trailing-3-round target.
+#   (e) refill: the first 13 of the 49 r3-latest rows (list below).
+#
+# r8 QUEUE (exact, from this round's final window): the 35 rows rolled
+# past the cap, in (e)-priority order — q_hypertable_rollup,
+# q_latest_per_key, q_map_roundtrip, q_mapinpandas_tokens,
+# q_mode_per_group, q_not_in_null_semantics, q_ntile_cume,
+# q_open_order_concurrency, q_pct_of_total, then q_percentiles ..
+# t_sample_stratified as listed below the cap (all r3-latest evidence).
+# 35 + r8's own changed-plan/new slots fit one 50-window with ~15 slots
+# spare; after r8 every ledger row is within the trailing-3-round target.
 #
 # Round 6's window (kept for the ledger; per VERDICT r5 items 1/3/4/6):
 #   (a) queries whose CODE changed this round — the four streaming-parity
