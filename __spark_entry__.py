@@ -82,14 +82,16 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #       every round, latest rows r4);
 #   (e) refill: the first 13 of the 49 r3-latest rows (list below).
 #
-# r8 QUEUE (exact, from this round's final window): the 35 rows rolled
+# r8 QUEUE (exact, from this round's final window): the 34 rows rolled
 # past the cap, in (e)-priority order — q_hypertable_rollup,
 # q_latest_per_key, q_map_roundtrip, q_mapinpandas_tokens,
 # q_mode_per_group, q_not_in_null_semantics, q_ntile_cume,
-# q_open_order_concurrency, q_pct_of_total, then q_percentiles ..
-# t_sample_stratified as listed below the cap (all r3-latest evidence).
-# 35 + r8's own changed-plan/new slots fit one 50-window with ~15 slots
-# spare; after r8 every ledger row is within the trailing-3-round target.
+# q_open_order_concurrency, q_pct_of_total, then the 25 names
+# q_percentiles .. t_sample_stratified as listed below the cap (all
+# r3-latest evidence; t_udtf_word_windows left the queue — re-proven
+# in-window this round after the Arrow-UDTF change). 34 + r8's own
+# changed-plan/new slots fit one 50-window with 16 slots spare; after
+# r8 every ledger row is within the trailing-3-round target.
 #
 # Round 6's window (kept for the ledger; per VERDICT r5 items 1/3/4/6):
 #   (a) queries whose CODE changed this round — the four streaming-parity
@@ -200,8 +202,8 @@ _PRIORITY = [
     # t_dedup_clusters already claimed by (a)); q_hypertable_rollup,
     # q_latest_per_key, q_map_roundtrip, q_mapinpandas_tokens,
     # q_mode_per_group, q_not_in_null_semantics, q_ntile_cume,
-    # q_open_order_concurrency + q_pct_of_total + q_percentiles..
-    # (26 names) roll to r8 = 35 rows
+    # q_open_order_concurrency + q_pct_of_total + the 25 names
+    # q_percentiles..t_sample_stratified roll to r8 = 34 rows
     "m_binary_meta",
     "m_frame_sample",
     "q12_priority_split",

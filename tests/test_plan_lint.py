@@ -30,11 +30,13 @@ The four lint patterns, and why each is (usually) a scale bug:
 Queries NOT in the budget must lint completely clean. Budgets are upper
 bounds, so removing a funnel never fails the lint; adding one does.
 
-The 8 streaming-in-query entries execute a real micro-batch stream inside
+The 7 streaming-in-query entries execute a real micro-batch stream inside
 the callable and return a scan of the file sink — their interesting plans
 run inside the streaming engine (pinned by `tests/test_streaming.py` and
 the goldens), so linting the returned batch tail would only re-lint a
 FileScan; they are skipped here to keep the sweep plan-only.
+(q_tumbling_window is NOT in this set: despite the name it is the pure
+BATCH form of the window aggregate and lints like any other query.)
 """
 
 from __future__ import annotations
@@ -61,7 +63,6 @@ STREAM_EXEC = {
     "q_stream_stream_join",
     "q_stream_substring_spans",
     "q_stream_tumbling_agg",
-    "q_tumbling_window",
 }
 
 # Measured upper bounds from the tuned plans (see module docstring for the
@@ -145,3 +146,6 @@ def test_budget_keys_are_registered():
     stale = sorted(set(BUDGET) - set(REGISTRY))
     assert not stale, f"budget rows for unregistered queries: {stale}"
     assert not (set(BUDGET) & STREAM_EXEC)
+    # a renamed/removed streaming query must not leave a stale skip row
+    # (which would silently exempt a future batch query of the same name)
+    assert not sorted(STREAM_EXEC - set(REGISTRY))
