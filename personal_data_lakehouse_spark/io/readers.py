@@ -146,7 +146,13 @@ def read_jsonl_docs(
       not kill the job (FAILFAST) nor silently vanish (DROPMALFORMED) —
       it lands with all schema fields NULL and the raw line preserved in
       ``corrupt_col``, so the intake funnel can count, inspect, and
-      route rejects exactly like any other quality gate.
+      route rejects exactly like any other quality gate. A line that is
+      valid JSON but fails ONE field's type is a PARTIAL quarantine:
+      that field nulls out, the other fields still parse, and the raw
+      line is preserved (pinned by
+      ``test_read_jsonl_docs_type_mismatch_is_partial_quarantine``) —
+      decide per pipeline whether ``corrupt_col IS NOT NULL`` rejects
+      such rows wholesale or salvages the parsed fields.
 
     Scale: JSONL is line-splittable (files chop at maxPartitionBytes,
     same as the text reader); parsing is JVM-side Jackson inside the

@@ -203,5 +203,37 @@ def test_read_jsonl_docs_parse_quarantine_and_escaping(spark, tmp_path):
     assert sorted(r["_corrupt"] for r in corrupt) == sorted(bad)
     assert all(
         r["doc_id"] is None and r["text"] is None for r in corrupt
-    )  # quarantined rows carry NO parsed fields
+    )  # fully-malformed rows carry NO parsed fields
     assert len(collected) == 5  # nothing dropped
+
+
+def test_read_jsonl_docs_type_mismatch_is_partial_quarantine(spark, tmp_path):
+    """Pin Spark's PERMISSIVE semantics for a line that IS valid JSON but
+    fails one field's type: the bad field nulls out, the OTHER fields
+    still parse, and the raw line lands in the quarantine column — i.e. a
+    quarantined row may carry partial data. Consumers that bucket on
+    `_corrupt IS NOT NULL` (q_jsonl_intake) treat such rows as rejects
+    wholesale; this test exists so that policy rests on observed engine
+    behavior, not assumption."""
+    import json
+
+    from personal_data_lakehouse_spark.io.readers import read_jsonl_docs
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "a.jsonl").write_text(
+        json.dumps({"doc_id": "not-a-number", "lang": "en", "text": "hello"})
+        + "\n"
+        + json.dumps({"doc_id": 7, "lang": "fr", "text": "ok"})
+        + "\n"
+    )
+    rows = sorted(
+        read_jsonl_docs(
+            spark, str(d), "doc_id bigint, lang string, text string"
+        ).collect(),
+        key=lambda r: (r["_corrupt"] is None, r["lang"]),
+    )
+    bad, good = rows[0], rows[1]
+    assert bad["doc_id"] is None and bad["lang"] == "en" and bad["text"] == "hello"
+    assert bad["_corrupt"] is not None and "not-a-number" in bad["_corrupt"]
+    assert good["doc_id"] == 7 and good["_corrupt"] is None
