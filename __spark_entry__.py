@@ -82,15 +82,15 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #       every round, latest rows r4);
 #   (e) refill: the first 13 of the 49 r3-latest rows (list below).
 #
-# r8 QUEUE (exact, from this round's final window): the 34 rows rolled
-# past the cap, in (e)-priority order — q_hypertable_rollup,
+# r8 QUEUE (exact, from this round's final window): the 35 rows rolled
+# past the cap, in (e)-priority order — q_histogram, q_hypertable_rollup,
 # q_latest_per_key, q_map_roundtrip, q_mapinpandas_tokens,
 # q_mode_per_group, q_not_in_null_semantics, q_ntile_cume,
 # q_open_order_concurrency, q_pct_of_total, then the 25 names
 # q_percentiles .. t_sample_stratified as listed below the cap (all
 # r3-latest evidence; t_udtf_word_windows left the queue — re-proven
-# in-window this round after the Arrow-UDTF change). 34 + r8's own
-# changed-plan/new slots fit one 50-window with 16 slots spare; after
+# in-window this round after the Arrow-UDTF change). 35 + r8's own
+# changed-plan/new slots fit one 50-window with 15 slots spare; after
 # r8 every ledger row is within the trailing-3-round target.
 #
 # Round 6's window (kept for the ledger; per VERDICT r5 items 1/3/4/6):
@@ -198,12 +198,17 @@ _PRIORITY = [
     "t_neardup_incremental",
     "t_neardup_source_matrix",
     "t_neardup_verified",
-    # (e) refill: first 13 of the 49 r3-latest rows (r6 comment order;
-    # t_dedup_clusters already claimed by (a)); q_hypertable_rollup,
-    # q_latest_per_key, q_map_roundtrip, q_mapinpandas_tokens,
-    # q_mode_per_group, q_not_in_null_semantics, q_ntile_cume,
-    # q_open_order_concurrency + q_pct_of_total + the 25 names
-    # q_percentiles..t_sample_stratified roll to r8 = 34 rows
+    # (a, late-r7) t_crossdoc_spans: gram-index cache now coalesced before
+    # persist (a stage-count audit under a vanilla session found its
+    # dropDuplicates-pinned cache was the LAST remaining source of
+    # 200-task stages in the whole registry); plan changed, re-proves here
+    "t_crossdoc_spans",
+    # (e) refill: first 12 of the 49 r3-latest rows (r6 comment order;
+    # t_dedup_clusters already claimed by (a)); q_histogram,
+    # q_hypertable_rollup, q_latest_per_key, q_map_roundtrip,
+    # q_mapinpandas_tokens, q_mode_per_group, q_not_in_null_semantics,
+    # q_ntile_cume, q_open_order_concurrency + q_pct_of_total + the 25
+    # names q_percentiles..t_sample_stratified roll to r8 = 35 rows
     "m_binary_meta",
     "m_frame_sample",
     "q12_priority_split",
@@ -216,9 +221,9 @@ _PRIORITY = [
     "q_funnel",
     "q_funnel_time_bound",
     "q_higher_order_funcs",
-    "q_histogram",
     # ---- 50-query window cap falls here; the rest re-verify only if the
     # driver evaluates more than 50 ----
+    "q_histogram",
     "q_hypertable_rollup",
     "q_latest_per_key",
     "q_map_roundtrip",

@@ -415,7 +415,11 @@ def t_crossdoc_spans(spark, sf_dir):
         # persist: the self-join consumes this subtree twice, and the gram
         # build (hash every position) is the expensive stage — one scan +
         # one hashing pass instead of two. At cluster scale this is the
-        # written gram index.
+        # written gram index. Coalesced first: the cache pins the
+        # dropDuplicates shuffle's partitioning (measured: six 200-task
+        # stages per vanilla-session run), and the self-join re-shuffles
+        # on gh anyway so no co-partitioning is lost.
+        .coalesce(spark.sparkContext.defaultParallelism)
         .persist()
     )
     a = grams.select(F.col("doc_id").alias("id_a"), "gh")
