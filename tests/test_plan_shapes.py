@@ -117,6 +117,16 @@ def test_headline_exchange_budgets(spark):
         # per-doc span aggregate, all over anchor/span rows read back
         # from the streaming file sink
         "q_stream_substring_spans": 3,
+        # 1 = the language-bucket rollup — the RETURNED intake plan is
+        # json scan -> map -> one exchange (the jsonl fixture write is
+        # eager, outside the plan)
+        "q_jsonl_intake": 1,
+        # 5 textual = the cell-assign window exchange re-printed per
+        # cached pair side (InMemoryRelation child plans) + the label
+        # groupBy + size aggregate + the final corpus-labeling join's
+        # exchanges; the closure loop itself runs on checkpointed RDDs
+        # outside this plan
+        "t_semdedup_clusters": 5,
     }
     assert set(budget) == set(HEADLINE)
     for name, allowed in budget.items():
