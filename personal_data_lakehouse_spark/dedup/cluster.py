@@ -67,35 +67,59 @@ def connected_components(
     # t_dedup_cluster_stats fix). defaultParallelism = one task per core,
     # the same idiom as m_triangle_count's edge cache.
     npart = edges.sparkSession.sparkContext.defaultParallelism
-    # Symmetrize by EXPLODING both orientations out of one pass rather
-    # than unioning two branches: a union would execute the (possibly
-    # expensive) edge-producing plan once per branch — the old shape
-    # checkpointed the raw edges first to avoid that, paying an extra
-    # materialization + codegen round. The explode keeps single-execution
-    # without the intermediate.
-    sym = (
-        edges.select(
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
-                    ),
-                    F.struct(
-                        F.col(dst_col).alias("a"), F.col(src_col).alias("b")
-                    ),
-                )
-            ).alias("e")
-        )
-        .select("e.a", "e.b")
-        .distinct()
-        .coalesce(npart)
-        .localCheckpoint()
+    # Symmetrize + SELF-LOOP by EXPLODING out of one pass rather than
+    # unioning branches: a union would execute the (possibly expensive)
+    # edge-producing plan once per branch. Self-loops (v, v) for every
+    # node make each propagation hop ONE join + ONE agg that consumes the
+    # label table exactly once — the old shape consumed it TWICE per hop
+    # (left side of an outer join + the nbr_min build), and Spark's
+    # ReuseExchange does NOT fire across those differently-keyed
+    # consumers (verified r8: the un-persisted plan executed hop 1's
+    # join+agg twice per round; a persist() fixes the duplication but
+    # measured SLOWER at sf0.01/sf0.1 — cache build + AQE-less cached
+    # exchanges cost more than the AQE-coalesced duplicate). The self row
+    # also doubles as the old-label carrier for change detection. Row
+    # overhead: ≤ one loop row per edge-incident node.
+    orient = [
+        F.struct(F.col(src_col).alias("a"), F.col(dst_col).alias("b")),
+        F.struct(F.col(dst_col).alias("a"), F.col(src_col).alias("b")),
+        F.struct(F.col(src_col).alias("a"), F.col(src_col).alias("b")),
+        F.struct(F.col(dst_col).alias("a"), F.col(dst_col).alias("b")),
+    ]
+    sym = edges.select(F.explode(F.array(*orient)).alias("e")).select(
+        "e.a", "e.b"
     )
+    if nodes is not None:
+        # explicit roster (isolated nodes included): their self-loops join
+        # the same adjacency; distinct() below absorbs the overlap with
+        # the edge-derived loops
+        sym = sym.unionByName(
+            nodes.select(
+                F.col(node_col).alias("a"), F.col(node_col).alias("b")
+            )
+        )
+    adj = sym.distinct().coalesce(npart).localCheckpoint()
     node_set = (
-        sym.select(F.col("a").alias(node_col)).distinct()
+        adj.filter(F.col("a") == F.col("b")).select(
+            F.col("a").alias(node_col)
+        )
         if nodes is None
         else nodes
     )
+    # Early exit on an edge-free graph (r7 verdict item 5): a curated
+    # corpus late in dedup has mostly-empty pair batches, and every
+    # propagation round costs a serial checkpoint barrier — so when the
+    # (already-materialized) adjacency holds no REAL edge, every node is
+    # its own singleton component and the answer needs ZERO propagation
+    # jobs, no label checkpoint, no convergence probe. first() over the
+    # checkpointed blocks is a cheap scan, not a recomputation.
+    if adj.filter(F.col("a") != F.col("b")).first() is None:
+        return node_set.select(
+            F.col(node_col).alias("node"), F.col(node_col).alias("label")
+        )
+    # The labels checkpoint keeps round 1's plan shape identical to later
+    # rounds (checkpoint-scan input), so the loop compiles ONE codegen
+    # plan reused every round.
     labels = (
         node_set.select(
             F.col(node_col).alias("node"), F.col(node_col).alias("label")
@@ -104,19 +128,21 @@ def connected_components(
         .localCheckpoint()
     )
     def _hop(lab: DataFrame) -> DataFrame:
-        nbr_min = (
-            sym.join(lab, sym.b == lab.node)
+        return (
+            adj.join(lab, adj.b == lab.node)
             .groupBy("a")
-            .agg(F.min("label").alias("nbr_min"))
-        )
-        return lab.join(nbr_min, lab.node == nbr_min.a, "left").select(
-            lab.node,
-            F.least(
-                lab.label, F.coalesce(F.col("nbr_min"), lab.label)
-            ).alias("label"),
-            (F.coalesce(F.col("nbr_min"), lab.label) < lab.label)
-            .cast("int")
-            .alias("_chg"),
+            .agg(
+                F.min("label").alias("label"),
+                # exactly one self row per node → min() picks its old label
+                F.min(F.when(F.col("a") == F.col("b"), F.col("label"))).alias(
+                    "_old"
+                ),
+            )
+            .select(
+                F.col("a").alias("node"),
+                "label",
+                (F.col("label") < F.col("_old")).cast("int").alias("_chg"),
+            )
         )
 
     # TWO propagation hops per materialized round: each checkpoint (a
@@ -128,6 +154,10 @@ def connected_components(
     # hop 2 means those labels were already the fixpoint (whatever hop 1
     # did). The flag rides inside the checkpointed rows, so detection is
     # a map-side sum over the checkpoint, not a separate join job.
+    # (One-hop rounds for tiny graphs were considered and rejected: a
+    # diameter-1 graph converges in ONE two-hop round — hop 1 changes,
+    # hop 2 proves the fixpoint — vs TWO one-hop barriers, so two-hop
+    # rounds are barrier-optimal at every graph size.)
     for _ in range(max_iter):
         stepped = (
             _hop(_hop(labels).drop("_chg"))
@@ -153,6 +183,17 @@ def dedup_clusters(
     Returns one row per document: ``[doc_id, cluster_id, is_canonical,
     cluster_size]``.  The canonical representative is the minimum doc_id
     of the cluster — stable under re-runs and independent of partitioning.
+
+    CONTRACT: ``pairs`` must reference only ids present in ``docs`` (the
+    natural shape — every registered caller generates pairs FROM the same
+    corpus it labels).  Sizes and canonical picks come from the
+    edge-derived label table, deliberately NOT from a corpus-relative
+    count (which would shuffle all corpus ids a second time just to count
+    the handful of multi-member clusters); if ``docs`` were a strict
+    subset of the pair universe, a cluster's size would count unseen
+    members and its canonical id could fall outside ``docs`` (leaving
+    every visible member ``is_canonical=false``).  Filter ``pairs`` to the
+    corpus first when labeling a sub-corpus.
     """
     # Iterate ONLY over nodes incident to an edge — in a deduplicated
     # corpus that subgraph is orders of magnitude smaller than the corpus
