@@ -76,9 +76,12 @@ def q_text_intake(spark, sf_dir):
     maxPartitionBytes); the md5 id is a map-side expression; the funnel
     is one groupBy on the id plus map-side gate expressions — no second
     corpus shuffle, no window, no UDF. The write stage exists only to
-    manufacture the file fixture; a real deployment points
-    ``read_text_docs`` at the crawl directory. Integer gate arithmetic
-    (2·n_alpha ≥ n_chars), so no float crosses an engine boundary.
+    manufacture the file fixture, ONCE per process per sf
+    (``source_fixture_dir`` — r7 verdict item 7: warm bench runs now
+    time the read-side intake, not ``write.text``); a real deployment
+    points ``read_text_docs`` at the crawl directory. Integer gate
+    arithmetic (2·n_alpha ≥ n_chars), so no float crosses an engine
+    boundary.
 
     Reference parity: ingest_stocks.py:61-100 (content-keyed bronze
     intake with dedup); SURVEY.md §2 S6+ (raw-text reader)."""
@@ -87,21 +90,22 @@ def q_text_intake(spark, sf_dir):
     )
     from personal_data_lakehouse_spark.io.readers import read_text_docs
     from personal_data_lakehouse_spark.streaming.windows import (
-        stream_work_dir,
+        source_fixture_dir,
     )
 
-    work = stream_work_dir("textintake")
-    src = f"{work}/txt"
-    (
-        t(spark, sf_dir, "documents")
-        .filter(F.col("text").isNotNull())
-        .select(F.translate("text", "\n\r", "  ").alias("value"))
-        # deterministic multi-file layout (hash of the content itself) so
-        # the read-back exercises a real multi-file directory scan; the
-        # output is layout-independent either way
-        .repartition(8, F.col("value"))
-        .write.text(src)
-    )
+    src, ready = source_fixture_dir("textintake_txt", sf_dir)
+    if not ready:
+        (
+            t(spark, sf_dir, "documents")
+            .filter(F.col("text").isNotNull())
+            .select(F.translate("text", "\n\r", "  ").alias("value"))
+            # deterministic multi-file layout (hash of the content itself)
+            # so the read-back exercises a real multi-file directory scan;
+            # the output is layout-independent either way
+            .repartition(8, F.col("value"))
+            .write.mode("overwrite")
+            .text(src)
+        )
     raw = read_text_docs(spark, src, one_doc_per="line")
     per_doc = raw.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_copies"),
@@ -243,6 +247,7 @@ def q_stream_substring_spans(spark, sf_dir):
     )
     from personal_data_lakehouse_spark.streaming.windows import (
         drain_stream_to_parquet,
+        source_fixture_dir,
         stream_work_dir,
     )
 
@@ -251,8 +256,12 @@ def q_stream_substring_spans(spark, sf_dir):
     pred = F.expr(_SS_STREAM_PRED)
     idx = gram_index(docs.filter(~pred))
 
-    src = f"{work}/src"
-    docs.filter(pred).write.parquet(src)
+    # stream SOURCE fixture is pure-function-of-fixture content: written
+    # once per process per sf (the sink/checkpoint dirs above stay wiped
+    # per call — a reused checkpoint would see no new data)
+    src, ready = source_fixture_dir("sspans_src", sf_dir)
+    if not ready:
+        docs.filter(pred).write.mode("overwrite").parquet(src)
     stream_docs = spark.readStream.schema(
         "doc_id bigint, text string"
     ).parquet(src)
@@ -329,30 +338,34 @@ def q_jsonl_intake(spark, sf_dir):
     Scale: JSONL is line-splittable; parsing is JVM-side Jackson inside
     the scan; the funnel is one groupBy on a ≤|langs|+2-key bucket — no
     second corpus pass, no window, no UDF. The write stage exists only to
-    manufacture the fixture; a real deployment points ``read_jsonl_docs``
-    at the dump directory. Reference parity: ingest_stocks.py:61-100
-    (bronze intake + quarantine gate analogue); SURVEY.md §2 S6+.
+    manufacture the fixture, ONCE per process per sf
+    (``source_fixture_dir`` — r7 verdict item 7: warm bench runs time the
+    Jackson scan + rollup, not the fixture write); a real deployment
+    points ``read_jsonl_docs`` at the dump directory. Reference parity:
+    ingest_stocks.py:61-100 (bronze intake + quarantine gate analogue);
+    SURVEY.md §2 S6+.
     """
     from personal_data_lakehouse_spark.functions.text import (
         token_count_whitespace,
     )
     from personal_data_lakehouse_spark.io.readers import read_jsonl_docs
     from personal_data_lakehouse_spark.streaming.windows import (
-        stream_work_dir,
+        source_fixture_dir,
     )
 
-    work = stream_work_dir("jsonlintake")
-    src = f"{work}/jsonl"
-    jl = (
-        t(spark, sf_dir, "documents")
-        .select(F.to_json(F.struct("doc_id", "lang", "text")).alias("value"))
-    )
-    bad = spark.createDataFrame(
-        [(b,) for b in _BAD_JSONL_LINES], "value string"
-    )
-    # deterministic multi-file layout (hash of the line itself) so the
-    # read-back exercises a real multi-file directory scan
-    jl.unionByName(bad).repartition(8, F.col("value")).write.text(src)
+    src, ready = source_fixture_dir("jsonlintake_jsonl", sf_dir)
+    if not ready:
+        jl = t(spark, sf_dir, "documents").select(
+            F.to_json(F.struct("doc_id", "lang", "text")).alias("value")
+        )
+        bad = spark.createDataFrame(
+            [(b,) for b in _BAD_JSONL_LINES], "value string"
+        )
+        # deterministic multi-file layout (hash of the line itself) so the
+        # read-back exercises a real multi-file directory scan
+        jl.unionByName(bad).repartition(8, F.col("value")).write.mode(
+            "overwrite"
+        ).text(src)
 
     raw = read_jsonl_docs(
         spark, src, "doc_id bigint, lang string, text string"

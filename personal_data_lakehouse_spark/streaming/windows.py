@@ -166,6 +166,23 @@ SENTINEL_CUTOFF = "2090-01-01 00:00:00"
 SENTINEL_CUTOFF_US = 3786912000000000  # epoch microseconds of the cutoff
 
 
+def _work_root() -> str:
+    """Per-PID work root shared by ``stream_work_dir`` and
+    ``source_fixture_dir``; registered for atexit removal once."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"pdl_stream_work_{os.getpid()}"
+    )
+    if not getattr(_work_root, "_atexit_registered", False):
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _work_root._atexit_registered = True
+    return root
+
+
 def stream_work_dir(name: str) -> str:
     """Per-query streaming work dir, REUSED (wiped + recreated) per call.
 
@@ -182,22 +199,46 @@ def stream_work_dir(name: str) -> str:
     bench sweep) must not wipe each other's live sink mid-read. A stale
     same-PID root from a dead process is harmlessly overwritten by the
     start-of-call wipe; the atexit sweep keeps the normal case clean.
+
+    Known limit (accepted, documented — r7 ADVICE): within ONE process,
+    re-invoking the same query invalidates the PREVIOUS invocation's
+    still-lazy result DataFrame (its sink files are wiped). The
+    sequential drivers (bench, driver_sim, the correctness gate) always
+    materialize before re-invoking; a consumer holding results across
+    re-invocations must collect or write them first.
     """
-    import atexit
     import os
     import shutil
-    import tempfile
 
-    root = os.path.join(
-        tempfile.gettempdir(), f"pdl_stream_work_{os.getpid()}"
-    )
-    if not getattr(stream_work_dir, "_atexit_registered", False):
-        atexit.register(shutil.rmtree, root, ignore_errors=True)
-        stream_work_dir._atexit_registered = True
-    d = os.path.join(root, name)
+    d = os.path.join(_work_root(), name)
     shutil.rmtree(d, ignore_errors=True)
     os.makedirs(d, exist_ok=True)
     return d
+
+
+def source_fixture_dir(name: str, sf_dir: str) -> tuple[str, bool]:
+    """Per-(query, sf) SOURCE-fixture dir, manufactured at most once per
+    process — the complement of ``stream_work_dir`` for a query's INPUT
+    side (r7 verdict item 7): sinks/checkpoints must be wiped per call,
+    but a source fixture is a pure function of the fixture tables, so
+    re-writing it inside every timed invocation charged ~half of the two
+    intake queries' warm bench time to ``write.text``, not intake.
+
+    Returns ``(path, ready)``: when ``ready`` is False the caller must
+    write the fixture with ``mode("overwrite")`` (handles a partial dir
+    left by an interrupted write). Readiness = Spark's ``_SUCCESS``
+    marker, which a writer commits last — and a complete stale fixture
+    from a recycled PID is byte-identical by construction (deterministic
+    content, deterministic layout), so reuse is always safe. Keyed by the
+    sf dir's basename so sf0.01 correctness runs and sf0.1 bench runs in
+    one process don't collide; lives under the per-PID root, removed at
+    process exit.
+    """
+    import os
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    d = os.path.join(_work_root(), f"fixture_{name}_{tag}")
+    return d, os.path.exists(os.path.join(d, "_SUCCESS"))
 
 
 def watermark_flush_events(
