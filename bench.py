@@ -105,6 +105,12 @@ HEADLINE = R1_BASELINE + [
     # two-hop label propagation) — both new plan shapes
     "q_jsonl_intake",
     "t_semdedup_clusters",
+    # round-8 additions: the capstone six-stage corpus pipeline rollup,
+    # the streaming JSONL intake (multi-micro-batch quarantine parity),
+    # and the online SemDeDup admit probe — all new plan shapes
+    "t_corpus_pipeline_e2e",
+    "q_stream_jsonl_intake",
+    "q_stream_semdedup_admit",
 ]
 
 # A warm triple spreading beyond this max/min ratio triggers automatic
@@ -261,6 +267,14 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "baseline17": baseline17,
+        # VERDICT r7 item 6: the headline set grows across rounds, so the
+        # record is self-describing — the FROZEN baseline17 name list (the
+        # r1-comparable trend series), the current full set, and both
+        # subtotals, so no cross-round comparison needs a footnote.
+        "baseline17_set": R1_BASELINE,
+        "headline_set": names,
+        "headline_total": total,
+        "n_headline": len(names),
         "canary_spread": worst_spread,
         "quiet_box": all(s["quiet"] for s in official),
         "n_sweeps": len(sweeps),

@@ -101,8 +101,17 @@ def split_stage(docs: DataFrame) -> DataFrame:
     )
 
 
-def pack_stage(docs: DataFrame, budget: int = 512) -> DataFrame:
-    """Per-(source, split) sequence packing — the sharded (scale) variant."""
+def packed_docs(docs: DataFrame, budget: int = 512) -> DataFrame:
+    """Per-document packing assignment: ``[doc_id, source, split, tok,
+    seq_id]`` — the running-token cumsum within (source, split) ordered
+    by doc_id, binned by ``budget``.  Exposed separately from
+    ``pack_stage`` so the e2e pipeline rollup can aggregate doc-level
+    facts (id fingerprints) and bin-level facts in one pass.
+
+    The window is partitioned per (source, split) — fine while every
+    source×split slice fits a task; the registered
+    ``t_pack_sequences_sharded`` two-pass prefix-sum is the 100 TB path
+    for skewed slices and composes here unchanged."""
     from pyspark.sql import Window
 
     toks = docs.select(
@@ -113,10 +122,14 @@ def pack_stage(docs: DataFrame, budget: int = 512) -> DataFrame:
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    packed = toks.withColumn("cum", F.sum("tok").over(w)).withColumn(
+    return toks.withColumn("cum", F.sum("tok").over(w)).withColumn(
         "seq_id", F.expr(f"(cum - tok) div {budget}")
     )
-    return packed.groupBy("source", "split", "seq_id").agg(
+
+
+def pack_stage(docs: DataFrame, budget: int = 512) -> DataFrame:
+    """Per-(source, split) sequence packing rollup over ``packed_docs``."""
+    return packed_docs(docs, budget).groupBy("source", "split", "seq_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("tok").alias("total_tokens"),
     )

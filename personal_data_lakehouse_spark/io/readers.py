@@ -165,3 +165,37 @@ def read_jsonl_docs(
         .option("columnNameOfCorruptRecord", corrupt_col)
         .json(path)
     )
+
+
+def read_jsonl_docs_stream(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    corrupt_col: str = "_corrupt",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """STREAMING JSONL corpus on-ramp — crawl dumps arrive as directories
+    that grow over time, so the production shape is ``readStream`` over
+    the dump dir, not a one-shot batch scan. Same contract as
+    ``read_jsonl_docs`` (explicit DDL schema, PERMISSIVE parse, raw line
+    quarantined in ``corrupt_col``), evaluated per micro-batch by the
+    identical JVM Jackson scan — the quarantine decision is per-LINE, so
+    it is independent of how the file set is chopped into batches (pinned
+    differentially by ``q_stream_jsonl_intake``).
+
+    ``max_files_per_trigger`` bounds each micro-batch's file count
+    (respected by availableNow bounded runs too — set it in parity tests
+    to force MULTIPLE micro-batches, so single-batch degeneration can't
+    mask a per-batch bug). Scale: the file-source ledger tracks seen
+    files; per-batch work is O(new files); no state store is involved for
+    a stateless parse-project pipeline.
+    """
+    full = T.StructType.fromDDL(schema).add(corrupt_col, T.StringType())
+    reader = (
+        spark.readStream.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.json(path)

@@ -345,10 +345,22 @@ def q_jsonl_intake(spark, sf_dir):
     ingest_stocks.py:61-100 (bronze intake + quarantine gate analogue);
     SURVEY.md §2 S6+.
     """
-    from personal_data_lakehouse_spark.functions.text import (
-        token_count_whitespace,
-    )
     from personal_data_lakehouse_spark.io.readers import read_jsonl_docs
+
+    raw = read_jsonl_docs(
+        spark, jsonl_fixture(spark, sf_dir), JSONL_DOC_SCHEMA
+    )
+    return jsonl_intake_rollup(jsonl_doc_projection(raw))
+
+
+JSONL_DOC_SCHEMA = "doc_id bigint, lang string, text string"
+
+
+def jsonl_fixture(spark, sf_dir: str) -> str:
+    """Manufacture-once JSONL source fixture (documents serialized with
+    ``to_json`` + the injected malformed lines), SHARED by the batch and
+    streaming intake queries — same path, same bytes by construction, so
+    their parity is over the identical input directory."""
     from personal_data_lakehouse_spark.streaming.windows import (
         source_fixture_dir,
     )
@@ -366,33 +378,42 @@ def q_jsonl_intake(spark, sf_dir):
         jl.unionByName(bad).repartition(8, F.col("value")).write.mode(
             "overwrite"
         ).text(src)
+    return src
 
-    raw = read_jsonl_docs(
-        spark, src, "doc_id bigint, lang string, text string"
+
+def jsonl_doc_projection(raw):
+    """Per-row (STATELESS — runs identically in a micro-batch) intake
+    projection over a PERMISSIVE-parsed JSONL frame: quarantine/lang
+    bucket, id, char and whitespace-token mass."""
+    from personal_data_lakehouse_spark.functions.text import (
+        token_count_whitespace,
     )
+
     bucket = F.when(
         F.col("_corrupt").isNotNull(), F.lit("__corrupt__")
     ).otherwise(F.coalesce(F.col("lang"), F.lit("__null__")))
-    return (
-        raw.select(
-            bucket.alias("lang_bucket"),
-            "doc_id",
-            F.length(F.coalesce("text", "_corrupt")).alias("chars"),
-            # explicit null guard: size(NULL) is -1 under ansi=false but
-            # NULL under ansi=true, so the bare token count would be
-            # SESSION-dependent on quarantined rows (caught by the strict
-            # differential under the tuned session vs the vanilla driver)
-            F.when(
-                F.col("text").isNotNull(), token_count_whitespace("text")
-            ).alias("toks"),
-        )
-        .groupBy("lang_bucket")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("doc_id").cast("long").alias("id_sum"),
-            F.sum("chars").cast("long").alias("chars_total"),
-            F.sum("toks").cast("long").alias("tokens_total"),
-        )
+    return raw.select(
+        bucket.alias("lang_bucket"),
+        "doc_id",
+        F.length(F.coalesce("text", "_corrupt")).alias("chars"),
+        # explicit null guard: size(NULL) is -1 under ansi=false but
+        # NULL under ansi=true, so the bare token count would be
+        # SESSION-dependent on quarantined rows (caught by the strict
+        # differential under the tuned session vs the vanilla driver)
+        F.when(
+            F.col("text").isNotNull(), token_count_whitespace("text")
+        ).alias("toks"),
+    )
+
+
+def jsonl_intake_rollup(proj):
+    """Per-language-bucket rollup over the projected rows (one groupBy;
+    shared between the batch query and the streaming sink assembly)."""
+    return proj.groupBy("lang_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+        F.sum("chars").cast("long").alias("chars_total"),
+        F.sum("toks").cast("long").alias("tokens_total"),
     )
 
 

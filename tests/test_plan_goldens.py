@@ -123,10 +123,22 @@ _GOLDEN_SF = "/root/testdata/sf0.001"
 # m_pagerank_top20 joined HEADLINE in r5 but stays golden-excluded (see the
 # GOLDEN_EXTRA note: its in-plan persist lineage interacts with the
 # generator's clearCache); dict.fromkeys dedupes HEADLINE∩GOLDEN_EXTRA.
+# r8: t_corpus_pipeline_e2e and q_stream_semdedup_admit join HEADLINE but
+# stay golden-excluded — both embed the dedup_clusters closure, whose
+# labels come from loop-checkpointed RDDs (the t_dedup_clusters /
+# t_semdedup_clusters precedent); pinned by the differential gate + plan
+# lint instead. q_stream_jsonl_intake IS pinned (sink-scan + rollup,
+# work-dir paths normalized like q_stream_substring_spans).
 _GOLDEN_NAMES = [
     n
     for n in dict.fromkeys(HEADLINE + GOLDEN_EXTRA)
-    if n not in ("m_pagerank_top20", "t_semdedup_clusters")
+    if n
+    not in (
+        "m_pagerank_top20",
+        "t_semdedup_clusters",
+        "t_corpus_pipeline_e2e",
+        "q_stream_semdedup_admit",
+    )
 ]
 
 

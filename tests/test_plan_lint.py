@@ -57,6 +57,8 @@ PATTERNS = {
 # Executes a Structured Streaming job in-query; returned DF is a sink scan.
 STREAM_EXEC = {
     "q_stream_dedup",
+    "q_stream_jsonl_intake",
+    "q_stream_semdedup_admit",
     "q_stream_session_agg",
     "q_stream_sliding_agg",
     "q_stream_static_enrich",
@@ -115,6 +117,11 @@ BUDGET: dict[str, dict[str, int]] = {
     # spark.sql.optimizer.runtime.bloomFilter.maxNumBytes), not a data
     # funnel.
     "t_semdedup_clusters": {"single_part": 1},
+    # rebalance_stage's temperature thresholds: a ONE-row global-min agg
+    # (single_part) broadcast-cross-joined onto the |sources|-row counts
+    # (bnlj) — the t_mix_temperature scalar pattern, rows bounded by the
+    # source cardinality, never the corpus.
+    "t_corpus_pipeline_e2e": {"bnlj": 1, "single_part": 1},
     "t_split_leakage_audit": {"single_part": 2},
     "t_tfidf_topterms": {"bnlj": 1, "single_part": 1},
 }

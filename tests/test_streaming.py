@@ -1200,3 +1200,107 @@ def test_stream_probe_recall_equals_batch_ivf_recall(spark, tmp_path):
     assert stream_recall > 0
     corpus.unpersist()
     cents.unpersist()
+
+
+def test_stream_jsonl_intake_spans_multiple_microbatches(spark, tmp_path):
+    """The streaming JSONL intake's parity claim is only meaningful if
+    the fixture actually crosses micro-batch boundaries: with
+    maxFilesPerTrigger=3 over the 8-file fixture, the availableNow run
+    must execute MULTIPLE input-consuming batches, quarantine included,
+    and the drained rows must equal the batch read's projection exactly
+    (per-row set equality — stronger than the registered rollup hash)."""
+    from personal_data_lakehouse_spark.io.readers import (
+        read_jsonl_docs,
+        read_jsonl_docs_stream,
+    )
+    from personal_data_lakehouse_spark.plans.round7_ops import (
+        JSONL_DOC_SCHEMA,
+        jsonl_doc_projection,
+        jsonl_fixture,
+    )
+
+    src = jsonl_fixture(spark, SF_DIR)
+    stream = read_jsonl_docs_stream(
+        spark, src, JSONL_DOC_SCHEMA, max_files_per_trigger=3
+    )
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        jsonl_doc_projection(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    fed = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(fed) >= 2, "fixture fit in one micro-batch; parity is vacuous"
+
+    def key(r):
+        return (r["lang_bucket"], r["doc_id"], r["chars"], r["toks"])
+
+    got = sorted(
+        key(r) for r in spark.read.parquet(out).collect()
+    )
+    want = sorted(
+        key(r)
+        for r in jsonl_doc_projection(
+            read_jsonl_docs(spark, src, JSONL_DOC_SCHEMA)
+        ).collect()
+    )
+    assert got == want
+    assert sum(1 for r in got if r[0] == "__corrupt__") == 3
+
+
+def test_stream_semdedup_probe_is_stateless(spark, tmp_path):
+    """The online SemDeDup admit decision (q_stream_semdedup_admit) rides
+    entirely on stateless operators: literal-injected centroid argmax +
+    a stream-static join against the cell index. Pin that claim on the
+    actual streaming query's progress — every micro-batch must report
+    ZERO state operators (state empty at any stream length), and the
+    drained candidate rows must cover every streamed vector's probe."""
+    import os
+
+    from personal_data_lakehouse_spark.similarity.ivf import (
+        ann_candidate_stream,
+        assign_cells,
+        pick_centroids,
+    )
+
+    emb = t(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    pred = (F.col("vec_id") >= 16) & (F.col("vec_id") % 10 == 3)
+    cand = emb.filter(F.col("vec_id") >= 8)
+    corpus = cand.filter(~pred)
+    cents = pick_centroids(emb, list(range(8, 16)))
+    cells = assign_cells(corpus, cents, "vec_id", "embedding", n=1)
+
+    src = str(tmp_path / "arrivals")
+    os.makedirs(src)
+    cand.filter(pred).coalesce(1).write.parquet(f"{src}/b=0")
+    stream = spark.readStream.schema(
+        "vec_id bigint, embedding array<float>"
+    ).parquet(src)
+    out = str(tmp_path / "out")
+    q = (
+        ann_candidate_stream(stream, cells, cents, nprobe=1)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    fed = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert fed, "stream consumed nothing"
+    for p in q.recentProgress:
+        assert p["stateOperators"] == [], p["stateOperators"]
+
+    probed = {r["qid"] for r in spark.read.parquet(out).collect()}
+    streamed = {r["vec_id"] for r in cand.filter(pred).collect()}
+    # every arrival with at least one cell-mate produced candidates; an
+    # arrival alone in its cell legitimately yields none
+    assert probed <= streamed
+    assert len(probed) > 0

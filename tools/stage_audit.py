@@ -33,6 +33,8 @@ SF = os.environ.get("STAGE_AUDIT_SF_DIR", "/root/testdata/sf0.01")
 # loop; both are excluded like in tests/test_plan_lint.py.
 SKIP = {
     "q_stream_dedup",
+    "q_stream_jsonl_intake",
+    "q_stream_semdedup_admit",
     "q_stream_session_agg",
     "q_stream_sliding_agg",
     "q_stream_static_enrich",
