@@ -62,7 +62,26 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # 50. Verified rows from earlier rounds stay credited, so the window ROTATES
 # each round to maximize cumulative driver-verified coverage.
 #
-# Round 7's window (per VERDICT r6 items 1/2/3/4/5/8):
+# Round 8's window (per VERDICT r7 items 1/2/3/4/5/7), arithmetic:
+#   (a) NEW in r8 — 3 additions (<= 10 cap): t_corpus_pipeline_e2e
+#       (VERDICT item 2), q_stream_semdedup_admit (item 3),
+#       q_stream_jsonl_intake (item 4);
+#   (b) plan changed in r8 — 7 re-proofs: the connected-components
+#       rework (self-loop fused hops + edge-free early exit,
+#       dedup/cluster.py) touches every closure consumer
+#       (t_dedup_clusters, t_dedup_cluster_stats, t_dedup_keep_best,
+#       t_semdedup_clusters — VERDICT item 5's re-proof set), and the
+#       fixture-manufacture-out-of-timed-region change (VERDICT item 7,
+#       streaming/windows.source_fixture_dir) touches q_text_intake,
+#       q_jsonl_intake, q_stream_substring_spans;
+#   (c) VERDICT item 1: the ENTIRE precomputed 35-row r7 queue
+#       (q_histogram .. t_sample_stratified, r3-latest evidence).
+#   3 + 7 + 35 = 45 rows, 5 slots spare. After this window EVERY ledger
+#   row is within the trailing-3-round target for the first time:
+#   nothing older than r6 remains (r1-r5 rows all re-proven by r6/r7/r8
+#   windows or superseded by plan-change re-proofs).
+#
+# Round 7's window (kept for the ledger; per VERDICT r6 items 1/2/3/4/5/8):
 #   (a) queries whose CODE/PLAN changed this round — the coalesce-before-
 #       persist + corpus-shuffle-removal fixes touched dedup/cluster.py
 #       (t_dedup_clusters, t_dedup_cluster_stats, t_dedup_keep_best) and
@@ -83,147 +102,29 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #       every round, latest rows r4);
 #   (e) refill: the first 13 of the 49 r3-latest rows (list below).
 #
-# r8 QUEUE (exact, from this round's final window): the 35 rows rolled
-# past the cap, in (e)-priority order — q_histogram, q_hypertable_rollup,
-# q_latest_per_key, q_map_roundtrip, q_mapinpandas_tokens,
-# q_mode_per_group, q_not_in_null_semantics, q_ntile_cume,
-# q_open_order_concurrency, q_pct_of_total, then the 25 names
-# q_percentiles .. t_sample_stratified as listed below the cap (all
-# r3-latest evidence; t_udtf_word_windows left the queue — re-proven
-# in-window this round after the Arrow-UDTF change). 35 + r8's own
-# changed-plan/new slots fit one 50-window with 15 slots spare; after
-# r8 every ledger row is within the trailing-3-round target.
-#
-# Round 6's window (kept for the ledger; per VERDICT r5 items 1/3/4/6):
-#   (a) queries whose CODE changed this round — the four streaming-parity
-#       queries (complete-mode memory sinks -> append-mode file sinks with
-#       sentinel watermark flush) and m_triangle_count (default-on
-#       out-degree cap, oracle updated to match) — their r5 rows no longer
-#       describe the shipped plans; plus t_substring_dedup, new in r6;
-#   (b) the five wave-10 queries that have NEVER seen a driver row (added
-#       after the r5 window froze);
-#   (c) t_token_count — the one query whose only green row is round 1;
-#   (d) refill: every remaining slot goes to r2-latest rows, bench
-#       headliners first, then the r2-era relational/dedup shapes, then
-#       the oldest TPC-H shapes.
-# After this window the ledger should hold: 0 never-evaluated queries, no
-# row older than r2 except the 11 TPC-H shapes squeezed below the cap
-# (q11_important_stock, q13_custdist, q14_promo_share, q15_top_supplier,
-# q16_supplier_cnt, q17_small_qty_revenue, q18_large_orders,
-# q19_disjunctive_revenue, q20_excess_share_suppliers,
-# q21_sole_return_supplier, q22_idle_customers)
-# — FIRST re-proof priority for r7, followed by the r3-latest rows.
-# Also queued for r7 (plan-only fix + window slot together): apply the
-# coalesce-before-persist idiom (see q_anomaly_mad / r6's m_triangle_count)
-# to the cached intermediates of t_dedup_cluster_stats, s_ann_recall_eval,
-# and s_knn_incremental — each pays 200-near-empty-task stages under a
-# vanilla 200-partition driver session (measured 6.8s / 6.5s / 2.8s at
-# sf0.01 in the r6 full sweep). Coalesce ONLY caches whose downstream
-# stages don't reuse the cached hash layout: m_pagerank_top20 is
-# deliberately EXCLUDED — its 200-partition edge cache carries
-# hashpartitioning(src) that every iteration's join reuses, so a
-# coalesce would trade task-count overhead for 3 extra edge-list
-# shuffles and lose at scale.
-# r7 window arithmetic (precomputed from the r1-r5 ledgers): 11 TPC-H
-# r2-latest + 3 coalesce-fix queries + any r7 additions, refilled from
-# the 49 r3-latest rows (oldest evidence after this round):
-# m_binary_meta, m_frame_sample, q12_priority_split, q_bloom_semi_join,
-# q_corr, q_cross_join, q_event_dedup, q_explode_arrays,
-# q_first_last_frames, q_funnel, q_funnel_time_bound,
-# q_higher_order_funcs, q_histogram, q_hypertable_rollup,
-# q_latest_per_key, q_map_roundtrip, q_mapinpandas_tokens,
-# q_mode_per_group, q_not_in_null_semantics, q_ntile_cume,
-# q_open_order_concurrency, q_pct_of_total, q_percentiles, q_pivot_wide,
-# q_posexplode_tokens, q_ranking_functions, q_regr_slope,
-# q_retention_cohort, q_salted_two_stage_agg, q_scalar_subquery,
-# q_semi_join_api, q_sessionize, q_union_by_name, q_unpivot,
-# q_weighted_median, q_window_range_frame, t_bigram_familiarity,
-# t_char_trigram_profile, t_chunk_documents, t_dedup_clusters,
-# t_doc_term_rarity, t_mix_weighted, t_pack_sequences,
-# t_pack_sequences_sharded, t_pii_scrub, t_repetition_ratio,
-# t_sample_bernoulli_hash, t_sample_stratified, t_udtf_word_windows
-# (what misses the r7 cap rolls to r8, which then holds every row
-# within the trailing-3-round target).
+# (The r8 queue precomputed at the end of r7 — the 35 rows q_histogram ..
+# t_sample_stratified — is EXECUTED by this round's section (c) below.
+# Older window ledgers (r6 and earlier) live in git history of this file.)
 _PRIORITY = [
-    # (b) NEW in r7 — never driver-evaluated, outrank everything
-    "q_text_intake",
-    "q_stream_substring_spans",
-    "q_jsonl_intake",
-    "t_semdedup_clusters",
-    # (a) code/plan changed in r7 — r6 rows no longer describe the
-    # shipped plans, must re-prove
+    # (a) NEW in r8 — never driver-evaluated, outrank everything
+    "t_corpus_pipeline_e2e",
+    "q_stream_jsonl_intake",
+    "q_stream_semdedup_admit",
+    # (b) plan changed in r8 — r7 rows no longer describe the shipped
+    # plans: the connected-components rework (self-loop fused hops +
+    # edge-free early exit) re-proves every closure consumer, and the
+    # source_fixture_dir change re-proves the three fixture-writing
+    # queries (read path moved out of the wiped work dir)
     "t_dedup_clusters",
     "t_dedup_cluster_stats",
     "t_dedup_keep_best",
-    "s_ivf_ann_topk",
-    "t_embed_neardup",
-    "s_knn_incremental",
-    "s_knn_graph",
-    "s_ann_recall_eval",
-    "q_stream_tumbling_agg",
-    "q_stream_session_agg",
-    "q_stream_sliding_agg",
-    "q_stream_dedup",
-    "q_stream_stream_join",
-    # (c) the 11 r2-latest TPC-H shapes — oldest evidence in the ledger
-    "q11_important_stock",
-    "q13_custdist",
-    "q14_promo_share",
-    "q15_top_supplier",
-    "q16_supplier_cnt",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q20_excess_share_suppliers",
-    "q21_sole_return_supplier",
-    "q22_idle_customers",
-    # (d) reference-model translations benched every round, rows from r4
-    "q02_monthly_rollup",
-    "q_silver_cleaning",
-    # (a, late-r7) t_udtf_word_windows: the UDTF now evaluates through
-    # Arrow (decorator-level useArrow=True — session-independent, so the
-    # driver's vanilla session gets ArrowEvalPythonUDTF too, not the
-    # row-pickling BatchEvalPythonUDTF; same rows, verified identical at
-    # sf0.001/sf0.01), so its r3 row no longer describes the shipped plan
-    "t_udtf_word_windows",
-    # (a, late-r7) the minhash LSH index cache is now coalesced before
-    # persist (dedup/minhash.py _banded_docs — the same idiom as the r7
-    # connected_components/ivf fixes; it was the remaining source of
-    # 200-near-empty-task stages in the dedup family under a vanilla
-    # session). Every lsh_candidate_pairs consumer's plan changed, so the
-    # six whose latest rows predate the change re-prove here; the dedup
-    # trio above already holds slots. Six refills roll to r8 to make room.
-    "t_minhash_lsh_pairs",
-    "t_minhash_containment",
-    "t_minhash_estimate_error",
-    "t_neardup_incremental",
-    "t_neardup_source_matrix",
-    "t_neardup_verified",
-    # (a, late-r7) t_crossdoc_spans: gram-index cache now coalesced before
-    # persist (a stage-count audit under a vanilla session found its
-    # dropDuplicates-pinned cache was the LAST remaining source of
-    # 200-task stages in the whole registry); plan changed, re-proves here
-    "t_crossdoc_spans",
-    # (e) refill: first 12 of the 49 r3-latest rows (r6 comment order;
-    # t_dedup_clusters already claimed by (a)); q_histogram,
-    # q_hypertable_rollup, q_latest_per_key, q_map_roundtrip,
-    # q_mapinpandas_tokens, q_mode_per_group, q_not_in_null_semantics,
-    # q_ntile_cume, q_open_order_concurrency + q_pct_of_total + the 25
-    # names q_percentiles..t_sample_stratified roll to r8 = 35 rows
-    "m_binary_meta",
-    "m_frame_sample",
-    "q12_priority_split",
-    "q_bloom_semi_join",
-    "q_corr",
-    "q_cross_join",
-    "q_event_dedup",
-    "q_explode_arrays",
-    "q_first_last_frames",
-    "q_funnel",
-    "q_funnel_time_bound",
-    "q_higher_order_funcs",
-    # ---- 50-query window cap falls here; the rest re-verify only if the
-    # driver evaluates more than 50 ----
+    "t_semdedup_clusters",
+    "q_text_intake",
+    "q_jsonl_intake",
+    "q_stream_substring_spans",
+    # (c) VERDICT r7 item 1: the full precomputed 35-row queue (r3-latest
+    # evidence — the oldest rows in the ledger; clearing it brings every
+    # row within the trailing-3-round target)
     "q_histogram",
     "q_hypertable_rollup",
     "q_latest_per_key",
@@ -259,6 +160,30 @@ _PRIORITY = [
     "t_repetition_ratio",
     "t_sample_bernoulli_hash",
     "t_sample_stratified",
+    # (d) the 5 spare slots go to the oldest-evidence tier that remains
+    # after (c) clears: 42 rows are r6-latest; these five are the bench
+    # headliners among them (timed every round, so a silent drift there
+    # costs the most). The r9 QUEUE is the other 37 r6-latest rows:
+    # m_kmeans_centroids, m_triangle_count, q02_min_cost_supplier,
+    # q04_order_priority, q05_region_revenue, q06_revenue_forecast,
+    # q07_nation_volume, q08_market_share, q09_product_profit,
+    # q10_returned_revenue, q_applyinpandas_rank, q_asof_join,
+    # q_benford_digits, q_cdc_apply, q_funnel_latency,
+    # q_gap_fill_calendar, q_grouping_sets, q_lateral_topn,
+    # q_median_exact, q_merge_upsert, q_pivot, q_range_join,
+    # q_recursive_hierarchy, q_revenue_concentration,
+    # q_running_zscore_flags, q_scd2_intervals, q_session_window,
+    # q_snapshot_diff, q_tumbling_window, q_zscore_outliers,
+    # t_contamination, t_dedup_exact, t_ngram_jaccard_blocked,
+    # t_pmi_collocations, t_quality_filter, t_simhash_neardup,
+    # t_token_count (37 + r9's own new/changed slots fit one window).
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q_window_topk",
+    "s_cosine_topk",
+    "t_substring_dedup",
+    # ---- 50-query window cap falls here exactly; the rest re-verify
+    # only if the driver evaluates more than 50 ----
 ]
 
 

@@ -66,8 +66,24 @@ def main() -> int:
     import __spark_entry__  # noqa: F401 — populates REGISTRY
     from personal_data_lakehouse_spark.plans.registry import REGISTRY
 
+    # Stage ids are assigned sequentially; probe a window past the highest
+    # id seen so far and extend until a full empty tail confirms the end —
+    # a fixed 0..20000 range silently stopped attributing stages in long
+    # audit sessions (r7 ADVICE).
+    probe_hi = [20000]
+
     def all_stage_ids() -> list[int]:
-        return [i for i in range(20000) if tracker.getStageInfo(i) is not None]
+        ids: list[int] = []
+        lo = 0
+        while True:
+            ids.extend(
+                i
+                for i in range(lo, probe_hi[0])
+                if tracker.getStageInfo(i) is not None
+            )
+            if not ids or ids[-1] < probe_hi[0] - 2000:
+                return ids
+            lo, probe_hi[0] = probe_hi[0], probe_hi[0] * 2
 
     only = set(sys.argv[1:])
     names = [
