@@ -127,6 +127,19 @@ def test_headline_exchange_budgets(spark):
         # exchanges; the closure loop itself runs on checkpointed RDDs
         # outside this plan
         "t_semdedup_clusters": 5,
+        # 33 textual = the six composed stages' exchanges (fingerprint
+        # dedup groupBy, banded LSH index re-printed per cached join
+        # side, closure label/size aggregates, rebalance count/min
+        # aggregates, packing window sort, final rollup) — executed:
+        # each stage's audited single-shuffle shape; the closure loop
+        # runs on checkpointed RDDs outside this plan
+        "t_corpus_pipeline_e2e": 33,
+        # 1 = the language-bucket rollup over the streaming sink read-back
+        "q_stream_jsonl_intake": 1,
+        # 10 textual = cell-assign window exchange re-printed per cached
+        # reference + closure label/size aggregates + the match
+        # aggregate and roster left join over drained candidate rows
+        "q_stream_semdedup_admit": 10,
     }
     assert set(budget) == set(HEADLINE)
     for name, allowed in budget.items():
