@@ -63,9 +63,10 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # each round to maximize cumulative driver-verified coverage.
 #
 # Round 8's window (per VERDICT r7 items 1/2/3/4/5/7), arithmetic:
-#   (a) NEW in r8 — 3 additions (<= 10 cap): t_corpus_pipeline_e2e
+#   (a) NEW in r8 — 4 additions (<= 10 cap): t_corpus_pipeline_e2e
 #       (VERDICT item 2), q_stream_semdedup_admit (item 3),
-#       q_stream_jsonl_intake (item 4);
+#       q_stream_jsonl_intake (item 4), q_stream_text_intake (the
+#       raw-text sibling completing the streaming intake pair);
 #   (b) plan changed in r8 — 7 re-proofs: the connected-components
 #       rework (self-loop fused hops + edge-free early exit,
 #       dedup/cluster.py) touches every closure consumer
@@ -76,7 +77,7 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #       q_jsonl_intake, q_stream_substring_spans;
 #   (c) VERDICT item 1: the ENTIRE precomputed 35-row r7 queue
 #       (q_histogram .. t_sample_stratified, r3-latest evidence).
-#   3 + 7 + 35 = 45 rows, 5 slots spare. After this window EVERY ledger
+#   4 + 7 + 35 = 46 rows, 4 slots spare. After this window EVERY ledger
 #   row is within the trailing-3-round target for the first time:
 #   nothing older than r6 remains (r1-r5 rows all re-proven by r6/r7/r8
 #   windows or superseded by plan-change re-proofs).
@@ -110,6 +111,7 @@ _PRIORITY = [
     "t_corpus_pipeline_e2e",
     "q_stream_jsonl_intake",
     "q_stream_semdedup_admit",
+    "q_stream_text_intake",
     # (b) plan changed in r8 — r7 rows no longer describe the shipped
     # plans: the connected-components rework (self-loop fused hops +
     # edge-free early exit) re-proves every closure consumer, and the
@@ -160,10 +162,13 @@ _PRIORITY = [
     "t_repetition_ratio",
     "t_sample_bernoulli_hash",
     "t_sample_stratified",
-    # (d) the 5 spare slots go to the oldest-evidence tier that remains
-    # after (c) clears: 42 rows are r6-latest; these five are the bench
+    # (d) the spare slots go to the oldest-evidence tier that remains
+    # after (c) clears: 42 rows are r6-latest; these are the bench
     # headliners among them (timed every round, so a silent drift there
-    # costs the most). The r9 QUEUE is the other 37 r6-latest rows:
+    # costs the most). q_stream_text_intake's late addition to (a) took
+    # the fifth spare slot — t_substring_dedup rolls to the FRONT of the
+    # r9 queue. The r9 QUEUE is t_substring_dedup + the other 37
+    # r6-latest rows:
     # m_kmeans_centroids, m_triangle_count, q02_min_cost_supplier,
     # q04_order_priority, q05_region_revenue, q06_revenue_forecast,
     # q07_nation_volume, q08_market_share, q09_product_profit,
@@ -176,12 +181,11 @@ _PRIORITY = [
     # q_snapshot_diff, q_tumbling_window, q_zscore_outliers,
     # t_contamination, t_dedup_exact, t_ngram_jaccard_blocked,
     # t_pmi_collocations, t_quality_filter, t_simhash_neardup,
-    # t_token_count (37 + r9's own new/changed slots fit one window).
+    # t_token_count (38 + r9's own new/changed slots fit one window).
     "q01_pricing_summary",
     "q03_shipping_priority",
     "q_window_topk",
     "s_cosine_topk",
-    "t_substring_dedup",
     # ---- 50-query window cap falls here exactly; the rest re-verify
     # only if the driver evaluates more than 50 ----
 ]

@@ -123,6 +123,39 @@ def read_text_docs(
     return docs
 
 
+def read_text_docs_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """STREAMING raw-text corpus on-ramp — the growing-directory form of
+    ``read_text_docs`` (crawl/export dirs fill with .txt shards over
+    time). Line mode only: ``wholetext`` would make batch boundaries a
+    function of file sizes, and the content-addressed contract makes the
+    distinction irrelevant downstream. Emits the IDENTICAL per-row
+    projection (md5 content id, file provenance, blank-line drop),
+    evaluated statelessly per micro-batch — a row's id depends only on
+    its content, never on which batch delivered it (pinned
+    differentially by ``q_stream_text_intake``).
+
+    ``max_files_per_trigger`` bounds per-batch file count (respected by
+    availableNow bounded runs — parity tests set it to force MULTIPLE
+    micro-batches). Scale: the file-source ledger admits O(new files)
+    per trigger; map-side md5, no shuffle, no state store.
+    """
+    from pyspark.sql import functions as F
+
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.load(path)
+    return raw.select(
+        F.md5(F.col("value").cast("binary")).alias("doc_id"),
+        F.input_file_name().alias("source"),
+        F.col("value").alias("text"),
+    ).filter(F.length("text") > 0)
+
+
 def read_jsonl_docs(
     spark: SparkSession,
     path: str,

@@ -85,10 +85,19 @@ def q_text_intake(spark, sf_dir):
 
     Reference parity: ingest_stocks.py:61-100 (content-keyed bronze
     intake with dedup); SURVEY.md §2 S6+ (raw-text reader)."""
-    from personal_data_lakehouse_spark.functions.text import (
-        token_count_whitespace,
-    )
     from personal_data_lakehouse_spark.io.readers import read_text_docs
+
+    raw = read_text_docs(
+        spark, text_fixture(spark, sf_dir), one_doc_per="line"
+    )
+    return text_intake_rollup(raw)
+
+
+def text_fixture(spark, sf_dir: str) -> str:
+    """Manufacture-once raw-text source fixture (documents, one per line,
+    newlines collapsed), SHARED by the batch and streaming intake
+    queries — same path, same bytes by construction, so their parity is
+    over the identical input directory (the ``jsonl_fixture`` pattern)."""
     from personal_data_lakehouse_spark.streaming.windows import (
         source_fixture_dir,
     )
@@ -106,7 +115,19 @@ def q_text_intake(spark, sf_dir):
             .write.mode("overwrite")
             .text(src)
         )
-    raw = read_text_docs(spark, src, one_doc_per="line")
+    return src
+
+
+def text_intake_rollup(raw):
+    """Exact dedup + quality gates over content-addressed text rows
+    (``doc_id``, ``text``) — the funnel both the batch and streaming
+    text-intake queries roll up through; the groupBy is on the
+    content-addressed id, so the rollup is independent of how the rows
+    arrived (one batch scan or many micro-batches)."""
+    from personal_data_lakehouse_spark.functions.text import (
+        token_count_whitespace,
+    )
+
     per_doc = raw.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_copies"),
         # all copies of a content-addressed id carry identical text;

@@ -259,6 +259,67 @@ def _inject_stream_jsonl_oracle() -> None:
 _inject_stream_jsonl_oracle()
 
 
+@query("q_stream_text_intake", oracle=None)  # oracle shared with batch, below
+def q_stream_text_intake(spark, sf_dir):
+    """STREAMING raw-text corpus intake proven batch-equal under the
+    driver's hash — completing the intake streaming PAIR (the JSONL
+    sibling is ``q_stream_jsonl_intake``): the SAME 8-file text fixture
+    ``q_text_intake`` reads is consumed as a LIVE STREAM through
+    ``read_text_docs_stream`` (identical md5 content-id projection,
+    blank-line drop) with ``maxFilesPerTrigger=3`` forcing MULTIPLE
+    micro-batches, lands append-mode in a parquet sink, and rolls up
+    through the same exact-dedup + quality-gate funnel. Must hash-equal
+    the batch oracle: content-addressed ids make the rollup independent
+    of which micro-batch delivered each copy — duplicate counts ACROSS
+    batch boundaries still collapse to one row per unique document.
+
+    This is the production shape for dump-directory ingestion: the dir
+    grows, the file-source ledger admits new files per trigger, and the
+    dedup/gate funnel downstream never needs to know rows arrived
+    incrementally.
+
+    Scale: per-batch work is O(new files) — line-splittable scan,
+    map-side md5, stateless projection (no state store at any stream
+    length); the funnel aggregation here runs once over the bounded sink
+    for parity, and in ``foreachBatch`` MERGE form in production
+    (``streaming/windows.merge_sink`` — the reference's dedup-on-append).
+
+    Reference parity: ingest_stocks.py:61-100 (incremental bronze
+    intake); SURVEY.md §2 S6+ streaming extension; sibling of
+    ``q_stream_jsonl_intake`` above.
+    """
+    from personal_data_lakehouse_spark.io.readers import (
+        read_text_docs_stream,
+    )
+    from personal_data_lakehouse_spark.plans.round7_ops import (
+        text_fixture,
+        text_intake_rollup,
+    )
+    from personal_data_lakehouse_spark.streaming.windows import (
+        drain_stream_to_parquet,
+        stream_work_dir,
+    )
+
+    src = text_fixture(spark, sf_dir)
+    work = stream_work_dir("textstream")
+    stream = read_text_docs_stream(spark, src, max_files_per_trigger=3)
+    drained = drain_stream_to_parquet(stream, work)
+    return text_intake_rollup(drained)
+
+
+def _inject_stream_text_oracle() -> None:
+    from personal_data_lakehouse_spark.plans.registry import REGISTRY
+
+    # byte-identical input directory + identical projection/rollup ⇒ the
+    # batch oracle IS the streaming oracle (no-drift composition)
+    REGISTRY["q_stream_text_intake"].oracle = REGISTRY[
+        "q_text_intake"
+    ].oracle
+
+
+_inject_stream_text_oracle()
+
+
 # ---------------------------------------------------------------------------
 # Online semantic-dedup admission (streaming SemDeDup)
 

@@ -64,6 +64,7 @@ STREAM_EXEC = {
     "q_stream_static_enrich",
     "q_stream_stream_join",
     "q_stream_substring_spans",
+    "q_stream_text_intake",
     "q_stream_tumbling_agg",
 }
 

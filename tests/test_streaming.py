@@ -1254,6 +1254,51 @@ def test_stream_jsonl_intake_spans_multiple_microbatches(spark, tmp_path):
     assert sum(1 for r in got if r[0] == "__corrupt__") == 3
 
 
+def test_stream_text_intake_spans_multiple_microbatches(spark, tmp_path):
+    """The streaming text intake's parity claim is only meaningful if the
+    fixture actually crosses micro-batch boundaries: with
+    maxFilesPerTrigger=3 over the 8-file fixture, the availableNow run
+    must execute MULTIPLE input-consuming batches, and the drained rows
+    must equal the batch reader's projection exactly (per-row multiset
+    equality on the content id — stronger than the registered rollup
+    hash, and it proves duplicate copies split ACROSS batches still all
+    arrive)."""
+    from personal_data_lakehouse_spark.io.readers import (
+        read_text_docs,
+        read_text_docs_stream,
+    )
+    from personal_data_lakehouse_spark.plans.round7_ops import text_fixture
+
+    src = text_fixture(spark, SF_DIR)
+    stream = read_text_docs_stream(spark, src, max_files_per_trigger=3)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    fed = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(fed) >= 2, "fixture fit in one micro-batch; parity is vacuous"
+
+    got = sorted(
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(out).collect()
+    )
+    want = sorted(
+        (r["doc_id"], r["text"])
+        for r in read_text_docs(spark, src, one_doc_per="line").collect()
+    )
+    # sorted-list (multiset) equality: duplicate lines are distinct rows
+    # on both sides, so copies delivered by DIFFERENT micro-batches must
+    # all arrive — set equality would mask a dropped duplicate
+    assert got == want
+
+
 def test_stream_semdedup_probe_is_stateless(spark, tmp_path):
     """The online SemDeDup admit decision (q_stream_semdedup_admit) rides
     entirely on stateless operators: literal-injected centroid argmax +

@@ -40,6 +40,7 @@ SKIP = {
     "q_stream_static_enrich",
     "q_stream_stream_join",
     "q_stream_substring_spans",
+    "q_stream_text_intake",
     "q_stream_tumbling_agg",
 }
 
