@@ -107,7 +107,11 @@ HEADLINE = R1_BASELINE + [
     "t_semdedup_clusters",
     # round-8 additions: the capstone six-stage corpus pipeline rollup,
     # the streaming JSONL intake (multi-micro-batch quarantine parity),
-    # and the online SemDeDup admit probe — all new plan shapes
+    # and the online SemDeDup admit probe — all new plan shapes.
+    # (q_stream_text_intake is deliberately NOT a headliner: its plan
+    # shape — file-source ledger + stateless map projection + sink-scan
+    # rollup — is identical to q_stream_jsonl_intake's, so timing it
+    # would double-count the same shape's regression signal.)
     "t_corpus_pipeline_e2e",
     "q_stream_jsonl_intake",
     "q_stream_semdedup_admit",
