@@ -30,6 +30,22 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+DRIVER_EDGE_CAP = 1 << 16
+"""Default adaptive-closure gate: when the symmetrized graph holds at
+most this many UNDIRECTED edges, the closure runs as a driver-side
+union-find over one bounded collect instead of the iterative propagation
+loop.  65 536 edges is a few MB on the wire and microseconds of
+union-find — far below the O(K)-collect sizes already accepted elsewhere
+(sampling seeds, PQ codebooks) — while every serial checkpoint barrier
+the loop would have paid disappears.  The EDGE-INCIDENT subgraph is what
+is counted, not the corpus: late-pipeline dedup batches over a curated
+corpus have few surviving near-dup pairs even at 100 TB corpus scale,
+so this is the common production case; a raw-crawl first pass with
+billions of pairs exceeds the cap on the bounded probe's first partition
+scans and takes the distributed loop unchanged."""
 
 
 def connected_components(
@@ -39,6 +55,7 @@ def connected_components(
     src_col: str = "src",
     dst_col: str = "dst",
     max_iter: int = 25,
+    driver_edge_cap: int = DRIVER_EDGE_CAP,
 ) -> DataFrame:
     """Label each node with the minimum node id reachable via edges.
 
@@ -46,7 +63,14 @@ def connected_components(
     With ``nodes=None`` the node set is derived from the edge list (only
     nodes that can change label); pass an explicit superset to also emit
     isolated nodes, which keep their own id.  Deterministic: the fixpoint
-    is unique regardless of execution order.
+    is unique regardless of execution order — and regardless of WHICH
+    execution strategy runs: below ``driver_edge_cap`` undirected edges
+    the closure is a driver union-find with min-id roots (one bounded
+    collect, zero propagation barriers, labels shipped back as a
+    broadcast join), above it the iterative min-label propagation loop;
+    both compute the identical min-reachable-id fixpoint (pinned by the
+    ``test_random_graphs_match_union_find`` property on both paths).
+    Pass ``driver_edge_cap=0`` to force the distributed loop.
 
     Raises ``RuntimeError`` if not converged within ``max_iter`` rounds;
     each round materializes TWO propagation hops, so the cap allows
@@ -106,17 +130,73 @@ def connected_components(
         if nodes is None
         else nodes
     )
-    # Early exit on an edge-free graph (r7 verdict item 5): a curated
-    # corpus late in dedup has mostly-empty pair batches, and every
-    # propagation round costs a serial checkpoint barrier — so when the
-    # (already-materialized) adjacency holds no REAL edge, every node is
-    # its own singleton component and the answer needs ZERO propagation
-    # jobs, no label checkpoint, no convergence probe. first() over the
-    # checkpointed blocks is a cheap scan, not a recomputation.
-    if adj.filter(F.col("a") != F.col("b")).first() is None:
-        return node_set.select(
-            F.col(node_col).alias("node"), F.col(node_col).alias("label")
+    singletons = node_set.select(
+        F.col(node_col).alias("node"), F.col(node_col).alias("label")
+    )
+    if driver_edge_cap:
+        # Adaptive small-graph path (extends r7 verdict item 5's edge-free
+        # early exit to edge-FEW graphs): ONE bounded collect over the
+        # already-materialized adjacency — limit(cap+1) stops scanning
+        # once the cap is disproven, so a billion-edge first pass reads a
+        # bounded prefix, never the full edge set — then min-root
+        # union-find on the driver and a broadcast label join back. For
+        # the common late-pipeline case this replaces EVERY serial
+        # checkpoint barrier (label init + N propagation rounds + N
+        # convergence probes) with one scan job; the consumer-side corpus
+        # join is unchanged.
+        half = (
+            adj.filter(F.col("a") < F.col("b"))
+            .limit(driver_edge_cap + 1)
+            .collect()
         )
+        if not half:
+            # edge-free: every node is its own singleton component —
+            # zero propagation jobs, no label checkpoint, no probe
+            return singletons
+        if len(half) <= driver_edge_cap:
+            parent: dict = {}
+
+            def _find(x):
+                root = x
+                while parent.get(root, root) != root:
+                    root = parent[root]
+                while parent.get(x, x) != root:
+                    parent[x], x = root, parent[x]
+                return root
+
+            seen = set()
+            for row in half:
+                a, b = row[0], row[1]
+                seen.add(a)
+                seen.add(b)
+                ra, rb = _find(a), _find(b)
+                if ra != rb:
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    # larger root attaches UNDER the smaller, so every
+                    # tree's root is its component's minimum id — the
+                    # same fixpoint the propagation loop converges to
+                    parent[rb] = ra
+            ntype = adj.schema["a"].dataType
+            lab_schema = T.StructType(
+                [
+                    T.StructField("node", ntype),
+                    T.StructField("_lab", ntype),
+                ]
+            )
+            lab = edges.sparkSession.createDataFrame(
+                [(n, _find(n)) for n in seen], lab_schema
+            )
+            return singletons.drop("label").join(
+                F.broadcast(lab), "node", "left"
+            ).select(
+                "node",
+                F.coalesce(F.col("_lab"), F.col("node")).alias("label"),
+            )
+    elif adj.filter(F.col("a") != F.col("b")).first() is None:
+        # distributed path forced (driver_edge_cap=0): keep the r7
+        # edge-free early exit
+        return singletons
     # The labels checkpoint keeps round 1's plan shape identical to later
     # rounds (checkpoint-scan input), so the loop compiles ONE codegen
     # plan reused every round.

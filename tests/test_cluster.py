@@ -19,30 +19,46 @@ def _edges(spark, pairs):
     return spark.createDataFrame(pairs, "src long, dst long")
 
 
-def test_two_components_and_chain(spark):
+# Every shape test runs on BOTH execution strategies: the driver
+# union-find (default cap) and the distributed propagation loop
+# (driver_edge_cap=0) — the adaptive gate must be invisible in results.
+_CAPS = pytest.mark.parametrize("cap", [65536, 0], ids=["driver", "loop"])
+
+
+@_CAPS
+def test_two_components_and_chain(spark, cap):
     # {1,2,3} dense triangle, {10,11,12,13} a chain — min-label must cross
     # the whole chain (exercises multi-round propagation).
     e = _edges(spark, [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (12, 13)])
     got = {
         (r.node, r.label)
-        for r in connected_components(e).collect()
+        for r in connected_components(e, driver_edge_cap=cap).collect()
     }
     assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (12, 10), (13, 10)}
 
 
-def test_edge_orientation_irrelevant(spark):
+@_CAPS
+def test_edge_orientation_irrelevant(spark, cap):
     # Same component regardless of (src, dst) order.
     got = {
         (r.node, r.label)
-        for r in connected_components(_edges(spark, [(5, 2), (2, 9)])).collect()
+        for r in connected_components(
+            _edges(spark, [(5, 2), (2, 9)]), driver_edge_cap=cap
+        ).collect()
     }
     assert got == {(2, 2), (5, 2), (9, 2)}
 
 
-def test_explicit_node_superset_keeps_isolated(spark):
+@_CAPS
+def test_explicit_node_superset_keeps_isolated(spark, cap):
     nodes = spark.createDataFrame([(1,), (2,), (99,)], "node long")
     e = _edges(spark, [(1, 2)])
-    got = {(r.node, r.label) for r in connected_components(e, nodes=nodes).collect()}
+    got = {
+        (r.node, r.label)
+        for r in connected_components(
+            e, nodes=nodes, driver_edge_cap=cap
+        ).collect()
+    }
     assert got == {(1, 1), (2, 1), (99, 99)}
 
 
@@ -61,11 +77,14 @@ def test_dedup_clusters_full_corpus_labeling(spark):
 
 def test_nonconvergence_raises(spark):
     # max_iter=1 (= 2 propagation hops) cannot close a 4-node chain.
+    # driver_edge_cap=0 forces the loop (the tiny chain would otherwise
+    # take the union-find path and never iterate)
     e = _edges(spark, [(10, 11), (11, 12), (12, 13)])
     with pytest.raises(RuntimeError, match="no fixpoint"):
-        connected_components(e, max_iter=1)
+        connected_components(e, max_iter=1, driver_edge_cap=0)
 
 
+@_CAPS
 @settings(max_examples=8, deadline=None)
 @given(
     pairs=st.lists(
@@ -74,13 +93,13 @@ def test_nonconvergence_raises(spark):
         max_size=12,
     )
 )
-def test_random_graphs_match_union_find(spark, pairs):
-    """The two-hop-per-round propagation must reach the same unique
-    fixpoint (min node id per component) as a sequential union-find on
-    ANY edge list — including self-loops, duplicate/reversed edges, and
-    the chain shapes that need the most rounds. Guards the fused round
-    structure and its hop-2-only convergence test against off-by-one-hop
-    early exits."""
+def test_random_graphs_match_union_find(spark, cap, pairs):
+    """BOTH execution strategies must reach the same unique fixpoint
+    (min node id per component) as a sequential union-find on ANY edge
+    list — including self-loops, duplicate/reversed edges, and the chain
+    shapes that need the most rounds. Guards the fused round structure
+    and its hop-2-only convergence test against off-by-one-hop early
+    exits, and the driver union-find against min-root drift."""
     parent = list(range(10))
 
     def find(x):
@@ -97,5 +116,27 @@ def test_random_graphs_match_union_find(spark, pairs):
     want = {n: find(n) for n in nodes}
 
     e = _edges(spark, [(a, b) for a, b in pairs])
-    got = {r.node: r.label for r in connected_components(e).collect()}
+    got = {
+        r.node: r.label
+        for r in connected_components(e, driver_edge_cap=cap).collect()
+    }
     assert got == want
+
+
+def test_cap_boundary_falls_through_to_loop(spark):
+    """A graph whose undirected edge count exceeds the cap must take the
+    distributed loop and still produce the exact fixpoint — pins the
+    limit(cap+1) probe's fall-through arithmetic (an off-by-one that
+    collected a TRUNCATED edge list would silently under-merge)."""
+    e = _edges(spark, [(i, i + 1) for i in range(5)])  # 5-edge chain
+    got = {
+        r.node: r.label
+        for r in connected_components(e, driver_edge_cap=4).collect()
+    }
+    assert got == {i: 0 for i in range(6)}
+    # and exactly at the cap the driver path must still merge everything
+    got = {
+        r.node: r.label
+        for r in connected_components(e, driver_edge_cap=5).collect()
+    }
+    assert got == {i: 0 for i in range(6)}

@@ -121,19 +121,24 @@ def test_headline_exchange_budgets(spark):
         # json scan -> map -> one exchange (the jsonl fixture write is
         # eager, outside the plan)
         "q_jsonl_intake": 1,
-        # 5 textual = the cell-assign window exchange re-printed per
-        # cached pair side (InMemoryRelation child plans) + the label
-        # groupBy + size aggregate + the final corpus-labeling join's
-        # exchanges; the closure loop itself runs on checkpointed RDDs
-        # outside this plan
-        "t_semdedup_clusters": 5,
-        # 33 textual = the six composed stages' exchanges (fingerprint
+        # 7 textual = the final corpus-labeling join's two exchanges +
+        # the label-size aggregate + its join + the runtime bloom's
+        # scalar SinglePartition + TWO BroadcastExchange of the
+        # driver-union-find label table (a LocalTableScan of the sparse
+        # edge-incident labels, printed once per cc consumer — sizes and
+        # labeling; bytes ≤ driver_edge_cap by construction). Down from
+        # the loop era EXECUTED cost: the adaptive closure replaced ~30
+        # eager checkpoint/AQE jobs with one bounded collect (r8).
+        "t_semdedup_clusters": 7,
+        # 39 textual = the six composed stages' exchanges (fingerprint
         # dedup groupBy, banded LSH index re-printed per cached join
         # side, closure label/size aggregates, rebalance count/min
-        # aggregates, packing window sort, final rollup) — executed:
-        # each stage's audited single-shuffle shape; the closure loop
-        # runs on checkpointed RDDs outside this plan
-        "t_corpus_pipeline_e2e": 33,
+        # aggregates, packing window sort, final rollup) plus the
+        # driver-union-find label table's BroadcastExchange re-printed
+        # per cc consumer (r8 adaptive closure — a LocalTableScan of the
+        # sparse labels; the change cut EXECUTED closure cost from ~30
+        # eager checkpoint/AQE jobs to one bounded collect)
+        "t_corpus_pipeline_e2e": 39,
         # 1 = the language-bucket rollup over the streaming sink read-back
         "q_stream_jsonl_intake": 1,
         # 10 textual = cell-assign window exchange re-printed per cached
