@@ -123,6 +123,27 @@ def test_random_graphs_match_union_find(spark, cap, pairs):
     assert got == want
 
 
+def test_driver_path_runs_bounded_eager_jobs(spark):
+    """The adaptive closure's whole point is SCHEDULER-JOB economy: the
+    loop path ran ~30 eager checkpoint/AQE jobs even on a 3-edge graph.
+    Pin the driver path to a small constant of eager jobs (adjacency
+    checkpoint + the bounded collect, each possibly split by AQE) so a
+    refactor that silently re-introduces per-round materialization fails
+    here instead of waiting for a bench regression."""
+    e = _edges(spark, [(1, 2), (2, 3), (10, 11)])
+    sc = spark.sparkContext
+    sc.setJobGroup("cc-probe", "cc-probe")
+    try:
+        connected_components(e)  # labels DF built, NOT consumed
+        jobs = len(sc.statusTracker().getJobIdsForGroup("cc-probe"))
+    finally:
+        sc.setJobGroup(None, None)
+    assert jobs <= 6, (
+        f"driver-path closure ran {jobs} eager jobs — the bounded-collect "
+        "contract (adjacency checkpoint + limit(cap+1) collect) is broken"
+    )
+
+
 def test_cap_boundary_falls_through_to_loop(spark):
     """A graph whose undirected edge count exceeds the cap must take the
     distributed loop and still produce the exact fixpoint — pins the
