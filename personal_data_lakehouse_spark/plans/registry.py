@@ -154,6 +154,17 @@ def oracle_double(name: str) -> str | None:
     return wrapped
 
 
+# Parquet schemas by table path, discovered once per process: without an
+# explicit schema, EVERY spark.read.parquet(path) runs a 1-task
+# footer-inference job at PLAN-BUILD time (measured by
+# tools/eager_audit.py — a uniform one-job construction floor across the
+# whole registry, ~400 scheduler round-trips per full sweep). Fixture
+# files are immutable per path, so the schema is a pure function of the
+# path; reading with the cached schema skips the inference job entirely.
+# At 100 TB the same role is played by a catalog (metastore) schema.
+_TABLE_SCHEMA_CACHE: dict[str, object] = {}
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table (columnar parquet; Catalyst prunes/pushes down).
 
@@ -165,19 +176,32 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     session timezone is pinned UTC so the cast is an exact identity on the
     stored micros, matching DuckDB's naive-UTC epoch_us).
     """
+    path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
+        # must be set before the FIRST (schema-discovering) read; with a
+        # cached schema the flag still governs the scan's nanos handling
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        schema = _TABLE_SCHEMA_CACHE.get(path)
+        if schema is None:
+            df = spark.read.parquet(path)
+            _TABLE_SCHEMA_CACHE[path] = df.schema
+        else:
+            df = spark.read.schema(schema).parquet(path)
         ts_type = df.schema["ts"].dataType
         if isinstance(ts_type, T.LongType):
             return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         if isinstance(ts_type, T.TimestampNTZType):
             return df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    schema = _TABLE_SCHEMA_CACHE.get(path)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _TABLE_SCHEMA_CACHE[path] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
