@@ -14,8 +14,13 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 # Vanilla session — deliberately NOT personal_data_lakehouse_spark.get_spark:
 # the driver builds its own. No UTC pin, no ANSI flag, default shuffle parts.
+# driver.memory is HOST SIZING, not semantics: the default 1g local JVM is
+# marginal for the sf0.1 sweep's AQE broadcasts (the LSH shingle table) and
+# OOM'd mid-sweep 2026-08-15; 4g matches the smallest executor a real
+# deployment would run.
 spark = (SparkSession.builder.master("local[8]")
-         .appName("driver-sim").config("spark.ui.enabled", "false").getOrCreate())
+         .appName("driver-sim").config("spark.ui.enabled", "false")
+         .config("spark.driver.memory", "4g").getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 
 con = duckdb.connect()
@@ -79,6 +84,13 @@ if only:
     qs = {n: f for n, f in qs.items() if n in keep}
 fails = 0
 for name in sorted(qs):
+    # Per-query isolation: registry callables persist() intermediates
+    # (LSH band index, IVF cells) sized for ONE invocation; across a
+    # 212-query sf0.1 sweep the accumulated cache blocks exhausted the
+    # vanilla session's default 1g heap (OOM during codegen ~160 queries
+    # in, 2026-08-15). The real driver evaluates queries independently;
+    # clearing between entries mirrors that and bounds sweep memory.
+    spark.catalog.clearCache()
     t0 = time.time()
     tbl = qs[name](spark, SF).toArrow()
     s_cols, s_rows = tbl.column_names, [tuple(d.values()) for d in tbl.to_pylist()]
