@@ -49,6 +49,7 @@ import personal_data_lakehouse_spark.plans.round4b_ops  # noqa: F401,E402
 import personal_data_lakehouse_spark.plans.round5_ops  # noqa: F401,E402
 import personal_data_lakehouse_spark.plans.round7_ops  # noqa: F401,E402
 import personal_data_lakehouse_spark.plans.round8_ops  # noqa: F401,E402
+import personal_data_lakehouse_spark.plans.round9_ops  # noqa: F401,E402
 
 from personal_data_lakehouse_spark.plans.registry import (  # noqa: E402
     REGISTRY,

@@ -277,7 +277,8 @@ def main() -> None:
         # subtotals, so no cross-round comparison needs a footnote.
         "baseline17_set": R1_BASELINE,
         "headline_set": names,
-        "headline_total": total,
+        # ("headline_total" dropped per r8 ADVICE: it duplicated "value" —
+        # one canonical field for the headline sum.)
         "n_headline": len(names),
         "canary_spread": worst_spread,
         "quiet_box": all(s["quiet"] for s in official),
@@ -290,6 +291,11 @@ def main() -> None:
         "cold_total": round(sum(cold_out["cold_queries"].values()), 3),
         "cold_plan_total": round(sum(cold_out["cold_plan"].values()), 3),
         "cold_exec_total": round(sum(cold_out["cold_exec"].values()), 3),
+        # VERDICT r8 item 7: per-query cold-plan times in the headline
+        # record itself (not only BENCH_LATEST), so a pathological codegen
+        # plan (the t_dedup_cluster_stats precedent) is attributable from
+        # the driver's BENCH_rN artifact the round it appears.
+        "cold_plan": cold_out["cold_plan"],
         "import_sec": import_sec,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "detail": "BENCH_LATEST.json",

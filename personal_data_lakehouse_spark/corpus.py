@@ -101,12 +101,19 @@ def split_stage(docs: DataFrame) -> DataFrame:
     )
 
 
-def packed_docs(docs: DataFrame, budget: int = 512) -> DataFrame:
+def packed_docs(
+    docs: DataFrame, budget: int = 512, tok_col: str | None = None
+) -> DataFrame:
     """Per-document packing assignment: ``[doc_id, source, split, tok,
     seq_id]`` — the running-token cumsum within (source, split) ordered
     by doc_id, binned by ``budget``.  Exposed separately from
     ``pack_stage`` so the e2e pipeline rollup can aggregate doc-level
     facts (id fingerprints) and bin-level facts in one pass.
+
+    ``tok_col`` names a PRECOMPUTED token-count column (the incremental
+    pipeline packs the survivor SKELETON — ids + stored counts — without
+    re-reading any text); None keeps the original text-derived count,
+    expression-identical to the r8 plan.
 
     The window is partitioned per (source, split) — fine while every
     source×split slice fits a task; the registered
@@ -114,9 +121,12 @@ def packed_docs(docs: DataFrame, budget: int = 512) -> DataFrame:
     for skewed slices and composes here unchanged."""
     from pyspark.sql import Window
 
-    toks = docs.select(
-        "doc_id", "source", "split", token_count_whitespace("text").alias("tok")
+    tok = (
+        token_count_whitespace("text")
+        if tok_col is None
+        else F.col(tok_col).cast("int")
     )
+    toks = docs.select("doc_id", "source", "split", tok.alias("tok"))
     w = (
         Window.partitionBy("source", "split")
         .orderBy("doc_id")
@@ -124,6 +134,29 @@ def packed_docs(docs: DataFrame, budget: int = 512) -> DataFrame:
     )
     return toks.withColumn("cum", F.sum("tok").over(w)).withColumn(
         "seq_id", F.expr(f"(cum - tok) div {budget}")
+    )
+
+
+def pipeline_rollup(pd: DataFrame) -> DataFrame:
+    """Per-(source, split) end-state rollup over a ``packed_docs`` frame —
+    the hashed surface shared VERBATIM by ``t_corpus_pipeline_e2e`` and
+    ``t_corpus_pipeline_incremental`` (same expressions ⇒ the two parity
+    queries cannot drift): surviving docs, whitespace-token mass,
+    packed-bin count, and a 40-bit-md5 order-independent id-set
+    fingerprint (headroom for ~8M docs per slice before BIGINT overflow).
+    """
+    id_fp = F.conv(
+        F.substring(
+            F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 10
+        ),
+        16,
+        10,
+    ).cast("long")
+    return pd.groupBy("source", "split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("tok").cast("long").alias("n_tokens"),
+        F.countDistinct("seq_id").cast("long").alias("n_bins"),
+        F.sum(id_fp).cast("long").alias("id_fp"),
     )
 
 

@@ -136,10 +136,14 @@ def connected_components(
     if driver_edge_cap:
         # Adaptive small-graph path (extends r7 verdict item 5's edge-free
         # early exit to edge-FEW graphs): ONE bounded collect over the
-        # already-materialized adjacency — limit(cap+1) stops scanning
-        # once the cap is disproven, so a billion-edge first pass reads a
-        # bounded prefix, never the full edge set — then min-root
-        # union-find on the driver and a broadcast label join back. For
+        # already-materialized adjacency — the limit(cap+1) probe's
+        # COLLECT is bounded (at most cap+1 rows cross to the driver),
+        # while the adjacency checkpoint above has already scanned and
+        # materialized the full symmetrized edge set (which the loop path
+        # needs anyway, so an over-cap graph pays exactly what it paid
+        # before this path existed — r8 ADVICE wording fix) — then
+        # min-root union-find on the driver and a broadcast label join
+        # back. For
         # the common late-pipeline case this replaces EVERY serial
         # checkpoint barrier (label init + N propagation rounds + N
         # convergence probes) with one scan job; the consumer-side corpus

@@ -174,6 +174,27 @@ def _banded_docs(
     return docs, banded
 
 
+def lsh_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """Public form of the shared LSH indexing stage: ``(docs, banded)``
+    where ``docs`` is one row per document (k signature mins + the exact
+    shingle-set array — the Jaccard-verify side) and ``banded`` is the
+    exploded ``(id, band, bucket)`` band index (the probe side).
+
+    This is the artifact an incremental deployment PERSISTS as stage
+    tables: a new-docs batch indexes only itself and probes these two
+    frames (``corpus_incremental.apply_increment``), so corpus text is
+    shingled exactly once per document across the corpus lifetime."""
+    return _banded_docs(df, text_col, id_col, k, bands, shingle_n, seed)
+
+
 def lsh_batch_vs_corpus(
     df: DataFrame,
     batch_cond,

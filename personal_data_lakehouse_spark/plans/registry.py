@@ -154,15 +154,29 @@ def oracle_double(name: str) -> str | None:
     return wrapped
 
 
-# Parquet schemas by table path, discovered once per process: without an
-# explicit schema, EVERY spark.read.parquet(path) runs a 1-task
-# footer-inference job at PLAN-BUILD time (measured by
+# Parquet schemas by (table path, mtime), discovered once per process:
+# without an explicit schema, EVERY spark.read.parquet(path) runs a
+# 1-task footer-inference job at PLAN-BUILD time (measured by
 # tools/eager_audit.py — a uniform one-job construction floor across the
 # whole registry, ~400 scheduler round-trips per full sweep). Fixture
-# files are immutable per path, so the schema is a pure function of the
-# path; reading with the cached schema skips the inference job entirely.
+# files are immutable per path in every shipped flow, but the cache key
+# carries the path's mtime anyway (r8 ADVICE): a test or tool that
+# regenerates a fixture at the same path mid-process gets a fresh
+# inference read instead of silently scanning with a stale schema. The
+# stat() is driver-local and nanoseconds next to the job it replaces.
 # At 100 TB the same role is played by a catalog (metastore) schema.
-_TABLE_SCHEMA_CACHE: dict[str, object] = {}
+_TABLE_SCHEMA_CACHE: dict[tuple[str, float], object] = {}
+
+
+def _schema_key(path: str) -> tuple[str, float]:
+    import os
+
+    try:
+        return (path, os.stat(path).st_mtime)
+    except OSError:
+        # path layouts stat() can't see (e.g. a glob or a remote URI):
+        # fall back to path-only keying — the r8 behavior
+        return (path, -1.0)
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -184,10 +198,11 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # must be set before the FIRST (schema-discovering) read; with a
         # cached schema the flag still governs the scan's nanos handling
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        schema = _TABLE_SCHEMA_CACHE.get(path)
+        key = _schema_key(path)
+        schema = _TABLE_SCHEMA_CACHE.get(key)
         if schema is None:
             df = spark.read.parquet(path)
-            _TABLE_SCHEMA_CACHE[path] = df.schema
+            _TABLE_SCHEMA_CACHE[key] = df.schema
         else:
             df = spark.read.schema(schema).parquet(path)
         ts_type = df.schema["ts"].dataType
@@ -196,10 +211,28 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if isinstance(ts_type, T.TimestampNTZType):
             return df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
-    schema = _TABLE_SCHEMA_CACHE.get(path)
+    key = _schema_key(path)
+    schema = _TABLE_SCHEMA_CACHE.get(key)
     if schema is None:
         df = spark.read.parquet(path)
-        _TABLE_SCHEMA_CACHE[path] = df.schema
+        _TABLE_SCHEMA_CACHE[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
+
+
+def read_parquet_cached(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet dir with the per-(path, mtime) cached schema.
+
+    For in-query corpus artifacts (``source_fixture_dir`` materializations
+    — semadmit cells/labels, the incremental-pipeline stage tables): the
+    first read per process infers the schema (one 1-task job); every warm
+    invocation builds its plan with zero eager jobs. The mtime key makes a
+    re-written artifact dir re-infer instead of scanning stale."""
+    key = _schema_key(path)
+    schema = _TABLE_SCHEMA_CACHE.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _TABLE_SCHEMA_CACHE[key] = df.schema
         return df
     return spark.read.schema(schema).parquet(path)
 

@@ -71,6 +71,7 @@ def t_corpus_pipeline_e2e(spark, sf_dir):
         dedup_near_stage,
         intake,
         packed_docs,
+        pipeline_rollup,
         rebalance_stage,
         split_stage,
     )
@@ -79,22 +80,10 @@ def t_corpus_pipeline_e2e(spark, sf_dir):
     staged = split_stage(
         rebalance_stage(dedup_near_stage(dedup_exact_stage(intake(docs))))
     )
-    pd = packed_docs(staged)
-    # 40-bit md5-derived id fingerprint: order-independent sum, headroom
-    # for ~8M docs per (source, split) slice before BIGINT overflow
-    id_fp = F.conv(
-        F.substring(
-            F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 10
-        ),
-        16,
-        10,
-    ).cast("long")
-    return pd.groupBy("source", "split").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("tok").cast("long").alias("n_tokens"),
-        F.countDistinct("seq_id").cast("long").alias("n_bins"),
-        F.sum(id_fp).cast("long").alias("id_fp"),
-    )
+    # the rollup (40-bit md5 id fingerprint + doc/token/bin counts) is the
+    # shared corpus.pipeline_rollup — expression-identical to the r8 plan,
+    # now also the incremental query's hashed surface
+    return pipeline_rollup(packed_docs(staged))
 
 
 def _inject_corpus_pipeline_oracle() -> None:

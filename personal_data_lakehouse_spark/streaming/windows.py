@@ -216,6 +216,17 @@ def stream_work_dir(name: str) -> str:
     return d
 
 
+FIXTURE_GEN = "g2"
+"""Fixture-generator version tag, embedded in every source-fixture dir
+name (r8 ADVICE): ``_SUCCESS`` gates write COMPLETENESS, not generator
+VERSION, so a complete fixture written by an older checkout under a
+recycled PID could otherwise feed the parity queries. Bump this constant
+whenever any fixture-producing code changes its output bytes; the new
+dir name makes stale-complete reuse structurally impossible. (The dir
+path was never stable across runs anyway — the work root is per-PID —
+so plan goldens already normalize it.)"""
+
+
 def source_fixture_dir(name: str, sf_dir: str) -> tuple[str, bool]:
     """Per-(query, sf) SOURCE-fixture dir, manufactured at most once per
     process — the complement of ``stream_work_dir`` for a query's INPUT
@@ -229,15 +240,19 @@ def source_fixture_dir(name: str, sf_dir: str) -> tuple[str, bool]:
     left by an interrupted write). Readiness = Spark's ``_SUCCESS``
     marker, which a writer commits last — and a complete stale fixture
     from a recycled PID is byte-identical by construction (deterministic
-    content, deterministic layout), so reuse is always safe. Keyed by the
-    sf dir's basename so sf0.01 correctness runs and sf0.1 bench runs in
-    one process don't collide; lives under the per-PID root, removed at
-    process exit.
+    content, deterministic layout) PROVIDED the generating code is
+    unchanged, which the ``FIXTURE_GEN`` tag in the dir name now pins
+    (r8 ADVICE: completeness and generator version are separate claims).
+    Keyed by the sf dir's basename so sf0.01 correctness runs and sf0.1
+    bench runs in one process don't collide; lives under the per-PID
+    root, removed at process exit.
     """
     import os
 
     tag = os.path.basename(os.path.normpath(sf_dir))
-    d = os.path.join(_work_root(), f"fixture_{name}_{tag}")
+    d = os.path.join(
+        _work_root(), f"fixture_{name}_{tag}_{FIXTURE_GEN}"
+    )
     return d, os.path.exists(os.path.join(d, "_SUCCESS"))
 
 
