@@ -212,6 +212,11 @@ def apply_increment(
             b_banded.select(F.col("doc_id").alias("id_b"), "band", "bucket"),
             ["band", "bucket"],
         )
+        # under the append-only contract every stored id < every batch id,
+        # so this filter is a no-op — it is defense in depth against a
+        # CONTRACT VIOLATION (a replayed/overlapping batch whose ids are
+        # already in the band index) manufacturing self-edges
+        .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -311,7 +316,19 @@ def run_increment(
     Uses ``merge_into_table`` per stage table — the reference's
     ingest_stocks.py:84-100 MERGE shape (Delta-native when delta-spark is
     on the classpath, staged-swap parquet otherwise). Idempotent: a
-    replayed batch inserts nothing (every key already present)."""
+    replayed batch inserts nothing (every key already present).
+
+    Clears the SQL cache on entry: a PREVIOUS increment's internal
+    persists (the LSH batch index) captured pre-swap file listings of the
+    stage tables, and the CacheManager substitutes them into THIS run's
+    structurally-identical plans — serving stale rows (or
+    FAILED_READ_FILE once the old files are dropped) even after
+    refreshTable. The persisted intermediates are single-invocation-
+    scoped by the registry cache contract, so dropping them is free;
+    callers holding unrelated cached frames should re-cache after an
+    increment (the table swap invalidated anything reading these tables
+    anyway)."""
+    spark.catalog.clearCache()
     state = CorpusState(
         **{
             n: spark.read.table(f"{namespace}.{n}")

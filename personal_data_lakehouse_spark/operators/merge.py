@@ -168,3 +168,12 @@ def merge_into_table(
     spark.sql(f"ALTER TABLE {table} RENAME TO {old}")
     spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
     spark.sql(f"DROP TABLE {old}")
+    # Invalidate every cached plan that references the swapped table: the
+    # rename sequence does NOT touch the CacheManager, so a persisted
+    # DERIVED frame built before the merge (e.g. an LSH index aggregate
+    # over this table) still matches a structurally-identical post-merge
+    # plan by logical-plan equality and silently serves PRE-merge rows —
+    # the corpus_incremental replay test caught exactly this (a replayed
+    # batch resurrected the previous run's cached band index). Delta's
+    # native MERGE invalidates through its own transaction log.
+    spark.catalog.refreshTable(table)

@@ -21,6 +21,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+# round7_ops must be registered first: the streaming intake pair shares
+# its batch oracles verbatim (inject-time composition), and importing
+# this module standalone (tests, tools) must not depend on
+# __spark_entry__'s import order
+import personal_data_lakehouse_spark.plans.round7_ops  # noqa: F401
 from personal_data_lakehouse_spark.plans.registry import query, t
 
 # ---------------------------------------------------------------------------

@@ -142,3 +142,402 @@ def _inject_incremental_oracle() -> None:
 
 
 _inject_incremental_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Online SemDeDup v2: index maintenance on admit (VERDICT r8 item 3)
+
+# v2 stream/corpus split and threshold: a WIDER stream slice (~20%) and a
+# LOWER near-dup bound than v1, chosen so intra-stream near-dups occur
+# NATURALLY in the fixture (7 same-cell stream pairs ≥ 0.3 at sf0.01, 173
+# at sf0.1 — measured) — the v2 semantics (reject against earlier admits)
+# must be exercised by the driver hash, not only by the synthetic pytest.
+_V2_STREAM_PRED = "vec_id >= 16 AND vec_id % 10 IN (3, 7)"
+_V2_THRESHOLD = 0.3
+
+
+# decisions sink schema: the four hashed columns PLUS the admit-index
+# columns (cell, embedding, _vn) — so the decisions dir doubles as the
+# admitted-vector index the next micro-batch probes, and each batch costs
+# exactly ONE Spark action (one parquet append), no separate index write
+_V2_DEC_SCHEMA = (
+    "vec_id bigint, admitted boolean, cluster_id bigint, "
+    "n_matches bigint, cell bigint, embedding array<float>, _vn double"
+)
+
+
+def _v2_greedy(threshold: float):
+    """Per-cell sequential admission resolver (applyInPandas).
+
+    Self-contained closure (stdlib/pandas only) so cloudpickle ships it
+    by value. Arithmetic contract: the dot product is the same LEFT FOLD
+    in double precision as ``similarity.brute_force.dot_expr`` (float32
+    elements widen exactly), norms are the SPARK-COMPUTED ``_vn`` carried
+    on each row (never recomputed here), and rounding replays Spark's
+    ``round(x, 6)`` exactly — BigDecimal.valueOf(double) parses the
+    SHORTEST decimal string, which is Python's repr(), then HALF_UP.
+    """
+    thr = float(threshold)
+
+    def greedy(pdf):
+        import pandas as _pd
+        from decimal import ROUND_HALF_UP, Decimal
+
+        def _dot(u, v):
+            acc = 0.0
+            for p, q in zip(u, v):
+                acc = acc + float(p) * float(q)
+            return acc
+
+        def _round6(x):
+            return float(
+                Decimal(repr(x)).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP
+                )
+            )
+
+        rows = pdf.sort_values("vec_id").to_dict("records")
+        admitted_sofar = []  # [(vec_id, embedding, _vn)] in arrival order
+        out = []
+        for r in rows:
+            vid, vec, vn = int(r["vec_id"]), r["embedding"], float(r["_vn"])
+            cell = int(r["cell"])
+            intra = [
+                uid
+                for uid, uvec, uvn in admitted_sofar
+                if _round6(_dot(uvec, vec) / (uvn * vn)) >= thr
+            ]
+            ext_n = int(r["ext_n"]) if _pd.notna(r["ext_n"]) else 0
+            ext_mcl = (
+                int(r["ext_mcl"]) if _pd.notna(r["ext_mcl"]) else None
+            )
+            n_matches = ext_n + len(intra)
+            admit = n_matches == 0
+            if admit:
+                cluster = vid
+                admitted_sofar.append((vid, vec, vn))
+            else:
+                cands = ([ext_mcl] if ext_mcl is not None else []) + intra
+                cluster = min(cands)
+            out.append((vid, admit, cluster, n_matches, cell, vec, vn))
+        return _pd.DataFrame(
+            out,
+            columns=[
+                "vec_id",
+                "admitted",
+                "cluster_id",
+                "n_matches",
+                "cell",
+                "embedding",
+                "_vn",
+            ],
+        )
+
+    return greedy
+
+
+def online_semdedup_admit(
+    spark,
+    stream_vecs,
+    idx_static,
+    cents,
+    work_dir: str,
+    threshold: float,
+):
+    """Run the online-admission stream to completion and return the
+    decisions frame — the reusable core of ``q_stream_semdedup_admit_v2``
+    (the synthetic-duplicate pytest drives it directly).
+
+    ``idx_static``: the corpus index (cand_id, ce_v, _cn, cell,
+    cluster_id). Per micro-batch: assign cells, probe corpus index +
+    admitted-so-far rows (the decisions sink doubles as the admit index),
+    resolve same-batch arrivals sequentially per cell, append one parquet
+    write. See the registered query's docstring for the full contract.
+    """
+    import os
+
+    from personal_data_lakehouse_spark.similarity.brute_force import (
+        dot_expr,
+    )
+    from personal_data_lakehouse_spark.similarity.ivf import assign_cells
+    from personal_data_lakehouse_spark.streaming.windows import (
+        drain_stream_foreach,
+    )
+
+    out_dir = os.path.join(work_dir, "decisions")
+    # seed the sink empty so batch 0's index read binds (schema'd)
+    spark.createDataFrame([], _V2_DEC_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(out_dir)
+    greedy = _v2_greedy(threshold)
+
+    def process_batch(batch, _bid):
+        bs = batch.sparkSession
+        asg = assign_cells(batch, cents, "vec_id", "embedding", n=1)
+        # the decisions dir IS the admit index: earlier batches' admitted
+        # rows carry (cell, embedding, _vn); an admit founded its own
+        # cluster. One read + one append per batch — no second sink.
+        adm_idx = (
+            bs.read.schema(_V2_DEC_SCHEMA)
+            .parquet(out_dir)
+            .filter(F.col("admitted"))
+            .select(
+                F.col("vec_id").alias("cand_id"),
+                F.col("embedding").alias("ce_v"),
+                F.col("_vn").alias("_cn"),
+                "cell",
+                F.col("vec_id").alias("cluster_id"),
+            )
+        )
+        idx = idx_static.unionByName(adm_idx)
+        sim = F.round(
+            F.expr(dot_expr("embedding", "ce_v"))
+            / (F.col("_vn") * F.col("_cn")),
+            6,
+        )
+        m = (
+            asg.join(idx, "cell")
+            .filter(sim >= F.lit(threshold))
+            .groupBy("vec_id")
+            .agg(
+                F.min("cluster_id").alias("ext_mcl"),
+                F.count(F.lit(1)).cast("long").alias("ext_n"),
+            )
+        )
+        enriched = asg.join(m, "vec_id", "left").select(
+            "vec_id", "cell", "embedding", "_vn", "ext_mcl", "ext_n"
+        )
+        enriched.groupBy("cell").applyInPandas(
+            greedy, _V2_DEC_SCHEMA
+        ).write.mode("append").parquet(out_dir)
+
+    drain_stream_foreach(stream_vecs, work_dir, process_batch)
+    return (
+        spark.read.schema(_V2_DEC_SCHEMA)
+        .parquet(out_dir)
+        .select("vec_id", "admitted", "cluster_id", "n_matches")
+    )
+
+
+@query("q_stream_semdedup_admit_v2", oracle=None)  # oracle injected below
+def q_stream_semdedup_admit_v2(spark, sf_dir):
+    """ONLINE semantic-dedup admission WITH INDEX MAINTENANCE — the closed
+    loop r8's ``q_stream_semdedup_admit`` deliberately left open (its
+    contract was stream-vs-corpus only, so two near-identical stream
+    vectors were BOTH admitted): here every micro-batch's ADMITTED
+    vectors are appended to the cell index inside ``foreachBatch`` BEFORE
+    the next batch probes, and SAME-batch arrivals resolve sequentially
+    per cell (a per-cell ``applyInPandas`` greedy scan in vec_id order) —
+    so a stream near-dup of an earlier admit is REJECTED and assigned the
+    admit's cluster, the true online-dedup contract and the streaming
+    form of the reference's MERGE-maintained dedup key set
+    (ingest_stocks.py:84-100, the index IS the merged table).
+
+    Arrivals are processed in STRICT vec_id order: the source fixture is
+    four id-range files with staggered mtimes and
+    ``maxFilesPerTrigger=1`` (the file source takes oldest-first), and
+    intra-batch order is the greedy scan — together exactly the global
+    sequential contract the oracle replays with a linear recursive CTE
+    (one row per arrival, carrying the admitted set as a list of
+    (id, cell, vector) structs). Every decision is differentially
+    hashed: (vec_id, admitted, cluster_id, n_matches) where matches
+    count corpus members AND earlier admits in the probe cell at
+    ≥ {thr} rounded cosine, and cluster_id is the minimum matched
+    cluster (an admit's cluster is itself).
+
+    Split/threshold are v2-specific (wider stream slice, lower bound) so
+    intra-stream rejections occur NATURALLY at both gate SFs — measured
+    7 same-cell stream pairs ≥ 0.3 at sf0.01 — rather than only in the
+    synthetic duplicate pytest (tests/test_streaming.py pins two
+    identical arrivals → one admit).
+
+    Scale: per-batch work is O(batch · (cell members + admits-so-far))
+    map-side joins + a per-cell pandas scan over BATCH rows only; the
+    admitted index grows by O(admits) parquet appends (exactly what a
+    production deployment maintains); state stays EMPTY at any stream
+    length (foreachBatch owns all side effects). The sequential contract
+    costs nothing distributed: batches are serial anyway, and the
+    per-cell scan touches only same-batch same-cell arrivals.
+
+    Reference parity: the online form of ingest_stocks.py:84-100 with
+    the dedup KEY SET itself maintained per batch; supersedes the
+    admission half of round8_ops.py:331 (kept registered — its
+    stateless stream-vs-corpus contract is the bootstrap phase).
+    """
+    from personal_data_lakehouse_spark.dedup.cluster import dedup_clusters
+    from personal_data_lakehouse_spark.plans.similarity_ops import (
+        _CENTROID_IDS,
+        _N_QUERIES,
+    )
+    from personal_data_lakehouse_spark.similarity.ivf import (
+        assign_cells,
+        ivf_blocked_neardup,
+        pick_centroids,
+    )
+    from personal_data_lakehouse_spark.streaming.windows import (
+        source_fixture_dir,
+        stream_work_dir,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    cand = emb.filter(F.col("vec_id") >= _N_QUERIES)
+    pred = F.expr(_V2_STREAM_PRED)
+    corpus = cand.filter(~pred)
+    arrivals = cand.filter(pred)
+    cents = pick_centroids(emb, _CENTROID_IDS)
+    npart = spark.sparkContext.defaultParallelism
+
+    # static corpus artifact at the v2 split/threshold (the r8 honesty
+    # split: production keeps this on disk; warm runs time the stream).
+    # ONE pre-joined index table — cell assignment + cluster label per
+    # corpus vector — so each micro-batch reads a single parquet dir
+    # instead of re-joining cells×labels per batch (plan noise a real
+    # deployment would never pay: the stored index IS the join).
+    idx_dir, idx_ready = source_fixture_dir("semadmit2_index", sf_dir)
+    if not idx_ready:
+        cells_df = assign_cells(corpus, cents, "vec_id", "embedding", n=1)
+        pairs = ivf_blocked_neardup(
+            corpus, cents, threshold=_V2_THRESHOLD
+        ).select("id_a", "id_b")
+        labels_df = dedup_clusters(
+            corpus.select("vec_id"), pairs, id_col="vec_id"
+        ).select("vec_id", "cluster_id")
+        cells_df.join(labels_df, "vec_id").select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("embedding").alias("ce_v"),
+            F.col("_vn").alias("_cn"),
+            "cell",
+            "cluster_id",
+        ).coalesce(npart).write.mode("overwrite").parquet(idx_dir)
+    idx_static = read_parquet_cached(spark, idx_dir)
+
+    # ordered stream source: four id-range files, staggered mtimes, so
+    # maxFilesPerTrigger=1 yields batches in global vec_id order
+    src, src_ready = source_fixture_dir("semadmit2_src", sf_dir)
+    if not src_ready:
+        import glob
+        import os
+        import shutil
+
+        from pyspark.sql import Window
+
+        tagged = arrivals.select("vec_id", "embedding").withColumn(
+            "b", F.ntile(4).over(Window.orderBy("vec_id"))
+        )
+        os.makedirs(src, exist_ok=True)
+        base_t = 1_600_000_000  # any fixed instant; only the ORDER matters
+        for i in range(1, 5):
+            tmp = f"{src}__tmp{i}"
+            tagged.filter(F.col("b") == i).drop("b").coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(src, f"b{i}.parquet")
+            shutil.copyfile(part, dst)
+            os.utime(dst, (base_t + 60 * i, base_t + 60 * i))
+            shutil.rmtree(tmp, ignore_errors=True)
+        open(os.path.join(src, "_SUCCESS"), "w").close()
+
+    work = stream_work_dir("semadmit2")
+    stream_vecs = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    return online_semdedup_admit(
+        spark, stream_vecs, idx_static, cents, work, _V2_THRESHOLD
+    )
+
+
+def _inject_stream_semdedup_v2_oracle() -> None:
+    from personal_data_lakehouse_spark.plans.similarity_ops import (
+        _CELLS_SQL,
+        _cos,
+        _N_QUERIES,
+    )
+
+    thr = _V2_THRESHOLD
+    # the shared cell-assignment CTE, restricted to the v2 corpus split
+    cells_sql = _CELLS_SQL.replace(
+        f"WHERE vec_id >= {_N_QUERIES}",
+        f"WHERE vec_id >= {_N_QUERIES} AND NOT ({_V2_STREAM_PRED})",
+    )
+    intra = (
+        "list_filter(s.adm, u -> u.cell = a.cell AND "
+        f"ROUND({_cos('u.e', 'a.qe')}, 6) >= {thr})"
+    )
+    intra_fin = (
+        "list_filter(f.adm, u -> u.cell = f.cell AND "
+        f"ROUND({_cos('u.e', 'f.qe')}, 6) >= {thr})"
+    )
+    big = 9223372036854775807
+    REGISTRY["q_stream_semdedup_admit_v2"].oracle = f"""
+    WITH RECURSIVE {cells_sql},
+    edges AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM cells a JOIN cells b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE ROUND({_cos('a.e', 'b.e')}, 6) >= {thr}
+    ), symm AS (
+        SELECT id_a AS a, id_b AS b FROM edges
+        UNION
+        SELECT id_b AS a, id_a AS b FROM edges
+    ), reach(rsrc, rdst) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        WHERE vec_id >= {_N_QUERIES} AND NOT ({_V2_STREAM_PRED})
+        UNION
+        SELECT r.rsrc, s.b FROM reach r JOIN symm s ON r.rdst = s.a
+    ), cc AS (
+        SELECT rsrc AS vec_id, MIN(rdst) AS cluster_id FROM reach GROUP BY 1
+    ), strm AS (
+        SELECT vec_id AS qid, embedding AS qe FROM embeddings
+        WHERE ({_V2_STREAM_PRED})
+    ), qasg AS (
+        SELECT qid, qe, cid, {_cos('qe', 'ce')} AS csim FROM strm, cents
+    ), arr AS (
+        SELECT qid, qe, cid AS cell,
+               ROW_NUMBER() OVER (ORDER BY qid) AS pos
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                ORDER BY csim DESC, cid) AS crnk FROM qasg)
+        WHERE crnk = 1
+    ), ext AS (
+        SELECT qid, MIN(cc.cluster_id) AS mcl,
+               CAST(COUNT(*) AS BIGINT) AS nm
+        FROM arr
+        JOIN cells ON arr.cell = cells.cell
+        JOIN cc ON cells.vec_id = cc.vec_id
+        WHERE ROUND({_cos('qe', 'cells.e')}, 6) >= {thr}
+        GROUP BY qid
+    ), seq(pos, adm) AS (
+        -- linear sequential scan: one row per arrival in global vec_id
+        -- order, carrying the admitted-so-far set (id, cell, vector)
+        SELECT 0, CAST([] AS STRUCT(id BIGINT, cell BIGINT, e DOUBLE[])[])
+        UNION ALL
+        SELECT a.pos,
+               CASE WHEN e.qid IS NULL AND len({intra}) = 0
+                    THEN list_append(s.adm,
+                        {{'id': a.qid, 'cell': a.cell,
+                          'e': CAST(a.qe AS DOUBLE[])}})
+                    ELSE s.adm END
+        FROM seq s
+        JOIN arr a ON a.pos = s.pos + 1
+        LEFT JOIN ext e ON e.qid = a.qid
+    ), fin AS (
+        SELECT a.qid, a.cell, a.qe, s.adm FROM arr a
+        JOIN seq s ON s.pos = a.pos - 1
+    )
+    SELECT f.qid AS vec_id,
+           (e.qid IS NULL AND len({intra_fin}) = 0) AS admitted,
+           CASE WHEN e.qid IS NULL AND len({intra_fin}) = 0 THEN f.qid
+                ELSE LEAST(
+                    COALESCE(e.mcl, {big}),
+                    COALESCE(list_min(list_transform({intra_fin},
+                                                     u -> u.id)), {big}))
+           END AS cluster_id,
+           COALESCE(e.nm, 0) + len({intra_fin}) AS n_matches
+    FROM fin f LEFT JOIN ext e ON e.qid = f.qid
+    """
+
+
+_inject_stream_semdedup_v2_oracle()

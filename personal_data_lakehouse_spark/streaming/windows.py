@@ -343,6 +343,44 @@ def drain_stream_to_parquet(
     return spark.read.schema(schema).parquet(out_dir)
 
 
+def drain_stream_foreach(
+    stream_df: DataFrame,
+    work_dir: str,
+    batch_fn,
+    shuffle_partitions: int | None = 8,
+) -> None:
+    """Run an availableNow ``foreachBatch`` query to completion.
+
+    ``batch_fn(batch_df, batch_id)`` owns ALL output (typically appending
+    to parquet dirs and maintaining side state such as an index the next
+    micro-batch must see — the reference's MERGE-per-batch shape,
+    ingest_stocks.py:84-100). Micro-batches run STRICTLY SERIALLY, so a
+    directory appended in batch N is fully visible to a fresh read in
+    batch N+1 — the property the online-SemDeDup index maintenance
+    depends on. The checkpoint lives under ``work_dir`` and is removed
+    after termination (parity runs re-process from scratch by design)."""
+    import os
+    import shutil
+
+    spark = stream_df.sparkSession
+    ckpt = os.path.join(work_dir, "ckpt")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            stream_df.writeStream.foreachBatch(batch_fn)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def merge_sink(
     stream: DataFrame, table: str, keys: Sequence[str], checkpoint: str
 ):

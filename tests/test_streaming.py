@@ -1349,3 +1349,108 @@ def test_stream_semdedup_probe_is_stateless(spark, tmp_path):
     # arrival alone in its cell legitimately yields none
     assert probed <= streamed
     assert len(probed) > 0
+
+
+def test_online_semdedup_duplicate_arrival_rejected_across_batches(
+    spark, tmp_path
+):
+    """The v2 online-admission contract (q_stream_semdedup_admit_v2): an
+    arrival identical to an EARLIER-BATCH admit must be REJECTED — the
+    admitted vector entered the index inside foreachBatch before the
+    next micro-batch probed. Synthetic setup: empty corpus index, two
+    single-file micro-batches (staggered mtimes, maxFilesPerTrigger=1)
+    carrying the same vector twice plus an orthogonal control."""
+    import os
+
+    from personal_data_lakehouse_spark.plans.round9_ops import (
+        online_semdedup_admit,
+    )
+    from personal_data_lakehouse_spark.similarity.brute_force import norm_col
+
+    dim = 8
+    v = [1.0] + [0.0] * (dim - 1)
+    w = [0.0, 1.0] + [0.0] * (dim - 2)  # orthogonal control
+    cents = spark.createDataFrame(
+        [(0, [1.0] * dim)], "cid bigint, ce array<float>"
+    ).select("cid", "ce", norm_col("ce").alias("_cen"))
+    idx_static = spark.createDataFrame(
+        [],
+        "cand_id bigint, ce_v array<float>, _cn double, cell bigint, "
+        "cluster_id bigint",
+    )
+
+    src = str(tmp_path / "arrivals")
+    os.makedirs(src)
+    b1 = str(tmp_path / "b1")
+    b2 = str(tmp_path / "b2")
+    spark.createDataFrame(
+        [(100, v)], "vec_id bigint, embedding array<float>"
+    ).coalesce(1).write.parquet(b1)
+    spark.createDataFrame(
+        [(200, v), (201, w)], "vec_id bigint, embedding array<float>"
+    ).coalesce(1).write.parquet(b2)
+    import glob
+    import shutil
+
+    for i, d in enumerate((b1, b2)):
+        part = glob.glob(os.path.join(d, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"f{i}.parquet")
+        shutil.copyfile(part, dst)
+        os.utime(dst, (1_600_000_000 + 60 * i,) * 2)
+
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    dec = online_semdedup_admit(
+        spark, stream, idx_static, cents, str(tmp_path / "work"), 0.9
+    )
+    rows = {r["vec_id"]: r.asDict() for r in dec.collect()}
+    assert rows[100]["admitted"] is True
+    assert rows[100]["cluster_id"] == 100
+    # the batch-2 duplicate REJECTS against the batch-1 admit and joins
+    # its cluster — two identical stream arrivals yield ONE admit
+    assert rows[200]["admitted"] is False
+    assert rows[200]["cluster_id"] == 100
+    assert rows[200]["n_matches"] == 1
+    # the orthogonal control is unaffected
+    assert rows[201]["admitted"] is True
+    assert rows[201]["cluster_id"] == 201
+
+
+def test_online_semdedup_same_batch_duplicate_rejected(spark, tmp_path):
+    """Same-batch sequential resolution: of two identical vectors in ONE
+    micro-batch, the lower vec_id is admitted and the higher rejected
+    against it (the per-cell greedy scan in id order)."""
+    import os
+
+    from personal_data_lakehouse_spark.plans.round9_ops import (
+        online_semdedup_admit,
+    )
+    from personal_data_lakehouse_spark.similarity.brute_force import norm_col
+
+    dim = 8
+    v = [1.0] + [0.0] * (dim - 1)
+    cents = spark.createDataFrame(
+        [(0, [1.0] * dim)], "cid bigint, ce array<float>"
+    ).select("cid", "ce", norm_col("ce").alias("_cen"))
+    idx_static = spark.createDataFrame(
+        [],
+        "cand_id bigint, ce_v array<float>, _cn double, cell bigint, "
+        "cluster_id bigint",
+    )
+    src = str(tmp_path / "arrivals")
+    spark.createDataFrame(
+        [(300, v), (301, v)], "vec_id bigint, embedding array<float>"
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        "vec_id bigint, embedding array<float>"
+    ).parquet(src)
+    dec = online_semdedup_admit(
+        spark, stream, idx_static, cents, str(tmp_path / "work"), 0.9
+    )
+    rows = {r["vec_id"]: r.asDict() for r in dec.collect()}
+    assert rows[300]["admitted"] is True and rows[300]["cluster_id"] == 300
+    assert rows[301]["admitted"] is False
+    assert rows[301]["cluster_id"] == 300 and rows[301]["n_matches"] == 1
