@@ -228,6 +228,54 @@ def resize_media(
     return spread(media).mapInPandas(rz, schema=RESIZE_SCHEMA)
 
 
+MEDIA_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("fe", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def media_feature_vectors(media: DataFrame, grid: int = 8) -> DataFrame:
+    """Arrow-batched media → FEATURE VECTOR stage: decode each payload
+    into its width×height raster (synthetic codec — payload bytes tiled
+    into the grid, same decode line as ``resize_media``; with real image
+    libs it becomes ``PIL.Image.open``), nearest-neighbor downsample to
+    grid×grid with the same pure-numpy index math, and emit the FLATTENED
+    raster as a grid²-dim double vector — the bridge from the multimodal
+    kernels into the similarity stack (``m_media_neardup`` feeds these
+    straight into the IVF near-dup decision).
+
+    Values are exact small integers (bytes) widened to double, so the
+    downstream cosine folds are bit-reproducible against an external
+    oracle. Scale: embarrassingly parallel map, payload bytes cross the
+    Python boundary once per Arrow batch; output is a fixed grid² doubles
+    per item regardless of payload size — feature extraction is the
+    volume cliff, which is why it runs before any pairwise stage.
+    """
+    g = int(grid)
+
+    def fv(it):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in it:
+            rows = []
+            for mid, w, h, payload in zip(
+                pdf["media_id"], pdf["width"], pdf["height"], pdf["payload"]
+            ):
+                w, h = int(w), int(h)
+                buf = _np.frombuffer(bytes(payload), dtype=_np.uint8)
+                raster = _np.resize(buf, w * h).reshape(h, w)
+                ys = (_np.arange(g) * h) // g
+                xs = (_np.arange(g) * w) // g
+                small = raster[ys][:, xs].astype(_np.float64)
+                rows.append((int(mid), small.reshape(-1).tolist()))
+            yield _pd.DataFrame(rows, columns=["media_id", "fe"])
+
+    return spread(media).mapInPandas(fv, schema=MEDIA_FEATURE_SCHEMA)
+
+
 RESAMPLE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),

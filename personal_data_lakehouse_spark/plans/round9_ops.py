@@ -541,3 +541,152 @@ def _inject_stream_semdedup_v2_oracle() -> None:
 
 
 _inject_stream_semdedup_v2_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Multimodal × ANN: media near-dup decision (VERDICT r8 item 5)
+
+_MEDIA_GRID = 8
+_MEDIA_THRESHOLD = 0.98  # 18 cell-local pairs >= thr at sf0.01, 2294 at sf0.1
+
+
+@query("m_media_neardup", oracle=None)  # oracle composed below
+def m_media_neardup(spark, sf_dir):
+    """MEDIA near-duplicate DECISION — the multimodal kernels composed
+    with the similarity stack in one driver-hashed query (the two
+    families' kernels were individually green but never met in a proven
+    composition): documents → ``attach_fake_media`` binary payloads →
+    ``media_feature_vectors`` (the ``resize_media`` decode + nearest-
+    neighbor downsample kernel, flattened 8×8 raster as a 64-dim double
+    vector, Arrow ``mapInPandas``) → the EXISTING IVF near-dup dataflow
+    (fixed 8-item coarse codebook = the lowest media ids, cell-local
+    cosine pairs at ≥ 0.98, adaptive transitive closure) → one row per
+    media item: (media_id, cluster_id, is_canonical, cluster_size).
+
+    The oracle recomputes the ENTIRE composition in SQL — the synthetic
+    decode is byte-replayable (payload = utf-8 text bytes; the fixture is
+    all-ASCII, and the query guards ``length(text) = octet_length`` on
+    both sides so char codes ARE payload bytes), the downsample is the
+    same integer index math, and the cell/cosine/closure SQL follows the
+    ``s_*``/``t_semdedup_clusters`` fragments — so a drift in kernel
+    index math, batch shape, codebook pick, threshold, or closure all
+    move the hash.
+
+    Scale: metadata-first pruning upstream of the Python boundary, one
+    Arrow crossing per batch, fixed 64 doubles per item out of the
+    decode (the volume cliff runs FIRST), Σ|cell|² pair work, sparse
+    closure; the feature frame is persisted once (coalesce-first idiom)
+    and shared by codebook pick + pair generation.
+
+    Reference parity: multimodal extension (SURVEY §2 extension family)
+    composed with the SemDeDup-style decision; kernels
+    multimodal/columns.py:171-316, decision similarity/ivf.py:139.
+    """
+    from personal_data_lakehouse_spark.dedup.cluster import dedup_clusters
+    from personal_data_lakehouse_spark.multimodal.columns import (
+        attach_fake_media,
+        media_feature_vectors,
+    )
+    from personal_data_lakehouse_spark.similarity.brute_force import norm_col
+    from personal_data_lakehouse_spark.similarity.ivf import (
+        ivf_blocked_neardup,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    ascii_docs = docs.filter(
+        (F.length("text") >= 1)
+        & (F.length("text") == F.octet_length("text"))
+    )
+    media = attach_fake_media(ascii_docs)
+    npart = spark.sparkContext.defaultParallelism
+    # persist the feature frame: the codebook pick and the pair generator
+    # both consume it, and re-running the Python decode per consumer is
+    # exactly the recompute the persist idiom exists to stop
+    feats = media_feature_vectors(media, grid=_MEDIA_GRID).coalesce(
+        npart
+    ).persist()
+    cents = (
+        feats.orderBy("media_id")
+        .limit(8)
+        .select(
+            F.col("media_id").alias("cid"),
+            F.col("fe").alias("ce"),
+            norm_col("fe").alias("_cen"),
+        )
+    )
+    pairs = ivf_blocked_neardup(
+        feats,
+        cents,
+        threshold=_MEDIA_THRESHOLD,
+        cand_id="media_id",
+        cand_vec="fe",
+    ).select("id_a", "id_b")
+    # the roster comes from the metadata projection (no Python decode)
+    return dedup_clusters(
+        media.select("media_id"), pairs, id_col="media_id"
+    )
+
+
+def _inject_media_neardup_oracle() -> None:
+    from personal_data_lakehouse_spark.plans.similarity_ops import _cos
+
+    g = _MEDIA_GRID
+    thr = _MEDIA_THRESHOLD
+    # the synthetic decode, replayed in SQL: raster[y, x] = byte[(y*w + x)
+    # % L], sampled at ys[r] = (r*h)//g, xs[c] = (c*w)//g, flattened —
+    # char codes are payload bytes under the ASCII guard
+    pos = (
+        f"((((i // {g}) * h) // {g}) * w + (((i % {g}) * w) // {g})) % L + 1"
+    )
+    feat = (
+        f"list_transform(range(0, {g * g}), "
+        f"i -> CAST(ascii(substr(text, {pos}, 1)) AS DOUBLE))"
+    )
+    REGISTRY["m_media_neardup"].oracle = f"""
+    WITH RECURSIVE feats AS (
+        SELECT doc_id AS media_id, {feat} AS fe
+        FROM (SELECT doc_id, text, length(text) AS L,
+                     length(text) % 1024 + 64 AS w,
+                     length(text) % 768 + 64 AS h
+              FROM documents
+              WHERE length(text) >= 1
+                AND length(text) = octet_length(encode(text)))
+    ), cents AS (
+        SELECT media_id AS cid, fe AS ce FROM feats
+        ORDER BY media_id LIMIT 8
+    ), asg AS (
+        SELECT media_id, fe, cid, {_cos('fe', 'ce')} AS csim
+        FROM feats, cents
+    ), cells AS (
+        SELECT media_id, fe, cid AS cell FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY media_id
+                ORDER BY csim DESC, cid) AS crnk FROM asg)
+        WHERE crnk = 1
+    ), edges AS (
+        SELECT a.media_id AS id_a, b.media_id AS id_b
+        FROM cells a JOIN cells b
+          ON a.cell = b.cell AND a.media_id < b.media_id
+        WHERE ROUND({_cos('a.fe', 'b.fe')}, 6) >= {thr}
+    ), symm AS (
+        SELECT id_a AS a, id_b AS b FROM edges
+        UNION
+        SELECT id_b AS a, id_a AS b FROM edges
+    ), reach(rsrc, rdst) AS (
+        SELECT media_id, media_id FROM feats
+        UNION
+        SELECT r.rsrc, s.b FROM reach r JOIN symm s ON r.rdst = s.a
+    ), cc AS (
+        SELECT rsrc AS media_id, MIN(rdst) AS cluster_id
+        FROM reach GROUP BY 1
+    ), sizes AS (
+        SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS csz
+        FROM cc GROUP BY 1
+    )
+    SELECT cc.media_id, cc.cluster_id,
+           cc.media_id = cc.cluster_id AS is_canonical,
+           sizes.csz AS cluster_size
+    FROM cc JOIN sizes USING (cluster_id)
+    """
+
+
+_inject_media_neardup_oracle()
