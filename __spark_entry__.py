@@ -63,7 +63,41 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # 50. Verified rows from earlier rounds stay credited, so the window ROTATES
 # each round to maximize cumulative driver-verified coverage.
 #
-# Round 8's window (per VERDICT r7 items 1/2/3/4/5/7), arithmetic:
+# Round 9's window (per VERDICT r8 items 1/2/3/5), arithmetic:
+#   (a) NEW in r9 — 3 additions (<= 10 cap): t_corpus_pipeline_incremental
+#       (VERDICT item 1: batch MERGE through the full funnel, hash-equal
+#       to full recompute), q_stream_semdedup_admit_v2 (item 3: index
+#       maintenance on admit), m_media_neardup (item 5: multimodal × ANN
+#       composition);
+#   (b) plan changed in r9 — 7 re-proofs: the FIXTURE_GEN generator-tag
+#       suffix on source-fixture dir names (streaming/windows.py, r8
+#       ADVICE) touches every fixture consumer's scan path — content is
+#       byte-identical and the path was never stable across runs (the
+#       work root is per-PID), so these are out-of-caution re-proofs:
+#       q_text_intake, q_jsonl_intake, q_stream_text_intake,
+#       q_stream_jsonl_intake, q_stream_substring_spans,
+#       q_stream_semdedup_admit; plus t_corpus_pipeline_e2e (its rollup
+#       moved into the shared corpus.pipeline_rollup — expression-
+#       identical, re-proven because the code moved);
+#   (c) VERDICT item 2: the ENTIRE precomputed 38-row r8 queue
+#       (t_substring_dedup + the 37 other r6-latest rows listed below) —
+#       after this window no ledger row is older than r7;
+#   (d) 2 spare slots → the two r7-latest bench headliners
+#       (q02_monthly_rollup, q_silver_cleaning — timed every round).
+#   3 + 7 + 38 + 2 = 50 exactly.
+#
+#   The r10 QUEUE (precomputed): the remaining r7-latest rows, PLUS the
+#   ~12 MinHash-LSH consumers IF r10 lands the measured _banded_docs
+#   optimization (collect_set instead of distinct+collect_list: 2.77 →
+#   2.10 s on the index build at sf0.1, deferred from r9's directive-6
+#   attribution because the re-proof ripple did not fit this window):
+#   t_minhash_lsh_pairs, t_minhash_containment, t_minhash_estimate_error,
+#   t_minhash_signatures, t_neardup_incremental, t_neardup_verified,
+#   t_neardup_source_matrix, t_dedup_clusters, t_dedup_cluster_stats,
+#   t_dedup_keep_best, t_corpus_pipeline_e2e, t_corpus_pipeline_incremental.
+#
+# Round 8's window (kept for the ledger; per VERDICT r7 items 1/2/3/4/5/7),
+# arithmetic:
 #   (a) NEW in r8 — 4 additions (<= 10 cap): t_corpus_pipeline_e2e
 #       (VERDICT item 2), q_stream_semdedup_admit (item 3),
 #       q_stream_jsonl_intake (item 4), q_stream_text_intake (the
@@ -108,85 +142,66 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # t_sample_stratified — is EXECUTED by this round's section (c) below.
 # Older window ledgers (r6 and earlier) live in git history of this file.)
 _PRIORITY = [
-    # (a) NEW in r8 — never driver-evaluated, outrank everything
-    "t_corpus_pipeline_e2e",
-    "q_stream_jsonl_intake",
-    "q_stream_semdedup_admit",
-    "q_stream_text_intake",
-    # (b) plan changed in r8 — r7 rows no longer describe the shipped
-    # plans: the connected-components rework (self-loop fused hops +
-    # edge-free early exit) re-proves every closure consumer, and the
-    # source_fixture_dir change re-proves the three fixture-writing
-    # queries (read path moved out of the wiped work dir)
-    "t_dedup_clusters",
-    "t_dedup_cluster_stats",
-    "t_dedup_keep_best",
-    "t_semdedup_clusters",
+    # (a) NEW in r9 — never driver-evaluated, outrank everything
+    "t_corpus_pipeline_incremental",
+    "q_stream_semdedup_admit_v2",
+    "m_media_neardup",
+    # (b) plan changed in r9 — the FIXTURE_GEN dir-name tag re-proves
+    # every source-fixture consumer (content byte-identical, re-proven
+    # out of caution), and the e2e rollup moved into the shared
+    # corpus.pipeline_rollup helper (expression-identical)
     "q_text_intake",
     "q_jsonl_intake",
+    "q_stream_text_intake",
+    "q_stream_jsonl_intake",
     "q_stream_substring_spans",
-    # (c) VERDICT r7 item 1: the full precomputed 35-row queue (r3-latest
-    # evidence — the oldest rows in the ledger; clearing it brings every
-    # row within the trailing-3-round target)
-    "q_histogram",
-    "q_hypertable_rollup",
-    "q_latest_per_key",
-    "q_map_roundtrip",
-    "q_mapinpandas_tokens",
-    "q_mode_per_group",
-    "q_not_in_null_semantics",
-    "q_ntile_cume",
-    "q_open_order_concurrency",
-    "q_pct_of_total",
-    "q_percentiles",
-    "q_pivot_wide",
-    "q_posexplode_tokens",
-    "q_ranking_functions",
-    "q_regr_slope",
-    "q_retention_cohort",
-    "q_salted_two_stage_agg",
-    "q_scalar_subquery",
-    "q_semi_join_api",
-    "q_sessionize",
-    "q_union_by_name",
-    "q_unpivot",
-    "q_weighted_median",
-    "q_window_range_frame",
-    "t_bigram_familiarity",
-    "t_char_trigram_profile",
-    "t_chunk_documents",
-    "t_doc_term_rarity",
-    "t_mix_weighted",
-    "t_pack_sequences",
-    "t_pack_sequences_sharded",
-    "t_pii_scrub",
-    "t_repetition_ratio",
-    "t_sample_bernoulli_hash",
-    "t_sample_stratified",
-    # (d) the spare slots go to the oldest-evidence tier that remains
-    # after (c) clears: 42 rows are r6-latest; these are the bench
-    # headliners among them (timed every round, so a silent drift there
-    # costs the most). q_stream_text_intake's late addition to (a) took
-    # the fifth spare slot — t_substring_dedup rolls to the FRONT of the
-    # r9 queue. The r9 QUEUE is t_substring_dedup + the other 37
-    # r6-latest rows:
-    # m_kmeans_centroids, m_triangle_count, q02_min_cost_supplier,
-    # q04_order_priority, q05_region_revenue, q06_revenue_forecast,
-    # q07_nation_volume, q08_market_share, q09_product_profit,
-    # q10_returned_revenue, q_applyinpandas_rank, q_asof_join,
-    # q_benford_digits, q_cdc_apply, q_funnel_latency,
-    # q_gap_fill_calendar, q_grouping_sets, q_lateral_topn,
-    # q_median_exact, q_merge_upsert, q_pivot, q_range_join,
-    # q_recursive_hierarchy, q_revenue_concentration,
-    # q_running_zscore_flags, q_scd2_intervals, q_session_window,
-    # q_snapshot_diff, q_tumbling_window, q_zscore_outliers,
-    # t_contamination, t_dedup_exact, t_ngram_jaccard_blocked,
-    # t_pmi_collocations, t_quality_filter, t_simhash_neardup,
-    # t_token_count (38 + r9's own new/changed slots fit one window).
-    "q01_pricing_summary",
-    "q03_shipping_priority",
-    "q_window_topk",
-    "s_cosine_topk",
+    "q_stream_semdedup_admit",
+    "t_corpus_pipeline_e2e",
+    # (c) VERDICT r8 item 2: the full precomputed 38-row queue (the
+    # r6-latest rows — the oldest evidence in the ledger; clearing it
+    # leaves no row older than r7)
+    "t_substring_dedup",
+    "m_kmeans_centroids",
+    "m_triangle_count",
+    "q02_min_cost_supplier",
+    "q04_order_priority",
+    "q05_region_revenue",
+    "q06_revenue_forecast",
+    "q07_nation_volume",
+    "q08_market_share",
+    "q09_product_profit",
+    "q10_returned_revenue",
+    "q_applyinpandas_rank",
+    "q_asof_join",
+    "q_benford_digits",
+    "q_cdc_apply",
+    "q_funnel_latency",
+    "q_gap_fill_calendar",
+    "q_grouping_sets",
+    "q_lateral_topn",
+    "q_median_exact",
+    "q_merge_upsert",
+    "q_pivot",
+    "q_range_join",
+    "q_recursive_hierarchy",
+    "q_revenue_concentration",
+    "q_running_zscore_flags",
+    "q_scd2_intervals",
+    "q_session_window",
+    "q_snapshot_diff",
+    "q_tumbling_window",
+    "q_zscore_outliers",
+    "t_contamination",
+    "t_dedup_exact",
+    "t_ngram_jaccard_blocked",
+    "t_pmi_collocations",
+    "t_quality_filter",
+    "t_simhash_neardup",
+    "t_token_count",
+    # (d) 2 spare slots → the r7-latest bench headliners (timed every
+    # round, so a silent drift there costs the most)
+    "q02_monthly_rollup",
+    "q_silver_cleaning",
     # ---- 50-query window cap falls here exactly; the rest re-verify
     # only if the driver evaluates more than 50 ----
 ]

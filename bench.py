@@ -115,6 +115,14 @@ HEADLINE = R1_BASELINE + [
     "t_corpus_pipeline_e2e",
     "q_stream_jsonl_intake",
     "q_stream_semdedup_admit",
+    # round-9 additions: the incremental corpus-pipeline run (batch MERGE
+    # against materialized stage tables), the online-admit v2 loop
+    # (foreachBatch index maintenance + per-cell sequential resolution),
+    # and the multimodal-kernel × IVF near-dup composition — all new
+    # plan shapes with no timing history
+    "t_corpus_pipeline_incremental",
+    "q_stream_semdedup_admit_v2",
+    "m_media_neardup",
 ]
 
 # A warm triple spreading beyond this max/min ratio triggers automatic

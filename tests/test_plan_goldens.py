@@ -129,6 +129,11 @@ _GOLDEN_SF = "/root/testdata/sf0.001"
 # t_semdedup_clusters precedent); pinned by the differential gate + plan
 # lint instead. q_stream_jsonl_intake IS pinned (sink-scan + rollup,
 # work-dir paths normalized like q_stream_substring_spans).
+# r9: t_corpus_pipeline_incremental and m_media_neardup join HEADLINE but
+# stay golden-excluded — both embed the dedup_clusters closure (same
+# precedent), and the incremental plan additionally scans five
+# per-PID state-artifact dirs. q_stream_semdedup_admit_v2 IS pinned: its
+# returned plan is a sink scan + projection (work-dir paths normalized).
 _GOLDEN_NAMES = [
     n
     for n in dict.fromkeys(HEADLINE + GOLDEN_EXTRA)
@@ -138,6 +143,8 @@ _GOLDEN_NAMES = [
         "t_semdedup_clusters",
         "t_corpus_pipeline_e2e",
         "q_stream_semdedup_admit",
+        "t_corpus_pipeline_incremental",
+        "m_media_neardup",
     )
 ]
 

@@ -59,6 +59,7 @@ STREAM_EXEC = {
     "q_stream_dedup",
     "q_stream_jsonl_intake",
     "q_stream_semdedup_admit",
+    "q_stream_semdedup_admit_v2",
     "q_stream_session_agg",
     "q_stream_sliding_agg",
     "q_stream_static_enrich",
@@ -123,6 +124,14 @@ BUDGET: dict[str, dict[str, int]] = {
     # (bnlj) — the t_mix_temperature scalar pattern, rows bounded by the
     # source cardinality, never the corpus.
     "t_corpus_pipeline_e2e": {"bnlj": 1, "single_part": 1},
+    # same rebalance_stage scalar pattern, over the merged survivor
+    # skeleton (the incremental run recomputes the thresholds — see the
+    # query docstring's derived-decisions contract)
+    "t_corpus_pipeline_incremental": {"bnlj": 1, "single_part": 1},
+    # Catalyst-injected runtime bloom-filter pushdown for the final
+    # roster-labeling join (the t_semdedup_clusters precedent): a scalar
+    # bloom_filter_agg build over media ids, not a data funnel.
+    "m_media_neardup": {"single_part": 1},
     "t_split_leakage_audit": {"single_part": 2},
     "t_tfidf_topterms": {"bnlj": 1, "single_part": 1},
 }

@@ -145,6 +145,25 @@ def test_headline_exchange_budgets(spark):
         # reference + closure label/size aggregates + the match
         # aggregate and roster left join over drained candidate rows
         "q_stream_semdedup_admit": 10,
+        # 57 textual = the batch-side funnel (fingerprint anti-join +
+        # batch-min aggregate, batch LSH index re-printed per cached
+        # join side, candidate dedups + verify joins) + the insert-only
+        # MERGE anti-joins per stage table + closure label/size
+        # aggregates (the driver-union-find label broadcast re-printed
+        # per consumer) + rebalance/split/pack/rollup — the corpus side
+        # reads the five materialized state tables, so EXECUTED cost is
+        # O(batch text) + sparse-state joins (see the query docstring)
+        "t_corpus_pipeline_incremental": 57,
+        # 0 = the returned plan reads the decisions file sink back; all
+        # per-batch work (assign, probe, greedy, append) ran inside
+        # foreachBatch during the availableNow drain
+        "q_stream_semdedup_admit_v2": 0,
+        # 7 textual = the feature-frame persist boundary re-printed per
+        # consumer (codebook pick + pair self-join sides) + pair
+        # aggregate + closure label/size aggregates + the final roster
+        # labeling join; the Python decode (MapInPandas) sits inside the
+        # cached relation, executed exactly once
+        "m_media_neardup": 7,
     }
     assert set(budget) == set(HEADLINE)
     for name, allowed in budget.items():

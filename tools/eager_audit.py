@@ -66,6 +66,14 @@ ALLOW: dict[str, int] = {
     "t_dedup_keep_best": 8,  # (7)
     "t_semdedup_clusters": 6,  # (4)
     "t_corpus_pipeline_e2e": 12,  # (9)
+    # the incremental run pays the SAME closure-family build jobs over
+    # the merged edge table (adjacency checkpoint + bounded collect),
+    # plus the O(1) threshold agg on the first build of a process
+    "t_corpus_pipeline_incremental": 16,  # (13)
+    # closure consumer over media-feature pairs (adjacency checkpoint +
+    # bounded collect); the Python decode itself is lazy (persist
+    # materializes at consumption)
+    "m_media_neardup": 6,  # (4)
     # --- iterative algorithms: per-process-cached loop outputs make the
     #     warm build cheap; the loop itself is the cold build ---
     "m_kmeans_centroids": 4,  # (1)
@@ -76,6 +84,9 @@ ALLOW: dict[str, int] = {
     "q_stream_dedup": 8,
     "q_stream_jsonl_intake": 8,
     "q_stream_semdedup_admit": 8,  # (3)
+    # warm build = the empty decisions-sink seed write (one job); the
+    # foreachBatch micro-batches run on stream threads (see note above)
+    "q_stream_semdedup_admit_v2": 3,  # (1)
     "q_stream_session_agg": 8,
     "q_stream_sliding_agg": 8,
     "q_stream_static_enrich": 8,
