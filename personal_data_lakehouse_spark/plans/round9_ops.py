@@ -453,6 +453,7 @@ def _inject_stream_semdedup_v2_oracle() -> None:
     from personal_data_lakehouse_spark.plans.similarity_ops import (
         _CELLS_SQL,
         _cos,
+        _dot_sql as _dot,
         _N_QUERIES,
     )
 
@@ -462,13 +463,28 @@ def _inject_stream_semdedup_v2_oracle() -> None:
         f"WHERE vec_id >= {_N_QUERIES}",
         f"WHERE vec_id >= {_N_QUERIES} AND NOT ({_V2_STREAM_PRED})",
     )
+    # The recursion's pair cosine precomputes BOTH norms (carried on the
+    # arrival row and inside the admitted struct) and folds ONE dot per
+    # comparison — sqrt(dot(x,x)) is the same double wherever evaluated,
+    # so values are bit-identical to the three-fold _cos form while the
+    # lambda work drops 3×; and the recursion runs PER CELL (arrivals in
+    # different cells never interact — the Spark contract), so each
+    # iteration advances every cell by one arrival and each admitted
+    # list holds only cell-mates. The first (global-list, three-fold)
+    # form was measured 10+ minutes at sf0.1; this one is seconds.
+    def _dot_pair(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_transform(range(1, len({a}) + 1), "
+            f"i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+        )
+
     intra = (
-        "list_filter(s.adm, u -> u.cell = a.cell AND "
-        f"ROUND({_cos('u.e', 'a.qe')}, 6) >= {thr})"
+        "list_filter(s.adm, u -> "
+        f"ROUND({_dot_pair('u.e', 'a.qe')} / (u.n * a.qn), 6) >= {thr})"
     )
     intra_fin = (
-        "list_filter(f.adm, u -> u.cell = f.cell AND "
-        f"ROUND({_cos('u.e', 'f.qe')}, 6) >= {thr})"
+        "list_filter(f.adm, u -> "
+        f"ROUND({_dot_pair('u.e', 'f.qe')} / (u.n * f.qn), 6) >= {thr})"
     )
     big = 9223372036854775807
     REGISTRY["q_stream_semdedup_admit_v2"].oracle = f"""
@@ -494,14 +510,28 @@ def _inject_stream_semdedup_v2_oracle() -> None:
         WHERE ({_V2_STREAM_PRED})
     ), qasg AS (
         SELECT qid, qe, cid, {_cos('qe', 'ce')} AS csim FROM strm, cents
-    ), arr AS (
-        SELECT qid, qe, cid AS cell,
-               ROW_NUMBER() OVER (ORDER BY qid) AS pos
+    ), arr AS MATERIALIZED (
+        -- per-cell arrival order: qid order restricted to the cell is
+        -- exactly the global-order contract (only cell-mates interact);
+        -- norms precomputed once per arrival, vectors widened once.
+        -- MATERIALIZED: the recursive term below joins this CTE every
+        -- iteration, and DuckDB would otherwise INLINE and re-execute
+        -- its whole upstream (the probe-assignment windows) per step
+        SELECT qid, CAST(qe AS DOUBLE[]) AS qe,
+               sqrt({_dot('qe', 'qe')}) AS qn,
+               cell,
+               ROW_NUMBER() OVER (PARTITION BY cell ORDER BY qid) AS pos
         FROM (
-            SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
-                ORDER BY csim DESC, cid) AS crnk FROM qasg)
-        WHERE crnk = 1
-    ), ext AS (
+            SELECT qid, qe, cid AS cell FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                    ORDER BY csim DESC, cid) AS crnk FROM qasg)
+            WHERE crnk = 1)
+    ), ext AS MATERIALIZED (
+        -- MATERIALIZED for the same reason: inlined, the full
+        -- arrivals×corpus-cell cosine probe re-ran once per recursion
+        -- step (~50 steps at sf0.1) — measured 213 s for a 405-row
+        -- recursion; materialized, the probe runs once and the
+        -- recursion is sub-second
         SELECT qid, MIN(cc.cluster_id) AS mcl,
                CAST(COUNT(*) AS BIGINT) AS nm
         FROM arr
@@ -509,23 +539,25 @@ def _inject_stream_semdedup_v2_oracle() -> None:
         JOIN cc ON cells.vec_id = cc.vec_id
         WHERE ROUND({_cos('qe', 'cells.e')}, 6) >= {thr}
         GROUP BY qid
-    ), seq(pos, adm) AS (
-        -- linear sequential scan: one row per arrival in global vec_id
-        -- order, carrying the admitted-so-far set (id, cell, vector)
-        SELECT 0, CAST([] AS STRUCT(id BIGINT, cell BIGINT, e DOUBLE[])[])
+    ), seq(cell, pos, adm) AS (
+        -- per-cell sequential scan: every iteration advances each cell
+        -- by one arrival (id order within the cell), carrying that
+        -- cell's admitted-so-far set (id, vector, norm)
+        SELECT cell, 0,
+               CAST([] AS STRUCT(id BIGINT, e DOUBLE[], n DOUBLE)[])
+        FROM (SELECT DISTINCT cell FROM arr)
         UNION ALL
-        SELECT a.pos,
+        SELECT s.cell, a.pos,
                CASE WHEN e.qid IS NULL AND len({intra}) = 0
                     THEN list_append(s.adm,
-                        {{'id': a.qid, 'cell': a.cell,
-                          'e': CAST(a.qe AS DOUBLE[])}})
+                        {{'id': a.qid, 'e': a.qe, 'n': a.qn}})
                     ELSE s.adm END
         FROM seq s
-        JOIN arr a ON a.pos = s.pos + 1
+        JOIN arr a ON a.cell = s.cell AND a.pos = s.pos + 1
         LEFT JOIN ext e ON e.qid = a.qid
     ), fin AS (
-        SELECT a.qid, a.cell, a.qe, s.adm FROM arr a
-        JOIN seq s ON s.pos = a.pos - 1
+        SELECT a.qid, a.qe, a.qn, s.adm FROM arr a
+        JOIN seq s ON s.cell = a.cell AND s.pos = a.pos - 1
     )
     SELECT f.qid AS vec_id,
            (e.qid IS NULL AND len({intra_fin}) = 0) AS admitted,
