@@ -159,3 +159,53 @@ def test_managed_table_increment_and_replay(spark):
     assert counts2 == counts1
     after = {n: _rows(f) for n, f in tables().frames().items()}
     assert after == before
+
+
+def test_increment_matches_rebuild_on_random_corpora(spark):
+    """Property (seeded): on random small-vocab corpora — duplicate-dense
+    so every stage's decision branch fires — splitting at a random point
+    and incrementing must reproduce the full-recompute rollup, and a
+    replay must change nothing. Catches split-boundary classes the
+    fixture split never hits (empty batch, batch-only corpus, all-dup
+    batch)."""
+    import random
+
+    rng = random.Random(20260815)
+    vocab = [f"w{i}" for i in range(30)]
+
+    def rand_doc(i):
+        # heavy duplication: half the docs are near-copies of a template
+        base = rng.randrange(6)
+        words = [vocab[(base * 5 + k) % len(vocab)] for k in range(12)]
+        reps = rng.randrange(8, 14)
+        txt = (" ".join(words) + " ") * reps
+        if rng.random() < 0.5:
+            txt += vocab[rng.randrange(len(vocab))] + " extra tail"
+        return (i, txt, "en", rng.choice(["web", "books", "code"]))
+
+    # two trials keep the wall cost ~3 min; the rng seed is fixed, so
+    # widening coverage later is a one-character change
+    for trial in range(2):
+        n = rng.randrange(12, 30)
+        rows = [rand_doc(i) for i in range(n)]
+        docs = spark.createDataFrame(
+            rows, "doc_id bigint, text string, lang string, source string"
+        ).select(
+            "doc_id", "text", "lang", F.length("text").alias("n_chars"), "source"
+        )
+        # split points include the degenerate ends: empty batch (n) and
+        # everything-in-batch (0 — an empty BASE state)
+        for cut in {0, rng.randrange(n + 1), n}:
+            base = docs.filter(F.col("doc_id") < cut)
+            batch = docs.filter(F.col("doc_id") >= cut)
+            merged = apply_increment(build_state(base), batch)
+            assert _rows(state_rollup(merged)) == _rows(
+                _full_recompute_rollup(docs)
+            ), (trial, cut)
+            again = apply_increment(merged, batch)
+            for name, frame in again.frames().items():
+                assert _rows(frame) == _rows(merged.frames()[name]), (
+                    trial,
+                    cut,
+                    name,
+                )
