@@ -209,3 +209,27 @@ def test_increment_matches_rebuild_on_random_corpora(spark):
                     cut,
                     name,
                 )
+
+
+def test_incremental_plan_reads_only_batch_text(spark):
+    """The headline scale claim — the increment never re-reads base
+    text — pinned mechanically: EVERY documents-parquet scan in the
+    registered query's RETURNED plan carries the batch-side pushed
+    filter (doc_id >= threshold); the base corpus is served by the
+    materialized state artifacts, never re-scanned. (At sf0.001 the
+    threshold is 400: ids 0..499, batch = top 20% of the range.)"""
+    import re
+
+    import __spark_entry__  # noqa: F401 — registers round9_ops
+    from personal_data_lakehouse_spark.plans.registry import REGISTRY
+
+    df = REGISTRY["t_corpus_pipeline_incremental"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = [
+        ln
+        for ln in plan.splitlines()
+        if "FileScan" in ln and "documents.parquet" in ln
+    ]
+    assert scans, "expected at least one batch-side documents scan"
+    for line in scans:
+        assert re.search(r"doc_id#\d+L? >= 400", line), line[:300]
