@@ -251,8 +251,16 @@ def online_semdedup_admit(
     ``idx_static``: the corpus index (cand_id, ce_v, _cn, cell,
     cluster_id). Per micro-batch: assign cells, probe corpus index +
     admitted-so-far rows (the decisions sink doubles as the admit index),
-    resolve same-batch arrivals sequentially per cell, append one parquet
-    write. See the registered query's docstring for the full contract.
+    resolve same-batch arrivals sequentially per cell, ONE parquet write.
+
+    Exactly-once sink contract: each micro-batch OVERWRITES its own
+    epoch-keyed subdir (``decisions/b<batch_id>``) instead of appending —
+    the standard foreachBatch idempotency pattern (Spark replays a batch
+    after a failure under the same batch_id, so a replay rewrites
+    identical files rather than double-counting decisions and
+    double-feeding the admit index). Pinned by the rerun test in
+    tests/test_streaming.py: re-draining the same source through the
+    same sink yields byte-identical decisions.
     """
     import os
 
@@ -268,26 +276,38 @@ def online_semdedup_admit(
     # seed the sink empty so batch 0's index read binds (schema'd)
     spark.createDataFrame([], _V2_DEC_SCHEMA).write.mode(
         "overwrite"
-    ).parquet(out_dir)
+    ).parquet(os.path.join(out_dir, "seed"))
     greedy = _v2_greedy(threshold)
 
-    def process_batch(batch, _bid):
+    def _read_sink(bs):
+        return (
+            bs.read.schema(_V2_DEC_SCHEMA)
+            .option("recursiveFileLookup", "true")
+            .parquet(out_dir)
+        )
+
+    def process_batch(batch, bid):
         bs = batch.sparkSession
         asg = assign_cells(batch, cents, "vec_id", "embedding", n=1)
         # the decisions dir IS the admit index: earlier batches' admitted
         # rows carry (cell, embedding, _vn); an admit founded its own
-        # cluster. One read + one append per batch — no second sink.
-        adm_idx = (
-            bs.read.schema(_V2_DEC_SCHEMA)
-            .parquet(out_dir)
-            .filter(F.col("admitted"))
-            .select(
-                F.col("vec_id").alias("cand_id"),
-                F.col("embedding").alias("ce_v"),
-                F.col("_vn").alias("_cn"),
-                "cell",
-                F.col("vec_id").alias("cluster_id"),
-            )
+        # cluster. One read + one epoch-keyed write per batch.
+        # The index reads STRICTLY EARLIER epochs only — a batch replayed
+        # after a post-write crash would otherwise see its own failed
+        # attempt's rows and reject every arrival against itself.
+        earlier = [os.path.join(out_dir, "seed")] + [
+            p
+            for i in range(int(bid))
+            if os.path.isdir(p := os.path.join(out_dir, f"b{i}"))
+        ]
+        adm_idx = bs.read.schema(_V2_DEC_SCHEMA).parquet(*earlier).filter(
+            F.col("admitted")
+        ).select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("embedding").alias("ce_v"),
+            F.col("_vn").alias("_cn"),
+            "cell",
+            F.col("vec_id").alias("cluster_id"),
         )
         idx = idx_static.unionByName(adm_idx)
         sim = F.round(
@@ -309,13 +329,13 @@ def online_semdedup_admit(
         )
         enriched.groupBy("cell").applyInPandas(
             greedy, _V2_DEC_SCHEMA
-        ).write.mode("append").parquet(out_dir)
+        ).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"b{int(bid)}")
+        )
 
     drain_stream_foreach(stream_vecs, work_dir, process_batch)
-    return (
-        spark.read.schema(_V2_DEC_SCHEMA)
-        .parquet(out_dir)
-        .select("vec_id", "admitted", "cluster_id", "n_matches")
+    return _read_sink(spark).select(
+        "vec_id", "admitted", "cluster_id", "n_matches"
     )
 
 

@@ -1454,3 +1454,68 @@ def test_online_semdedup_same_batch_duplicate_rejected(spark, tmp_path):
     assert rows[300]["admitted"] is True and rows[300]["cluster_id"] == 300
     assert rows[301]["admitted"] is False
     assert rows[301]["cluster_id"] == 300 and rows[301]["n_matches"] == 1
+
+
+def test_online_semdedup_sink_rerun_is_idempotent(spark, tmp_path):
+    """Exactly-once sink contract: each micro-batch OVERWRITES its
+    epoch-keyed subdir, so re-draining the same source through the SAME
+    sink (a full replay — same batch ids, same order) leaves the
+    decisions byte-identical instead of double-appending them and
+    double-feeding the admit index."""
+    import os
+
+    from personal_data_lakehouse_spark.plans.round9_ops import (
+        online_semdedup_admit,
+    )
+    from personal_data_lakehouse_spark.similarity.brute_force import norm_col
+
+    dim = 8
+    v = [1.0] + [0.0] * (dim - 1)
+    w = [0.0, 1.0] + [0.0] * (dim - 2)
+    cents = spark.createDataFrame(
+        [(0, [1.0] * dim)], "cid bigint, ce array<float>"
+    ).select("cid", "ce", norm_col("ce").alias("_cen"))
+    idx_static = spark.createDataFrame(
+        [],
+        "cand_id bigint, ce_v array<float>, _cn double, cell bigint, "
+        "cluster_id bigint",
+    )
+    src = str(tmp_path / "arrivals")
+    b1, b2 = str(tmp_path / "b1"), str(tmp_path / "b2")
+    spark.createDataFrame(
+        [(100, v)], "vec_id bigint, embedding array<float>"
+    ).coalesce(1).write.parquet(b1)
+    spark.createDataFrame(
+        [(200, v), (201, w)], "vec_id bigint, embedding array<float>"
+    ).coalesce(1).write.parquet(b2)
+    import glob
+    import shutil
+
+    os.makedirs(src)
+    for i, d in enumerate((b1, b2)):
+        part = glob.glob(os.path.join(d, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"f{i}.parquet")
+        shutil.copyfile(part, dst)
+        os.utime(dst, (1_600_000_000 + 60 * i,) * 2)
+
+    work = str(tmp_path / "work")
+
+    def drain():
+        stream = (
+            spark.readStream.schema("vec_id bigint, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return sorted(
+            tuple(r)
+            for r in online_semdedup_admit(
+                spark, stream, idx_static, cents, work, 0.9
+            ).collect()
+        )
+
+    first = drain()
+    # the replay: fresh checkpoint, same files, same batch ids — every
+    # epoch subdir is rewritten in place
+    second = drain()
+    assert second == first
+    assert dict((r[0], r[1]) for r in first)[200] is False  # still rejected
