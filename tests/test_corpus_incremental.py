@@ -233,3 +233,17 @@ def test_incremental_plan_reads_only_batch_text(spark):
     assert scans, "expected at least one batch-side documents scan"
     for line in scans:
         assert re.search(r"doc_id#\d+L? >= 400", line), line[:300]
+
+
+def test_chained_increments_match_rebuild(spark):
+    """Two SUCCESSIVE increments (the multi-day delta sequence) must land
+    on the full-recompute end state: the second batch probes a band
+    index that already contains the first batch's survivors, and its
+    candidates include batch2×batch1 pairs — the case a single-increment
+    test never exercises."""
+    docs = t(spark, SF_DIR, "documents")
+    base = docs.filter(F.col("doc_id") < 300)
+    b1 = docs.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 400))
+    b2 = docs.filter(F.col("doc_id") >= 400)
+    merged = apply_increment(apply_increment(build_state(base), b1), b2)
+    assert _rows(state_rollup(merged)) == _rows(_full_recompute_rollup(docs))
