@@ -64,11 +64,13 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # each round to maximize cumulative driver-verified coverage.
 #
 # Round 9's window (per VERDICT r8 items 1/2/3/5), arithmetic:
-#   (a) NEW in r9 — 3 additions (<= 10 cap): t_corpus_pipeline_incremental
+#   (a) NEW in r9 — 4 additions (<= 10 cap): t_corpus_pipeline_incremental
 #       (VERDICT item 1: batch MERGE through the full funnel, hash-equal
 #       to full recompute), q_stream_semdedup_admit_v2 (item 3: index
 #       maintenance on admit), m_media_neardup (item 5: multimodal × ANN
-#       composition);
+#       composition), and — late-round, slotted under (d) — the
+#       t_stream_corpus_increments fusion (the capstone as a live delta
+#       stream);
 #   (b) plan changed in r9 — 7 re-proofs: the FIXTURE_GEN generator-tag
 #       suffix on source-fixture dir names (streaming/windows.py, r8
 #       ADVICE) touches every fixture consumer's scan path — content is
@@ -82,19 +84,23 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #   (c) VERDICT item 2: the ENTIRE precomputed 38-row r8 queue
 #       (t_substring_dedup + the 37 other r6-latest rows listed below) —
 #       after this window no ledger row is older than r7;
-#   (d) 2 spare slots → the two r7-latest bench headliners
-#       (q02_monthly_rollup, q_silver_cleaning — timed every round).
-#   3 + 7 + 38 + 2 = 50 exactly.
+#   (d) the 2 remaining slots: the fourth NEW query
+#       (t_stream_corpus_increments) and one r7-latest bench headliner
+#       (q02_monthly_rollup — timed every round).
+#   4 + 7 + 38 + 1 = 50 exactly.
 #
-#   The r10 QUEUE (precomputed): the remaining r7-latest rows, PLUS the
-#   ~12 MinHash-LSH consumers IF r10 lands the measured _banded_docs
-#   optimization (collect_set instead of distinct+collect_list: 2.77 →
-#   2.10 s on the index build at sf0.1, deferred from r9's directive-6
-#   attribution because the re-proof ripple did not fit this window):
+#   The r10 QUEUE (precomputed): q_silver_cleaning (the r7-latest bench
+#   headliner squeezed out by the late t_stream_corpus_increments
+#   addition) + the remaining r7-latest rows, PLUS the ~12 MinHash-LSH
+#   consumers IF r10 lands the measured _banded_docs optimization
+#   (collect_set instead of distinct+collect_list: 2.77 → 2.10 s on the
+#   index build at sf0.1, deferred from r9's directive-6 attribution
+#   because the re-proof ripple did not fit this window):
 #   t_minhash_lsh_pairs, t_minhash_containment, t_minhash_estimate_error,
 #   t_minhash_signatures, t_neardup_incremental, t_neardup_verified,
 #   t_neardup_source_matrix, t_dedup_clusters, t_dedup_cluster_stats,
-#   t_dedup_keep_best, t_corpus_pipeline_e2e, t_corpus_pipeline_incremental.
+#   t_dedup_keep_best, t_corpus_pipeline_e2e,
+#   t_corpus_pipeline_incremental, t_stream_corpus_increments.
 #
 # Round 8's window (kept for the ledger; per VERDICT r7 items 1/2/3/4/5/7),
 # arithmetic:
@@ -198,10 +204,13 @@ _PRIORITY = [
     "t_quality_filter",
     "t_simhash_neardup",
     "t_token_count",
-    # (d) 2 spare slots → the r7-latest bench headliners (timed every
-    # round, so a silent drift there costs the most)
+    # (d) the 2 remaining slots: one NEW late-round query (4 new total,
+    # under the <=10 cap) — the streaming corpus-increments fusion — and
+    # one r7-latest bench headliner (q_silver_cleaning stays r7-latest;
+    # it rolls to the FRONT of the r10 queue with the LSH-consumer
+    # re-proof set listed above)
+    "t_stream_corpus_increments",
     "q02_monthly_rollup",
-    "q_silver_cleaning",
     # ---- 50-query window cap falls here exactly; the rest re-verify
     # only if the driver evaluates more than 50 ----
 ]

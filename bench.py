@@ -123,6 +123,9 @@ HEADLINE = R1_BASELINE + [
     "t_corpus_pipeline_incremental",
     "q_stream_semdedup_admit_v2",
     "m_media_neardup",
+    # late round-9 addition: the capstone pipeline as a live delta
+    # stream (foreachBatch increments over carried checkpointed state)
+    "t_stream_corpus_increments",
 ]
 
 # A warm triple spreading beyond this max/min ratio triggers automatic

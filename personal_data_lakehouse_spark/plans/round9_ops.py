@@ -1,9 +1,11 @@
 """Round-9 registered queries: the INCREMENTAL corpus-pipeline run
 (new-docs batch MERGEd through the full funnel, hash-equal to a full
 recompute), the online SemDeDup admission loop CLOSED (admitted vectors
-feed the index before the next micro-batch probes), and the multimodal
+feed the index before the next micro-batch probes), the multimodal
 kernels composed with the ANN stack into a driver-hashed near-dup
-decision.
+decision, and the late-round fusion of the first two —
+``t_stream_corpus_increments``, the capstone pipeline consuming a live
+stream of deltas via per-micro-batch MERGE.
 
 Closes r8 verdict items 1/3/5: the capstone pipeline only ran
 full-recompute while the reference's defining semantic is incremental
@@ -742,3 +744,120 @@ def _inject_media_neardup_oracle() -> None:
 
 
 _inject_media_neardup_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Streaming corpus increments: the capstone pipeline as a LIVE DELTA STREAM
+
+
+@query("t_stream_corpus_increments", oracle=None)  # e2e oracle shared below
+def t_stream_corpus_increments(spark, sf_dir):
+    """The corpus pipeline run as a LIVE STREAM OF DELTAS — the fusion of
+    this round's two marquee pieces and the production shape of the
+    reference's daily pipeline (run_pipeline.py scheduling
+    transforme_stock_silver.py's watermark increment, here as a real
+    Structured Streaming loop): the base corpus state (the same five
+    materialized stage tables ``t_corpus_pipeline_incremental`` uses) is
+    loaded once; the new-docs slice (top ~20% of the id range) arrives
+    as THREE id-range files (staggered mtimes, ``maxFilesPerTrigger=1``
+    — ascending-id delivery, the append-only contract), and every
+    micro-batch MERGEs through the full intake→exact→near funnel via
+    ``corpus_incremental.apply_increment`` inside ``foreachBatch``, the
+    carried state localCheckpoint'ed per batch so the plan never grows
+    with stream length. The final merged state's rollup must hash-equal
+    the FULL-RECOMPUTE oracle over all documents — three chained
+    increments, each probing an index that already contains the previous
+    batches' survivors, land exactly on the rebuild end state.
+
+    Scale: per-batch text work is O(batch) (the incremental contract,
+    pinned by the batch-only-scan plan test); the carried state is the
+    sparse five-table skeleton, checkpoint-bounded per batch; at
+    warehouse scale the state lives as managed tables and the
+    foreachBatch body becomes ``corpus_incremental.run_increment``
+    (the MERGE-per-batch shape of ``streaming/windows.merge_sink``).
+
+    Reference parity: ingest_stocks.py:61-111 (incremental bronze
+    intake + MERGE) composed with the silver/gold increments as ONE
+    streaming loop; SURVEY §2 S6+/P3/J1 × the §2.9 streaming extension.
+    """
+    from personal_data_lakehouse_spark.corpus_incremental import (
+        CorpusState,
+        apply_increment,
+        state_rollup,
+    )
+    from personal_data_lakehouse_spark.streaming.windows import (
+        drain_stream_foreach,
+        source_fixture_dir,
+        stream_work_dir,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    thr = _inc_threshold(spark, sf_dir, docs)
+    base = docs.filter(F.col("doc_id") < thr)
+    batch_docs = docs.filter(F.col("doc_id") >= thr)
+
+    # the SAME materialized base state the incremental query reads —
+    # shared artifacts, zero extra manufacture
+    state0 = _materialized_base_state(spark, sf_dir, base)
+
+    # delta stream fixture: three ascending id-range files (mtime order
+    # = id order, the append-only delivery contract)
+    src, src_ready = source_fixture_dir("corpinc_stream_src", sf_dir)
+    doc_schema = (
+        "doc_id bigint, text string, lang string, n_chars bigint, "
+        "source string"
+    )
+    if not src_ready:
+        import glob
+        import os
+        import shutil
+
+        from pyspark.sql import Window
+
+        tagged = batch_docs.select(
+            "doc_id", "text", "lang", "n_chars", "source"
+        ).withColumn("b", F.ntile(3).over(Window.orderBy("doc_id")))
+        os.makedirs(src, exist_ok=True)
+        base_t = 1_600_000_000
+        for i in range(1, 4):
+            tmp = f"{src}__tmp{i}"
+            tagged.filter(F.col("b") == i).drop("b").coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(src, f"d{i}.parquet")
+            shutil.copyfile(part, dst)
+            os.utime(dst, (base_t + 60 * i, base_t + 60 * i))
+            shutil.rmtree(tmp, ignore_errors=True)
+        open(os.path.join(src, "_SUCCESS"), "w").close()
+
+    work = stream_work_dir("corpincstream")
+    carried = {"state": state0}
+
+    def process_batch(batch, _bid):
+        merged = apply_increment(carried["state"], batch)
+        # sever lineage per batch: an unbounded stream would otherwise
+        # grow every state frame's plan by one increment per batch
+        carried["state"] = CorpusState(
+            **{n: f.localCheckpoint() for n, f in merged.frames().items()}
+        )
+
+    stream = (
+        spark.readStream.schema(doc_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    drain_stream_foreach(stream, work, process_batch)
+    return state_rollup(carried["state"])
+
+
+def _inject_stream_corpus_oracle() -> None:
+    # base + the streamed deltas = all documents, and chained increments
+    # must land on the rebuild end state — the e2e full-recompute oracle,
+    # shared verbatim (three parity queries, one claim, zero drift)
+    REGISTRY["t_stream_corpus_increments"].oracle = REGISTRY[
+        "t_corpus_pipeline_e2e"
+    ].oracle
+
+
+_inject_stream_corpus_oracle()

@@ -145,6 +145,10 @@ _GOLDEN_NAMES = [
         "q_stream_semdedup_admit",
         "t_corpus_pipeline_incremental",
         "m_media_neardup",
+        # checkpoint-scan lineage: the carried state is localCheckpoint'ed
+        # per micro-batch, so the returned plan embeds RDD scan ids that
+        # change per run (the m_pagerank/t_dedup_clusters precedent)
+        "t_stream_corpus_increments",
     )
 ]
 

@@ -128,6 +128,8 @@ BUDGET: dict[str, dict[str, int]] = {
     # skeleton (the incremental run recomputes the thresholds — see the
     # query docstring's derived-decisions contract)
     "t_corpus_pipeline_incremental": {"bnlj": 1, "single_part": 1},
+    # same scalar pattern again, over the stream-carried state's rollup
+    "t_stream_corpus_increments": {"bnlj": 1, "single_part": 1},
     # Catalyst-injected runtime bloom-filter pushdown for the final
     # roster-labeling join (the t_semdedup_clusters precedent): a scalar
     # bloom_filter_agg build over media ids, not a data funnel.

@@ -164,6 +164,12 @@ def test_headline_exchange_budgets(spark):
         # labeling join; the Python decode (MapInPandas) sits inside the
         # cached relation, executed exactly once
         "m_media_neardup": 7,
+        # 27 textual = the final increment's derived-decision stages over
+        # the CHECKPOINTED carried state (closure label/size aggregates +
+        # label broadcast per consumer, rebalance count/min aggregates,
+        # packing window sort, final rollup) — the per-batch funnel ran
+        # inside foreachBatch; the checkpoint scans replace its lineage
+        "t_stream_corpus_increments": 27,
     }
     assert set(budget) == set(HEADLINE)
     for name, allowed in budget.items():

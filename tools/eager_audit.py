@@ -87,6 +87,10 @@ ALLOW: dict[str, int] = {
     # warm build = the empty decisions-sink seed write (one job); the
     # foreachBatch micro-batches run on stream threads (see note above)
     "q_stream_semdedup_admit_v2": 3,  # (1)
+    # the delta stream runs at build; its foreachBatch increments run on
+    # stream threads (not job-group-attributed, see note above) — the
+    # measured driver-thread jobs are the final rollup's closure build
+    "t_stream_corpus_increments": 8,  # (3)
     "q_stream_session_agg": 8,
     "q_stream_sliding_agg": 8,
     "q_stream_static_enrich": 8,
