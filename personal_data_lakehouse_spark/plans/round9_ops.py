@@ -835,12 +835,30 @@ def t_stream_corpus_increments(spark, sf_dir):
     carried = {"state": state0}
 
     def process_batch(batch, _bid):
+        from concurrent.futures import ThreadPoolExecutor
+
         merged = apply_increment(carried["state"], batch)
-        # sever lineage per batch: an unbounded stream would otherwise
-        # grow every state frame's plan by one increment per batch
-        carried["state"] = CorpusState(
-            **{n: f.localCheckpoint() for n, f in merged.frames().items()}
-        )
+        # Sever lineage per batch — an unbounded stream would otherwise
+        # grow every state frame's plan by one increment per batch — with
+        # the five EAGER checkpoints submitted CONCURRENTLY: serially
+        # they cost five job barriers (~3 s/batch measured at sf0.1);
+        # Spark's scheduler runs the five tiny jobs in parallel, so the
+        # wall cost is ~one barrier. (localCheckpoint(eager=False) was
+        # measured and rejected: it skips the barriers but leaves the
+        # LOGICAL plans untruncated until materialization, so per-batch
+        # Catalyst analysis grows with stream length — the exact failure
+        # the checkpoint exists to prevent.)
+        frames = merged.frames()
+        with ThreadPoolExecutor(len(frames)) as ex:
+            cps = dict(
+                zip(
+                    frames,
+                    ex.map(
+                        lambda f: f.localCheckpoint(), frames.values()
+                    ),
+                )
+            )
+        carried["state"] = CorpusState(**cps)
 
     stream = (
         spark.readStream.schema(doc_schema)
