@@ -1519,3 +1519,45 @@ def test_online_semdedup_sink_rerun_is_idempotent(spark, tmp_path):
     second = drain()
     assert second == first
     assert dict((r[0], r[1]) for r in first)[200] is False  # still rejected
+
+
+def test_file_stream_delivers_oldest_mtime_first(spark, tmp_path):
+    """The sequential-contract queries (q_stream_semdedup_admit_v2,
+    t_stream_corpus_increments) rely on the file source taking files in
+    MODIFICATION-TIME order under maxFilesPerTrigger — pin that engine
+    behavior directly: file NAMES are shuffled against the id order, so
+    only mtime can explain correct delivery."""
+    import os
+
+    from personal_data_lakehouse_spark.streaming.windows import (
+        drain_stream_foreach,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # names z/a/m deliberately anti-ordered vs ids 1/2/3; mtimes ascending
+    for name, val, ts in [("z", 1, 100), ("a", 2, 200), ("m", 3, 300)]:
+        d = str(tmp_path / f"w{name}")
+        spark.createDataFrame([(val,)], "v bigint").coalesce(1).write.parquet(
+            d
+        )
+        import glob
+        import shutil
+
+        part = glob.glob(os.path.join(d, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"{name}.parquet")
+        shutil.copyfile(part, dst)
+        os.utime(dst, (1_600_000_000 + ts,) * 2)
+
+    seen: list[tuple[int, list[int]]] = []
+
+    def pb(batch, bid):
+        seen.append((int(bid), sorted(r["v"] for r in batch.collect())))
+
+    stream = (
+        spark.readStream.schema("v bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    drain_stream_foreach(stream, str(tmp_path / "work"), pb)
+    assert [vals for _bid, vals in sorted(seen)] == [[1], [2], [3]], seen
