@@ -219,3 +219,28 @@ def test_sample_frames_uniform_stride_exact(spark):
     assert re_out == {
         (r["media_id"], r["sample_rank"]): r["frame_sha"] for r in out
     }
+
+
+def test_media_feature_vectors_known_payload(spark):
+    """The decode+downsample kernel on a hand-computable payload: bytes
+    0..N tiled into a w×h raster, sampled at ys[r]=(r·h)//g,
+    xs[c]=(c·w)//g — the exact index math the m_media_neardup oracle
+    replays in SQL, pinned here against a numpy-free reference."""
+    from personal_data_lakehouse_spark.multimodal.columns import (
+        media_feature_vectors,
+    )
+
+    w, h, g = 10, 6, 4
+    payload = bytes(range(17))  # tiles: raster[y][x] = (y*w + x) % 17
+    media = spark.createDataFrame(
+        [(1, "image/fake", w, h, payload)],
+        "media_id bigint, mime string, width int, height int, payload binary",
+    )
+    [row] = media_feature_vectors(media, grid=g).collect()
+    want = [
+        float(((r * h // g) * w + (c * w // g)) % 17)
+        for r in range(g)
+        for c in range(g)
+    ]
+    assert row["media_id"] == 1
+    assert list(row["fe"]) == want
