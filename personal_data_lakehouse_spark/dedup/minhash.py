@@ -58,11 +58,20 @@ def exploded_shingles(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 3,
+    distinct: bool = True,
 ) -> DataFrame:
-    """(id, s) — DISTINCT n-word shingles, one row each, fully codegen'd.
+    """(id, s) — n-word shingles, one row each, fully codegen'd.
 
     posexplode + window-lead instead of an array-lambda: every expression
     stays inside whole-stage codegen; the window shuffle is by doc id.
+
+    ``distinct=True`` (default) dedupes per (id, shingle) — a partial+final
+    HashAggregate pass over shingle TEXT (no extra Exchange: the window's
+    hash(id) partitioning already satisfies the (id, s) clustering). Callers
+    whose downstream aggregation is multiset-invariant (MIN per hash;
+    collect_set) pass ``distinct=False`` and skip that pass entirely
+    (``_banded_docs`` — measured 2.77 → 2.10 s on the sf0.1 LSH index
+    build, r9 VERDICT directive #6 → r10 directive #1).
     """
     toks = spread(df).select(
         F.col(id_col),
@@ -75,7 +84,8 @@ def exploded_shingles(
         F.concat_ws(" ", F.col("w"), *leads).alias("s"),
         leads[-1].isNotNull().alias("full"),
     )
-    return sh.filter(F.col("full")).select(id_col, "s").distinct()
+    sh = sh.filter(F.col("full")).select(id_col, "s")
+    return sh.distinct() if distinct else sh
 
 
 def shingle_sets(
@@ -137,7 +147,17 @@ def _banded_docs(
     incremental (batch×corpus) pair generators join on top of this —
     keeping the banding scheme in exactly one place."""
     rows = k // bands
-    ex = exploded_shingles(df, text_col, id_col, shingle_n)
+    # distinct=False + collect_set (r10, measured in r9's directive-6
+    # attribution): MIN over the shingle MULTISET equals MIN over the set,
+    # and collect_set dedupes inside this same aggregation, so dropping
+    # exploded_shingles' distinct removes the partial+final dedup
+    # HashAggregate pass over shingle TEXT with identical semantics (every
+    # shingles consumer does set arithmetic: array_intersect / array_union /
+    # array_distinct). No Exchange changes — the window's hash(id)
+    # partitioning already satisfied the (id, s) clustering, so the distinct
+    # was aggregation work, not a shuffle. Index build at sf0.1:
+    # 2.77 → 2.10 s; e2e corpus pipeline is ~65% index build.
+    ex = exploded_shingles(df, text_col, id_col, shingle_n, distinct=False)
     x = _base_hash(F.col("s"))
     p = F.lit(MERSENNE_P).cast("long")
     mins = [
@@ -146,7 +166,7 @@ def _banded_docs(
     ]
     docs = (
         ex.groupBy(id_col)
-        .agg(*mins, F.collect_list("s").alias("shingles"))
+        .agg(*mins, F.collect_set("s").alias("shingles"))
         # coalesce before persist: the cached plan keeps the aggregate's
         # shuffle partitioning (AQE cannot re-coalesce through the cache),
         # so every downstream consumer — band explode, pair join, the two
