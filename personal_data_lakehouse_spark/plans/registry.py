@@ -154,29 +154,44 @@ def oracle_double(name: str) -> str | None:
     return wrapped
 
 
-# Parquet schemas by (table path, mtime), discovered once per process:
-# without an explicit schema, EVERY spark.read.parquet(path) runs a
-# 1-task footer-inference job at PLAN-BUILD time (measured by
+# Parquet schemas by table path (validated by mtime), discovered once per
+# process: without an explicit schema, EVERY spark.read.parquet(path) runs
+# a 1-task footer-inference job at PLAN-BUILD time (measured by
 # tools/eager_audit.py — a uniform one-job construction floor across the
 # whole registry, ~400 scheduler round-trips per full sweep). Fixture
-# files are immutable per path in every shipped flow, but the cache key
-# carries the path's mtime anyway (r8 ADVICE): a test or tool that
+# files are immutable per path in every shipped flow, but the entry
+# stores the path's mtime anyway (r8 ADVICE): a test or tool that
 # regenerates a fixture at the same path mid-process gets a fresh
 # inference read instead of silently scanning with a stale schema. The
+# entry is REPLACED on mtime change (r9 ADVICE — keying the dict by
+# (path, mtime) stranded one dead entry per regeneration, monotonic
+# growth in a long-lived process that rewrites artifact dirs). The
 # stat() is driver-local and nanoseconds next to the job it replaces.
 # At 100 TB the same role is played by a catalog (metastore) schema.
-_TABLE_SCHEMA_CACHE: dict[tuple[str, float], object] = {}
+_TABLE_SCHEMA_CACHE: dict[str, tuple[float, object]] = {}
 
 
-def _schema_key(path: str) -> tuple[str, float]:
+def _path_mtime(path: str) -> float:
     import os
 
     try:
-        return (path, os.stat(path).st_mtime)
+        return os.stat(path).st_mtime
     except OSError:
         # path layouts stat() can't see (e.g. a glob or a remote URI):
-        # fall back to path-only keying — the r8 behavior
-        return (path, -1.0)
+        # a constant sentinel — such paths cache by path alone (the r8
+        # behavior)
+        return -1.0
+
+
+def _cached_schema(path: str) -> object | None:
+    ent = _TABLE_SCHEMA_CACHE.get(path)
+    if ent is not None and ent[0] == _path_mtime(path):
+        return ent[1]
+    return None
+
+
+def _store_schema(path: str, schema: object) -> None:
+    _TABLE_SCHEMA_CACHE[path] = (_path_mtime(path), schema)
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -198,11 +213,10 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # must be set before the FIRST (schema-discovering) read; with a
         # cached schema the flag still governs the scan's nanos handling
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        key = _schema_key(path)
-        schema = _TABLE_SCHEMA_CACHE.get(key)
+        schema = _cached_schema(path)
         if schema is None:
             df = spark.read.parquet(path)
-            _TABLE_SCHEMA_CACHE[key] = df.schema
+            _store_schema(path, df.schema)
         else:
             df = spark.read.schema(schema).parquet(path)
         ts_type = df.schema["ts"].dataType
@@ -211,28 +225,27 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if isinstance(ts_type, T.TimestampNTZType):
             return df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
-    key = _schema_key(path)
-    schema = _TABLE_SCHEMA_CACHE.get(key)
+    schema = _cached_schema(path)
     if schema is None:
         df = spark.read.parquet(path)
-        _TABLE_SCHEMA_CACHE[key] = df.schema
+        _store_schema(path, df.schema)
         return df
     return spark.read.schema(schema).parquet(path)
 
 
 def read_parquet_cached(spark: SparkSession, path: str) -> DataFrame:
-    """Read a parquet dir with the per-(path, mtime) cached schema.
+    """Read a parquet dir with the per-path (mtime-validated) cached schema.
 
     For in-query corpus artifacts (``source_fixture_dir`` materializations
     — semadmit cells/labels, the incremental-pipeline stage tables): the
     first read per process infers the schema (one 1-task job); every warm
-    invocation builds its plan with zero eager jobs. The mtime key makes a
-    re-written artifact dir re-infer instead of scanning stale."""
-    key = _schema_key(path)
-    schema = _TABLE_SCHEMA_CACHE.get(key)
+    invocation builds its plan with zero eager jobs. The mtime check makes
+    a re-written artifact dir re-infer (replacing the entry) instead of
+    scanning stale."""
+    schema = _cached_schema(path)
     if schema is None:
         df = spark.read.parquet(path)
-        _TABLE_SCHEMA_CACHE[key] = df.schema
+        _store_schema(path, df.schema)
         return df
     return spark.read.schema(schema).parquet(path)
 

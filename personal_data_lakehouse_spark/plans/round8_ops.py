@@ -91,14 +91,23 @@ def t_corpus_pipeline_e2e(spark, sf_dir):
     return pipeline_rollup(packed_docs(staged))
 
 
-def _inject_corpus_pipeline_oracle() -> None:
+def corpus_pipeline_oracle(
+    extra_ctes: str = "", edges_src: str = "edges"
+) -> str:
+    """The composed full-recompute corpus-pipeline oracle, parameterized
+    (r10) so the SEMANTIC variant (``plans/round10_ops``) extends the
+    SAME text instead of forking it: ``extra_ctes`` is spliced after the
+    lexical ``edges`` CTE (leading comma included by the caller), and
+    ``edges_src`` names the CTE the transitive closure consumes (the v2
+    pipeline points it at the lexical ∪ semantic union). Defaults
+    reproduce the r8 oracle shared by ``t_corpus_pipeline_e2e`` /
+    ``t_corpus_pipeline_incremental`` / ``t_stream_corpus_increments``."""
     from personal_data_lakehouse_spark.corpus import (
         LANGS,
         MIN_CHARS,
         MIN_TOKENS,
     )
     from personal_data_lakehouse_spark.plans.cluster_ops import _lsh_ctes
-    from personal_data_lakehouse_spark.plans.registry import REGISTRY
     from personal_data_lakehouse_spark.plans.text_ops import _NORM, _TOKS
 
     langs = ", ".join(f"'{lang}'" for lang in LANGS)
@@ -106,7 +115,7 @@ def _inject_corpus_pipeline_oracle() -> None:
     # runs them over the exact-deduped survivors
     lsh = _lsh_ctes().replace("FROM documents", "FROM exact_kept")
     coin = "substr(md5(CAST(d.doc_id AS VARCHAR) || '{salt}'), 1, 4)"
-    REGISTRY["t_corpus_pipeline_e2e"].oracle = f"""
+    return f"""
     WITH RECURSIVE
     base AS (
         SELECT doc_id, text, lang, source FROM documents
@@ -124,11 +133,11 @@ def _inject_corpus_pipeline_oracle() -> None:
         SELECT id_a, id_b FROM lsh_pairs
         WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
               / len(list_distinct(list_concat(sh_a, sh_b))) >= 0.5
-    ),
+    ),{extra_ctes}
     symm AS (
-        SELECT id_a AS a, id_b AS b FROM edges
+        SELECT id_a AS a, id_b AS b FROM {edges_src}
         UNION
-        SELECT id_b AS a, id_a AS b FROM edges
+        SELECT id_b AS a, id_a AS b FROM {edges_src}
     ),
     reach(rsrc, rdst) AS (
         SELECT doc_id, doc_id FROM exact_kept
@@ -180,6 +189,12 @@ def _inject_corpus_pipeline_oracle() -> None:
                          AS BIGINT)) AS BIGINT) AS id_fp
     FROM packed GROUP BY 1, 2
     """
+
+
+def _inject_corpus_pipeline_oracle() -> None:
+    from personal_data_lakehouse_spark.plans.registry import REGISTRY
+
+    REGISTRY["t_corpus_pipeline_e2e"].oracle = corpus_pipeline_oracle()
 
 
 _inject_corpus_pipeline_oracle()

@@ -782,7 +782,7 @@ def t_stream_corpus_increments(spark, sf_dir):
     """
     from personal_data_lakehouse_spark.corpus_incremental import (
         CorpusState,
-        apply_increment,
+        apply_increment_detailed,
         state_rollup,
     )
     from personal_data_lakehouse_spark.streaming.windows import (
@@ -837,7 +837,8 @@ def t_stream_corpus_increments(spark, sf_dir):
     def process_batch(batch, _bid):
         from concurrent.futures import ThreadPoolExecutor
 
-        merged = apply_increment(carried["state"], batch)
+        inc = apply_increment_detailed(carried["state"], batch)
+        merged = inc.state
         # Sever lineage per batch — an unbounded stream would otherwise
         # grow every state frame's plan by one increment per batch — with
         # the five EAGER checkpoints submitted CONCURRENTLY: serially
@@ -858,6 +859,11 @@ def t_stream_corpus_increments(spark, sf_dir):
                     ),
                 )
             )
+        # checkpoint barrier passed → lineage severed: release this
+        # batch's internal cache (the LSH doc aggregate) so executor
+        # storage stays bounded on an unbounded stream (r9 ADVICE —
+        # previously one cached frame accreted per micro-batch)
+        inc.release()
         carried["state"] = CorpusState(**cps)
 
     stream = (

@@ -149,6 +149,12 @@ _GOLDEN_NAMES = [
         # per micro-batch, so the returned plan embeds RDD scan ids that
         # change per run (the m_pagerank/t_dedup_clusters precedent)
         "t_stream_corpus_increments",
+        # r10: joins HEADLINE but stays golden-excluded — embeds the
+        # dedup_clusters closure AND scans seven per-PID state-artifact
+        # dirs (the t_corpus_pipeline_incremental precedent); pinned by
+        # the differential gate + plan lint + the batch-only-scan test
+        # (tests/test_corpus_incremental_v2.py) instead
+        "t_corpus_pipeline_incremental_v2",
     )
 ]
 

@@ -130,6 +130,14 @@ BUDGET: dict[str, dict[str, int]] = {
     "t_corpus_pipeline_incremental": {"bnlj": 1, "single_part": 1},
     # same scalar pattern again, over the stream-carried state's rollup
     "t_stream_corpus_increments": {"bnlj": 1, "single_part": 1},
+    # r10: the v2 (semantic-stage) pipelines inherit the identical
+    # rebalance_stage scalar pattern — one-row global-min agg
+    # (single_part) broadcast-cross-joined onto the |sources|-row counts
+    # (bnlj); the semantic additions themselves lint clean (broadcast
+    # HASH join on cell, sparse-edge union collected by the adaptive
+    # closure at plan build)
+    "t_corpus_pipeline_sem_e2e": {"bnlj": 1, "single_part": 1},
+    "t_corpus_pipeline_incremental_v2": {"bnlj": 1, "single_part": 1},
     # Catalyst-injected runtime bloom-filter pushdown for the final
     # roster-labeling join (the t_semdedup_clusters precedent): a scalar
     # bloom_filter_agg build over media ids, not a data funnel.

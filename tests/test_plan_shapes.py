@@ -158,6 +158,14 @@ def test_headline_exchange_budgets(spark):
         # per-batch work (assign, probe, greedy, append) ran inside
         # foreachBatch during the availableNow drain
         "q_stream_semdedup_admit_v2": 0,
+        # 57 textual — SAME count as the v1 incremental: the semantic
+        # stage's extra exchanges (batch cell window, stored-index probe,
+        # cells/sem_edges MERGE anti-joins, the edge-union distinct) all
+        # feed the sparse edge table, which the adaptive closure COLLECTS
+        # at plan build (driver union-find → broadcast LocalTableScan), so
+        # they execute eagerly and never print in the returned plan; the
+        # 57 that do print are the v1 lexical funnel + derived stages
+        "t_corpus_pipeline_incremental_v2": 57,
         # 7 textual = the feature-frame persist boundary re-printed per
         # consumer (codebook pick + pair self-join sides) + pair
         # aggregate + closure label/size aggregates + the final roster
