@@ -134,7 +134,14 @@ def corpus_pipeline_oracle(
         WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
               / len(list_distinct(list_concat(sh_a, sh_b))) >= 0.5
     ),{extra_ctes}
-    symm AS (
+    symm AS MATERIALIZED (
+        -- MATERIALIZED (r10; the r9 q_stream_semdedup_admit_v2 lesson):
+        -- DuckDB INLINES every non-recursive CTE the recursive term
+        -- references, re-executing its whole upstream once per
+        -- iteration. Harmless while the upstream was the cheap LSH edge
+        -- chain (~5 s at sf0.1), but the v2 variant's upstream includes
+        -- the semantic all-pairs cosine — measured 138 s inlined vs
+        -- seconds materialized at sf0.1. Identical results either way.
         SELECT id_a AS a, id_b AS b FROM {edges_src}
         UNION
         SELECT id_b AS a, id_a AS b FROM {edges_src}
