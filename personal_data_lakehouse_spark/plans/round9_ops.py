@@ -750,6 +750,50 @@ _inject_media_neardup_oracle()
 # Streaming corpus increments: the capstone pipeline as a LIVE DELTA STREAM
 
 
+def delta_stream_source(spark, sf_dir, batch_docs) -> tuple[str, str]:
+    """The delta stream fixture both stream-capstone queries consume:
+    the new-docs slice as THREE ascending id-range parquet files with
+    staggered mtimes (mtime order = id order, the append-only delivery
+    contract ``maxFilesPerTrigger=1`` replays). Manufactured once per
+    (sf, process) under the FIXTURE_GEN tag; returns (src_dir, the DDL
+    read schema). Shared by ``t_stream_corpus_increments`` (lexical v1)
+    and ``t_stream_corpus_increments_v2`` (semantic v2, round10_ops) so
+    the two parity claims replay the IDENTICAL delivery."""
+    from personal_data_lakehouse_spark.streaming.windows import (
+        source_fixture_dir,
+    )
+
+    src, src_ready = source_fixture_dir("corpinc_stream_src", sf_dir)
+    doc_schema = (
+        "doc_id bigint, text string, lang string, n_chars bigint, "
+        "source string"
+    )
+    if not src_ready:
+        import glob
+        import os
+        import shutil
+
+        from pyspark.sql import Window
+
+        tagged = batch_docs.select(
+            "doc_id", "text", "lang", "n_chars", "source"
+        ).withColumn("b", F.ntile(3).over(Window.orderBy("doc_id")))
+        os.makedirs(src, exist_ok=True)
+        base_t = 1_600_000_000
+        for i in range(1, 4):
+            tmp = f"{src}__tmp{i}"
+            tagged.filter(F.col("b") == i).drop("b").coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(src, f"d{i}.parquet")
+            shutil.copyfile(part, dst)
+            os.utime(dst, (base_t + 60 * i, base_t + 60 * i))
+            shutil.rmtree(tmp, ignore_errors=True)
+        open(os.path.join(src, "_SUCCESS"), "w").close()
+    return src, doc_schema
+
+
 @query("t_stream_corpus_increments", oracle=None)  # e2e oracle shared below
 def t_stream_corpus_increments(spark, sf_dir):
     """The corpus pipeline run as a LIVE STREAM OF DELTAS — the fusion of
@@ -787,7 +831,6 @@ def t_stream_corpus_increments(spark, sf_dir):
     )
     from personal_data_lakehouse_spark.streaming.windows import (
         drain_stream_foreach,
-        source_fixture_dir,
         stream_work_dir,
     )
 
@@ -800,37 +843,7 @@ def t_stream_corpus_increments(spark, sf_dir):
     # shared artifacts, zero extra manufacture
     state0 = _materialized_base_state(spark, sf_dir, base)
 
-    # delta stream fixture: three ascending id-range files (mtime order
-    # = id order, the append-only delivery contract)
-    src, src_ready = source_fixture_dir("corpinc_stream_src", sf_dir)
-    doc_schema = (
-        "doc_id bigint, text string, lang string, n_chars bigint, "
-        "source string"
-    )
-    if not src_ready:
-        import glob
-        import os
-        import shutil
-
-        from pyspark.sql import Window
-
-        tagged = batch_docs.select(
-            "doc_id", "text", "lang", "n_chars", "source"
-        ).withColumn("b", F.ntile(3).over(Window.orderBy("doc_id")))
-        os.makedirs(src, exist_ok=True)
-        base_t = 1_600_000_000
-        for i in range(1, 4):
-            tmp = f"{src}__tmp{i}"
-            tagged.filter(F.col("b") == i).drop("b").coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(tmp)
-            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-            dst = os.path.join(src, f"d{i}.parquet")
-            shutil.copyfile(part, dst)
-            os.utime(dst, (base_t + 60 * i, base_t + 60 * i))
-            shutil.rmtree(tmp, ignore_errors=True)
-        open(os.path.join(src, "_SUCCESS"), "w").close()
-
+    src, doc_schema = delta_stream_source(spark, sf_dir, batch_docs)
     work = stream_work_dir("corpincstream")
     carried = {"state": state0}
 
