@@ -64,13 +64,18 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # 50. Verified rows from earlier rounds stay credited, so the window ROTATES
 # each round to maximize cumulative driver-verified coverage.
 #
-# Round 10's window (per VERDICT r9 directives 1/2), arithmetic:
-#   (a) NEW in r10 — 2 additions (<= 10 cap): t_corpus_pipeline_
+# Round 10's window (per VERDICT r9 directives 1/2/4), arithmetic:
+#   (a) NEW in r10 — 4 additions (<= 10 cap): t_corpus_pipeline_
 #       incremental_v2 (VERDICT item 2: the SEMANTIC stage in the
 #       incremental corpus state — seven-table MERGE, stored cell-index
-#       probe, merged lexical∪semantic closure) and its full-recompute
+#       probe, merged lexical∪semantic closure), its full-recompute
 #       oracle-sibling t_corpus_pipeline_sem_e2e (one shared composed
-#       oracle, the r9 no-drift technique);
+#       oracle, the r9 no-drift technique), t_stream_corpus_increments_v2
+#       (the v2 capstone as a live delta stream — same shared oracle,
+#       completing the v1↔v2 batch/incremental/stream symmetry), and
+#       s_ivf_codebook_sweep (VERDICT item 4: the codebook-scaling story
+#       driver-hashed — the IVF assignment + pair generation at k=4 AND
+#       k=8 in one result);
 #   (b) plan changed in r10 — 13 re-proofs (VERDICT item 1: the measured
 #       _banded_docs optimization landed — collect_set without the
 #       exploded-shingles distinct, dedup/minhash.py): every registered
@@ -86,17 +91,19 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #       so they re-prove two changes at once); plus t_minhash_signatures
 #       out of caution (its minhash_signatures path kept the distinct —
 #       plan unchanged — but exploded_shingles' signature changed);
-#   (c) refill — 35 of the 36 remaining r7-latest rows (the oldest
+#   (c) refill — 33 of the 36 remaining r7-latest rows (the oldest
 #       evidence in the ledger), q_silver_cleaning FIRST (the benched-
 #       every-round headliner squeezed out of r9's window): after this
-#       window only ONE ledger row (q_cross_join — squeezed by the cap,
-#       rolls to the FRONT of the r11 queue) is older than r8.
-#   2 + 13 + 35 = 50 exactly.
+#       window THREE ledger rows (q_cross_join, m_binary_meta,
+#       m_frame_sample — squeezed by the cap when the two late r10
+#       additions took their slots, rolling to the FRONT of the r11
+#       queue) are older than r8.
+#   4 + 13 + 33 = 50 exactly.
 #
-#   The r11 QUEUE (precomputed): q_cross_join (the one remaining
-#   r7-latest row) + the r8-latest rows (43: q_histogram ..
-#   t_sample_stratified — see CORRECTNESS_r08 minus the r9/r10 windows),
-#   oldest-evidence-first.
+#   The r11 QUEUE (precomputed): q_cross_join, m_binary_meta,
+#   m_frame_sample (the three remaining r7-latest rows) + the r8-latest
+#   rows (43: q_histogram .. t_sample_stratified — see CORRECTNESS_r08
+#   minus the r9/r10 windows), oldest-evidence-first.
 #
 # Round 9's window (kept for the ledger; per VERDICT r8 items 1/2/3/5),
 # arithmetic:
@@ -187,6 +194,8 @@ _PRIORITY = [
     # (a) NEW in r10 — never driver-evaluated, outrank everything
     "t_corpus_pipeline_incremental_v2",
     "t_corpus_pipeline_sem_e2e",
+    "t_stream_corpus_increments_v2",
+    "s_ivf_codebook_sweep",
     # (b) plan changed in r10 — the _banded_docs collect_set optimization
     # re-proves every LSH indexing consumer (t_minhash_signatures out of
     # caution: its own path kept the distinct); the three pipeline
@@ -242,8 +251,6 @@ _PRIORITY = [
     "t_crossdoc_spans",
     "t_embed_neardup",
     "t_udtf_word_windows",
-    "m_binary_meta",
-    "m_frame_sample",
     # ---- 50-query window cap falls here exactly; the rest re-verify
     # only if the driver evaluates more than 50 ----
 ]

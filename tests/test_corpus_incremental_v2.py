@@ -307,3 +307,18 @@ def test_v2_incremental_plan_reads_only_batch_text_and_vectors(spark):
                 ), (name, line[:300])
     assert saw_doc_scan, "expected at least one batch-side documents scan"
     assert saw_emb_scan, "expected at least one embeddings scan"
+
+
+def test_v2_stream_increments_match_full_recompute(spark):
+    """The registered v2 STREAM query (three chained foreachBatch
+    increments over the checkpointed seven-table state) lands exactly on
+    the full-recompute sibling's rows — the Spark-side half of the
+    shared-oracle claim, pinned engine-vs-engine so a stream-specific
+    regression (checkpoint reconstruction, delivery order, per-batch
+    probe) fails here without needing the differential driver."""
+    import __spark_entry__  # noqa: F401 — registers round10_ops
+    from personal_data_lakehouse_spark.plans.registry import REGISTRY
+
+    streamed = REGISTRY["t_stream_corpus_increments_v2"].fn(spark, SF_DIR)
+    rebuilt = REGISTRY["t_corpus_pipeline_sem_e2e"].fn(spark, SF_DIR)
+    assert _rows(streamed) == _rows(rebuilt)

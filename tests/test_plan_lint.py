@@ -138,6 +138,14 @@ BUDGET: dict[str, dict[str, int]] = {
     # closure at plan build)
     "t_corpus_pipeline_sem_e2e": {"bnlj": 1, "single_part": 1},
     "t_corpus_pipeline_incremental_v2": {"bnlj": 1, "single_part": 1},
+    # same scalar pattern once more, over the v2 stream-carried state's
+    # rollup (the per-batch funnel runs inside foreachBatch and never
+    # prints in the returned plan — the t_stream_corpus_increments shape)
+    "t_stream_corpus_increments_v2": {"bnlj": 1, "single_part": 1},
+    # two textual prints per swept k (the t_embed_neardup precedent:
+    # the persisted cell frame's broadcast-codebook crossJoin re-prints
+    # per self-join reference while EXECUTING once per k) × 2 ks
+    "s_ivf_codebook_sweep": {"bnlj": 4},
     # Catalyst-injected runtime bloom-filter pushdown for the final
     # roster-labeling join (the t_semdedup_clusters precedent): a scalar
     # bloom_filter_agg build over media ids, not a data funnel.

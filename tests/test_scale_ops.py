@@ -170,3 +170,18 @@ def test_ivf_pair_work_scales_inversely_with_codebook_size(spark):
     p2 = pair_count([0, 1])
     # balanced cells: pairs ≈ N²/2k — quadrupling k cuts pair work ~4×
     assert p8 * 2 < p2, (p8, p2)
+
+
+def test_codebook_sweep_pairs_shrink_with_k_on_fixture(spark):
+    """The registered driver-gate sweep must exhibit the scaling it
+    documents on the real fixture: doubling the codebook from k=4 to
+    k=8 strictly shrinks the cell-local candidate pair count."""
+    import __spark_entry__  # noqa: F401 — registers round10_ops
+    from personal_data_lakehouse_spark.plans.registry import REGISTRY
+
+    rows = {
+        r["k"]: r["cand_pairs"]
+        for r in REGISTRY["s_ivf_codebook_sweep"].fn(spark, SF_DIR).collect()
+    }
+    assert set(rows) == {4, 8}
+    assert rows[8] < rows[4], rows
