@@ -311,6 +311,43 @@ def incremental_vs_rebuild(spark, sf_dir: str) -> dict:
     )
     rebuild_sec = time.perf_counter() - t0
 
+    # ---- v2 (r10): the SAME contract over the seven-table semantic
+    # state — the increment's extra terms are batch-only cell assignment
+    # + stored-index probes, the rebuild's are corpus-wide embed+pair;
+    # the deterministic vector terms (vec_rows_*) scale exactly like the
+    # text terms (the v2 plan pins both batch-side scans).
+    from personal_data_lakehouse_spark.corpus_incremental import (
+        apply_increment_v2_detailed,
+        build_state_v2_detailed,
+    )
+    from personal_data_lakehouse_spark.plans.round10_ops import (
+        _materialized_base_state_v2,
+    )
+    from personal_data_lakehouse_spark.plans.similarity_ops import (
+        _CENTROID_IDS,
+    )
+    from personal_data_lakehouse_spark.similarity.ivf import pick_centroids
+
+    emb = t_(spark, sf_dir, "embeddings")
+    cents = pick_centroids(emb, _CENTROID_IDS)
+    n_emb = emb.count()
+    emb_batch = emb.filter(F.col("vec_id") >= thr)
+    n_emb_batch = emb_batch.count()
+    state2 = _materialized_base_state_v2(spark, sf_dir, base)
+
+    t0 = time.perf_counter()
+    inc2_jobs = _materialize(
+        "inc_vs_rebuild:inc2",
+        apply_increment_v2_detailed(state2, batch, emb_batch, cents),
+    )
+    inc2_sec = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    rebuild2_jobs = _materialize(
+        "inc_vs_rebuild:rebuild2", build_state_v2_detailed(docs, emb, cents)
+    )
+    rebuild2_sec = time.perf_counter() - t0
+
     return {
         "increment_sec": round(inc_sec, 3),
         "rebuild_sec": round(rebuild_sec, 3),
@@ -321,6 +358,15 @@ def incremental_vs_rebuild(spark, sf_dir: str) -> dict:
         "text_rows_rebuild": n_docs,
         "jobs_increment": inc_jobs,
         "jobs_rebuild": rebuild_jobs,
+        "v2": {
+            "increment_sec": round(inc2_sec, 3),
+            "rebuild_sec": round(rebuild2_sec, 3),
+            "wall_ratio": round(inc2_sec / rebuild2_sec, 3),
+            "vec_rows_increment": n_emb_batch,
+            "vec_rows_rebuild": n_emb,
+            "jobs_increment": inc2_jobs,
+            "jobs_rebuild": rebuild2_jobs,
+        },
     }
 
 
@@ -470,7 +516,9 @@ def main() -> None:
             "incremental_vs_rebuild's docstring + SCALE.md 12i: wall "
             "ratio ~1 at fixture scale is the eager-job floor — 26 vs "
             "17 jobs; the scale terms are the deterministic "
-            "text_rows_*/jobs_* fields). import_sec is "
+            "text_rows_*/jobs_* fields; .v2 is the same contract over "
+            "the seven-table semantic state, vec_rows_* its vector "
+            "terms). import_sec is "
             "the one-time registry import + queries() build. Quiet-box "
             "r4 reference: 12.1s warm / 23.1s cold (baseline17). "
             "Measured 2026-08-14 (8 certified runs, identical code): "

@@ -454,7 +454,20 @@ def build_state_v2(
     state plus the semantic cell index and base×base semantic edges over
     the exact-kept survivors. The cell index is persisted (coalesce-first
     idiom) because the edge self-join consumes it twice and the state
-    returns it once more."""
+    returns it once more. Callers that materialize-and-move-on (bench,
+    state loops) should use ``build_state_v2_detailed`` and ``release()``
+    the build's internal persists after their checkpoint barrier."""
+    return build_state_v2_detailed(docs, emb, cents).state  # type: ignore[return-value]
+
+
+def build_state_v2_detailed(
+    docs: DataFrame, emb: DataFrame, cents: DataFrame
+) -> IncrementResult:
+    """``build_state_v2`` plus the detailed contract: ``persisted``
+    carries the lexical build's internal caches AND the cell index, all
+    releasable once the caller has materialized (checkpointed/written)
+    the state — without it a build-then-discard loop accretes one cached
+    cell frame per rebuild (the r9 ADVICE class of leak)."""
     built = build_state_detailed(docs)
     npart = docs.sparkSession.sparkContext.defaultParallelism
     cells = (
@@ -462,10 +475,15 @@ def build_state_v2(
         .coalesce(npart)
         .persist()
     )
-    return CorpusStateV2(
+    state = CorpusStateV2(
         lex=built.state,
         cells=cells,
         sem_edges=_sem_pairs(cells, cells),
+    )
+    return IncrementResult(
+        state=state,  # type: ignore[arg-type]
+        batch_kept=built.batch_kept,
+        persisted=built.persisted + [cells],
     )
 
 
