@@ -72,10 +72,12 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #       oracle-sibling t_corpus_pipeline_sem_e2e (one shared composed
 #       oracle, the r9 no-drift technique), t_stream_corpus_increments_v2
 #       (the v2 capstone as a live delta stream — same shared oracle,
-#       completing the v1↔v2 batch/incremental/stream symmetry), and
+#       completing the v1↔v2 batch/incremental/stream symmetry),
 #       s_ivf_codebook_sweep (VERDICT item 4: the codebook-scaling story
 #       driver-hashed — the IVF assignment + pair generation at k=4 AND
-#       k=8 in one result);
+#       k=8 in one result), and s_ivf_auto_codebook (the k ∝ √N rule as
+#       an OPERATOR: k = ceil(sqrt(N)) is in the hashed output, so the
+#       gate runs a genuinely different codebook per SF);
 #   (b) plan changed in r10 — 13 re-proofs (VERDICT item 1: the measured
 #       _banded_docs optimization landed — collect_set without the
 #       exploded-shingles distinct, dedup/minhash.py): every registered
@@ -91,19 +93,19 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #       so they re-prove two changes at once); plus t_minhash_signatures
 #       out of caution (its minhash_signatures path kept the distinct —
 #       plan unchanged — but exploded_shingles' signature changed);
-#   (c) refill — 33 of the 36 remaining r7-latest rows (the oldest
+#   (c) refill — 32 of the 36 remaining r7-latest rows (the oldest
 #       evidence in the ledger), q_silver_cleaning FIRST (the benched-
 #       every-round headliner squeezed out of r9's window): after this
-#       window THREE ledger rows (q_cross_join, m_binary_meta,
-#       m_frame_sample — squeezed by the cap when the two late r10
-#       additions took their slots, rolling to the FRONT of the r11
-#       queue) are older than r8.
-#   4 + 13 + 33 = 50 exactly.
+#       window FOUR ledger rows (q_cross_join, t_udtf_word_windows,
+#       m_binary_meta, m_frame_sample — squeezed by the cap when the
+#       three late r10 additions took their slots, rolling to the FRONT
+#       of the r11 queue) are older than r8.
+#   5 + 13 + 32 = 50 exactly.
 #
-#   The r11 QUEUE (precomputed): q_cross_join, m_binary_meta,
-#   m_frame_sample (the three remaining r7-latest rows) + the r8-latest
-#   rows (43: q_histogram .. t_sample_stratified — see CORRECTNESS_r08
-#   minus the r9/r10 windows), oldest-evidence-first.
+#   The r11 QUEUE (precomputed): q_cross_join, t_udtf_word_windows,
+#   m_binary_meta, m_frame_sample (the four remaining r7-latest rows) +
+#   the r8-latest rows (43: q_histogram .. t_sample_stratified — see
+#   CORRECTNESS_r08 minus the r9/r10 windows), oldest-evidence-first.
 #
 # Round 9's window (kept for the ledger; per VERDICT r8 items 1/2/3/5),
 # arithmetic:
@@ -196,6 +198,7 @@ _PRIORITY = [
     "t_corpus_pipeline_sem_e2e",
     "t_stream_corpus_increments_v2",
     "s_ivf_codebook_sweep",
+    "s_ivf_auto_codebook",
     # (b) plan changed in r10 — the _banded_docs collect_set optimization
     # re-proves every LSH indexing consumer (t_minhash_signatures out of
     # caution: its own path kept the distinct); the three pipeline
@@ -250,7 +253,6 @@ _PRIORITY = [
     "s_knn_incremental",
     "t_crossdoc_spans",
     "t_embed_neardup",
-    "t_udtf_word_windows",
     # ---- 50-query window cap falls here exactly; the rest re-verify
     # only if the driver evaluates more than 50 ----
 ]

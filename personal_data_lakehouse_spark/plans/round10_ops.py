@@ -483,3 +483,106 @@ def s_ivf_codebook_sweep(spark, sf_dir):
         )
         .orderBy("k")
     )
+
+
+# ---------------------------------------------------------------------------
+# The k ∝ √N rule as an operator: the codebook AUTO-SIZES with the corpus
+
+_AUTO_CB_CACHE: dict[str, tuple[int, list[int]]] = {}
+
+
+def _auto_codebook_oracle() -> str:
+    """DuckDB replay of ``similarity.ivf.auto_codebook`` + the blocked
+    pair generation: k = ceil(sqrt(N)) (both engines' sqrt is the IEEE
+    correctly-rounded double of an exact integer — identical), codebook
+    = the k lowest candidate ids via ROW_NUMBER (DuckDB's LIMIT takes no
+    lateral parameter), then the standard assignment/pair CTEs."""
+    from personal_data_lakehouse_spark.plans.similarity_ops import (
+        _N_QUERIES,
+        _NEARDUP_THRESHOLD,
+        _cos,
+    )
+
+    return f"""
+    WITH cand AS (SELECT vec_id, embedding AS e FROM embeddings
+                  WHERE vec_id >= {_N_QUERIES}),
+         kk AS (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS k
+                FROM cand),
+         cents AS (SELECT vec_id AS cid, e AS ce FROM (
+                       SELECT vec_id, e,
+                              ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+                       FROM cand)
+                   WHERE rn <= (SELECT k FROM kk)),
+         cells AS (SELECT vec_id, e, cid AS cell FROM (
+                       SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                           ORDER BY csim DESC, cid) AS crnk
+                       FROM (SELECT c.vec_id, c.e, n.cid,
+                                    {_cos('c.e', 'n.ce')} AS csim
+                             FROM cand c, cents n))
+                   WHERE crnk = 1),
+         pairs AS (SELECT ROUND({_cos('a.e', 'b.e')}, 6) AS sim
+                   FROM cells a JOIN cells b
+                     ON a.cell = b.cell AND a.vec_id < b.vec_id)
+    SELECT (SELECT k FROM kk) AS k, COUNT(*) AS cand_pairs,
+           CAST(SUM(CASE WHEN sim >= {_NEARDUP_THRESHOLD} THEN 1 ELSE 0
+                    END) AS BIGINT) AS verified_pairs
+    FROM pairs
+    """
+
+
+@query("s_ivf_auto_codebook", oracle=_auto_codebook_oracle())
+def s_ivf_auto_codebook(spark, sf_dir):
+    """IVF near-dup pair generation under an AUTO-SIZED codebook
+    (``similarity.ivf.auto_codebook``: k = ceil(sqrt(N)), the k ∝ √N
+    deployment rule as an operator) — k itself is in the hashed output,
+    so the SAME registered query runs with a GENUINELY DIFFERENT
+    codebook as the corpus grows (k = 23 over the 492-candidate
+    sf0.001/0.01 embeddings, 45 over sf0.1's 1992): the differential
+    gate exercises "k grows with the corpus" end-to-end rather than
+    trusting the parameter plumbing.
+
+    Scale: the auto-sizing is one O(1) count + one O(k) collect at plan
+    build (the watermark/codebook scalar envelope); assignment is
+    map-side against the broadcast k-row codebook; pair work is
+    Σ|cell|² ~ N^1.5 under balanced cells — the blow-up a fixed-k
+    deployment suffers is exactly what this operator removes.
+
+    Reference parity: engine-internal (the reference delegates
+    similarity to its warehouse); SURVEY §2 similarity extension.
+    """
+    from personal_data_lakehouse_spark.plans.similarity_ops import (
+        _N_QUERIES,
+        _NEARDUP_THRESHOLD,
+    )
+    from personal_data_lakehouse_spark.similarity.ivf import (
+        auto_codebook,
+        ivf_blocked_neardup,
+        pick_centroids,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    cand = emb.filter(F.col("vec_id") >= _N_QUERIES)
+    # the two scalar jobs (count + O(k) id collect) run once per
+    # (sf_dir, process) — the _inc_threshold caching precedent
+    if sf_dir not in _AUTO_CB_CACHE:
+        k, cents = auto_codebook(cand)
+        _AUTO_CB_CACHE[sf_dir] = (
+            k,
+            [r[0] for r in cents.select("cid").collect()],
+        )
+    k, ids = _AUTO_CB_CACHE[sf_dir]
+    cents = pick_centroids(emb, ids)
+    return (
+        ivf_blocked_neardup(cand, cents, threshold=-1.0)
+        .agg(
+            F.count(F.lit(1)).alias("cand_pairs"),
+            F.sum(
+                F.when(
+                    F.col("cosine") >= F.lit(_NEARDUP_THRESHOLD), 1
+                ).otherwise(0)
+            ).alias("verified_pairs"),
+        )
+        .select(
+            F.lit(k).cast("long").alias("k"), "cand_pairs", "verified_pairs"
+        )
+    )

@@ -146,6 +146,9 @@ BUDGET: dict[str, dict[str, int]] = {
     # the persisted cell frame's broadcast-codebook crossJoin re-prints
     # per self-join reference while EXECUTING once per k) × 2 ks
     "s_ivf_codebook_sweep": {"bnlj": 4},
+    # one ivf_blocked_neardup call (bnlj × 2, t_embed_neardup precedent)
+    # feeding a ONE-row global aggregate (single_part)
+    "s_ivf_auto_codebook": {"bnlj": 2, "single_part": 1},
     # Catalyst-injected runtime bloom-filter pushdown for the final
     # roster-labeling join (the t_semdedup_clusters precedent): a scalar
     # bloom_filter_agg build over media ids, not a data funnel.
