@@ -656,3 +656,72 @@ def run_increment(
         )
         counts[name] = spark.read.table(f"{namespace}.{name}").count()
     return counts
+
+
+def init_state_tables_v2(
+    spark: SparkSession,
+    base_docs: DataFrame,
+    emb: DataFrame,
+    cents: DataFrame,
+    namespace: str = "corpus_inc2",
+) -> None:
+    """Materialize the v2 (semantic) base state as SEVEN managed stage
+    tables under ``namespace`` — the production backfill for a
+    SemDeDup-in-the-funnel deployment."""
+    import re
+
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", namespace):
+        raise ValueError(f"invalid namespace {namespace!r}")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {namespace}")
+    built = build_state_v2_detailed(base_docs, emb, cents)
+    for name, frame in built.state.frames().items():
+        frame.write.mode("overwrite").saveAsTable(f"{namespace}.{name}")
+    built.release()  # tables written: drop the backfill's internal caches
+
+
+def run_increment_v2(
+    spark: SparkSession,
+    batch_docs: DataFrame,
+    emb: DataFrame,
+    cents: DataFrame,
+    namespace: str = "corpus_inc2",
+) -> dict[str, int]:
+    """MERGE one batch through the LEXICAL AND SEMANTIC funnel into the
+    seven persisted stage tables and return the per-table row counts —
+    ``run_increment``'s v2 sibling, completing the managed-table flavor
+    of the semantic state (batch / incremental / stream / warehouse, the
+    same four shapes the lexical state ships).
+
+    Same envelope as v1 (see ``run_increment``'s docstring for the
+    lineage-severing and cache-invalidation contract, which applies
+    verbatim): the merged frames are localCheckpoint'ed BEFORE any table
+    swap, the increment's internal persists (batch LSH doc aggregate +
+    batch cell index) release after that barrier, and with Delta on the
+    classpath ``merge_into_table`` runs the native transactional MERGE.
+    Idempotent: a replayed batch's fingerprints are all in the ledger,
+    so no table — including cells/sem_edges — gains rows."""
+    state = CorpusStateV2(
+        lex=CorpusState(
+            **{n: spark.read.table(f"{namespace}.{n}") for n in STATE_KEYS}
+        ),
+        cells=spark.read.table(f"{namespace}.cells"),
+        sem_edges=spark.read.table(f"{namespace}.sem_edges"),
+    )
+    inc = apply_increment_v2_detailed(state, batch_docs, emb, cents)
+    from personal_data_lakehouse_spark.operators.merge import merge_into_table
+
+    frames = {
+        n: f.localCheckpoint() for n, f in inc.state.frames().items()
+    }
+    inc.release()  # checkpoint barrier passed: drop this run's caches
+    counts: dict[str, int] = {}
+    for name, frame in frames.items():
+        merge_into_table(
+            spark,
+            f"{namespace}.{name}",
+            frame,
+            STATE_KEYS_V2[name],
+            insert_only=True,
+        )
+        counts[name] = spark.read.table(f"{namespace}.{name}").count()
+    return counts

@@ -322,3 +322,50 @@ def test_v2_stream_increments_match_full_recompute(spark):
     streamed = REGISTRY["t_stream_corpus_increments_v2"].fn(spark, SF_DIR)
     rebuilt = REGISTRY["t_corpus_pipeline_sem_e2e"].fn(spark, SF_DIR)
     assert _rows(streamed) == _rows(rebuilt)
+
+
+def test_v2_managed_table_increment_and_replay(spark):
+    """The warehouse flavor of the SEMANTIC state: init the seven base
+    tables, MERGE one increment, check the rollup equals the full v2
+    recompute; replay the batch and check every stage table — including
+    cells and sem_edges — is row-identical (insert-only MERGE found
+    nothing new)."""
+    from personal_data_lakehouse_spark.corpus_incremental import (
+        STATE_KEYS,
+        CorpusState,
+        CorpusStateV2,
+        init_state_tables_v2,
+        run_increment_v2,
+    )
+
+    base, batch, docs, emb, cents = _fixture(spark, 400)
+    emb_batch = emb.filter(F.col("vec_id") >= 400)
+    init_state_tables_v2(spark, base, emb, cents, namespace="corpinc2_t")
+    counts1 = run_increment_v2(
+        spark, batch, emb_batch, cents, namespace="corpinc2_t"
+    )
+
+    def tables():
+        return CorpusStateV2(
+            lex=CorpusState(
+                **{
+                    n: spark.read.table(f"corpinc2_t.{n}")
+                    for n in STATE_KEYS
+                }
+            ),
+            cells=spark.read.table("corpinc2_t.cells"),
+            sem_edges=spark.read.table("corpinc2_t.sem_edges"),
+        )
+
+    rebuild = build_state_v2(docs, emb, cents)
+    assert _rows(state_rollup_v2(tables())) == _rows(
+        state_rollup_v2(rebuild)
+    )
+
+    before = {n: _rows(f) for n, f in tables().frames().items()}
+    counts2 = run_increment_v2(
+        spark, batch, emb_batch, cents, namespace="corpinc2_t"
+    )
+    assert counts2 == counts1
+    after = {n: _rows(f) for n, f in tables().frames().items()}
+    assert after == before
