@@ -287,8 +287,9 @@ def t_stream_corpus_increments_v2(spark, sf_dir):
     vectors are probe-side stored rows, touched once per document
     lifetime); the carried state is the sparse seven-table skeleton,
     checkpoint-bounded per batch; at warehouse scale the state lives as
-    managed tables and the body becomes ``run_increment`` over
-    ``STATE_KEYS_V2``. The batch's vectors arrive WITH the batch in
+    managed tables and the body becomes
+    ``corpus_incremental.run_increment_v2`` (the MERGE-per-batch shape,
+    replay-idempotent). The batch's vectors arrive WITH the batch in
     production; here the shared embeddings fixture stands in,
     pre-filtered at plan time to the delta id range (parquet-pruned) —
     ``_doc_cells``'s join to the batch's exact-kept survivors then
