@@ -70,6 +70,12 @@ ALLOW: dict[str, int] = {
     # the merged edge table (adjacency checkpoint + bounded collect),
     # plus the O(1) threshold agg on the first build of a process
     "t_corpus_pipeline_incremental": 16,  # (13)
+    # r10 v2 (semantic) family: the same closure-family build jobs, now
+    # over the merged lexical∪semantic edge table, plus the semantic
+    # edge-union the adaptive closure collects at build; the incremental
+    # flavor adds the stored-index probe materializations
+    "t_corpus_pipeline_sem_e2e": 14,  # (11)
+    "t_corpus_pipeline_incremental_v2": 20,  # (17)
     # closure consumer over media-feature pairs (adjacency checkpoint +
     # bounded collect); the Python decode itself is lazy (persist
     # materializes at consumption)
@@ -91,6 +97,9 @@ ALLOW: dict[str, int] = {
     # stream threads (not job-group-attributed, see note above) — the
     # measured driver-thread jobs are the final rollup's closure build
     "t_stream_corpus_increments": 8,  # (3)
+    # the v2 sibling: same delta stream at build (stream threads escape
+    # attribution), driver-thread jobs are the v2 rollup's closure build
+    "t_stream_corpus_increments_v2": 8,  # (4)
     "q_stream_session_agg": 8,
     "q_stream_sliding_agg": 8,
     "q_stream_static_enrich": 8,
