@@ -135,6 +135,11 @@ HEADLINE = R1_BASELINE + [
     # t_semdedup_clusters) — and the r9 cold-plan watch item argues for
     # restraint in headline growth.
     "t_corpus_pipeline_incremental_v2",
+    # late round-10 addition: the AUTO-SIZED codebook near-dup — the
+    # k ∝ √N deployment rule as a benched data point (k=45 over sf0.1's
+    # 1992 candidates vs the fixed k=8 the other IVF headliners run):
+    # the larger-codebook bench point VERDICT r9 item 4 asked for.
+    "s_ivf_auto_codebook",
 ]
 
 # A warm triple spreading beyond this max/min ratio triggers automatic

@@ -166,6 +166,11 @@ def test_headline_exchange_budgets(spark):
         # they execute eagerly and never print in the returned plan; the
         # 57 that do print are the v1 lexical funnel + derived stages
         "t_corpus_pipeline_incremental_v2": 57,
+        # 7 textual = the persisted cell frame's assignment-window
+        # exchange re-printed per self-join reference (the
+        # t_embed_neardup pattern) + the pair-stage shuffle + the
+        # single-partition global aggregate's exchange
+        "s_ivf_auto_codebook": 7,
         # 7 textual = the feature-frame persist boundary re-printed per
         # consumer (codebook pick + pair self-join sides) + pair
         # aggregate + closure label/size aggregates + the final roster
