@@ -489,7 +489,7 @@ def s_ivf_codebook_sweep(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # The k ∝ √N rule as an operator: the codebook AUTO-SIZES with the corpus
 
-_AUTO_CB_CACHE: dict[str, tuple[int, list[int]]] = {}
+_AUTO_CB_CACHE: dict[str, tuple[float, int, list[int]]] = {}
 
 
 def _auto_codebook_oracle() -> str:
@@ -555,6 +555,7 @@ def s_ivf_auto_codebook(spark, sf_dir):
         _N_QUERIES,
         _NEARDUP_THRESHOLD,
     )
+    from personal_data_lakehouse_spark.plans import registry
     from personal_data_lakehouse_spark.similarity.ivf import (
         auto_codebook,
         ivf_blocked_neardup,
@@ -564,14 +565,19 @@ def s_ivf_auto_codebook(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     cand = emb.filter(F.col("vec_id") >= _N_QUERIES)
     # the two scalar jobs (count + O(k) id collect) run once per
-    # (sf_dir, process) — the _inc_threshold caching precedent
-    if sf_dir not in _AUTO_CB_CACHE:
+    # (sf_dir, process) — the _inc_threshold caching precedent, with
+    # the entry mtime-validated and REPLACED on change like the registry
+    # schema cache (r9 ADVICE class: a regenerated fixture at the same
+    # path must not serve a stale k/codebook)
+    mt = registry._path_mtime(f"{sf_dir}/embeddings.parquet")
+    if _AUTO_CB_CACHE.get(sf_dir, (None,))[0] != mt:
         k, cents = auto_codebook(cand)
         _AUTO_CB_CACHE[sf_dir] = (
+            mt,
             k,
             [r[0] for r in cents.select("cid").collect()],
         )
-    k, ids = _AUTO_CB_CACHE[sf_dir]
+    _, k, ids = _AUTO_CB_CACHE[sf_dir]
     cents = pick_centroids(emb, ids)
     return (
         ivf_blocked_neardup(cand, cents, threshold=-1.0)
