@@ -97,14 +97,21 @@ def t_corpus_pipeline_sem_e2e(spark, sf_dir):
 _V2_STATE_NAMES = ("cells", "sem_edges")
 
 
-def _materialized_base_state_v2(spark, sf_dir, base_docs):
+def _materialized_base_state_v2(
+    spark, sf_dir, base_docs, tag="corpinc2", lex_tag="corpinc"
+):
     """The SEVEN stage tables of the v2 base state: the five lexical
     artifacts are SHARED with ``t_corpus_pipeline_incremental`` (same
     split, same build — ``round9_ops._materialized_base_state``); the two
     semantic artifacts derive from the materialized lexical state's
     skeleton ids + the embeddings table (no text re-read), the honesty
     split as ever — production keeps exactly these on disk between
-    increments, so warm invocations time the INCREMENT."""
+    increments, so warm invocations time the INCREMENT.
+
+    *tag*/*lex_tag* namespace the artifact dirs for callers building a
+    DIFFERENT base split (bench.py's loaded-v2 measurement, r11) — the
+    registry queries' canonical 80/20 artifacts must never be served to
+    a caller that asked for another split."""
     from personal_data_lakehouse_spark.corpus_incremental import (
         CorpusStateV2,
         _doc_cells,
@@ -118,13 +125,15 @@ def _materialized_base_state_v2(spark, sf_dir, base_docs):
         source_fixture_dir,
     )
 
-    lex = round9_ops._materialized_base_state(spark, sf_dir, base_docs)
+    lex = round9_ops._materialized_base_state(
+        spark, sf_dir, base_docs, tag=lex_tag
+    )
     emb = t(spark, sf_dir, "embeddings")
     cents = pick_centroids(emb, _CENTROID_IDS)
     dirs: dict[str, str] = {}
     missing: list[str] = []
     for n in _V2_STATE_NAMES:
-        d, ready = source_fixture_dir(f"corpinc2_{n}", sf_dir)
+        d, ready = source_fixture_dir(f"{tag}_{n}", sf_dir)
         dirs[n] = d
         if not ready:
             missing.append(n)
@@ -384,6 +393,24 @@ _inject_stream_sem_oracle()
 
 _SWEEP_KS = (4, 8)
 
+# Replace-on-rebuild release ledger for the cell indexes the two codebook
+# queries persist via ivf_blocked_neardup_detailed (r10 ADVICE): a plan's
+# internal persist can't release before the CALLER materializes the
+# result, so each (query, sf_dir) slot unpersists the PREVIOUS
+# invocation's — already consumed — cell frames when a new plan is built.
+# Bounded: at most one invocation's frames live per slot, even in a
+# driver that never clearCaches.
+_LIVE_CELLS: dict[str, list] = {}
+
+
+def _swap_live_cells(slot: str, frames: list) -> None:
+    for f in _LIVE_CELLS.pop(slot, []):
+        try:
+            f.unpersist()
+        except Exception:
+            pass
+    _LIVE_CELLS[slot] = frames
+
 
 def _codebook_sweep_oracle() -> str:
     """Per-k replay of the ``_CELLS_SQL`` assignment + cell-local pair
@@ -455,21 +482,25 @@ def s_ivf_codebook_sweep(spark, sf_dir):
         _NEARDUP_THRESHOLD,
     )
     from personal_data_lakehouse_spark.similarity.ivf import (
-        ivf_blocked_neardup,
+        ivf_blocked_neardup_detailed,
         pick_centroids,
     )
 
     emb = t(spark, sf_dir, "embeddings")
     cand = emb.filter(F.col("vec_id") >= _N_QUERIES)
-    per_k = [
+    per_k, cell_frames = [], []
+    for k in _SWEEP_KS:
         # threshold=-1 keeps every cell-local pair (cosine ≥ −1 always),
         # exposing the candidate set; the operator's own persist makes
         # each k's assignment execute ONCE despite the self-join
-        ivf_blocked_neardup(
+        pairs, cells = ivf_blocked_neardup_detailed(
             cand, pick_centroids(emb, _CENTROID_IDS[:k]), threshold=-1.0
-        ).select(F.lit(k).alias("k"), F.col("cosine").alias("sim"))
-        for k in _SWEEP_KS
-    ]
+        )
+        per_k.append(
+            pairs.select(F.lit(k).alias("k"), F.col("cosine").alias("sim"))
+        )
+        cell_frames.append(cells)
+    _swap_live_cells(f"sweep:{sf_dir}", cell_frames)
     return (
         per_k[0]
         .unionByName(per_k[1])
@@ -558,7 +589,7 @@ def s_ivf_auto_codebook(spark, sf_dir):
     from personal_data_lakehouse_spark.plans import registry
     from personal_data_lakehouse_spark.similarity.ivf import (
         auto_codebook,
-        ivf_blocked_neardup,
+        ivf_blocked_neardup_detailed,
         pick_centroids,
     )
 
@@ -568,19 +599,19 @@ def s_ivf_auto_codebook(spark, sf_dir):
     # (sf_dir, process) — the _inc_threshold caching precedent, with
     # the entry mtime-validated and REPLACED on change like the registry
     # schema cache (r9 ADVICE class: a regenerated fixture at the same
-    # path must not serve a stale k/codebook)
+    # path must not serve a stale k/codebook). auto_codebook hands back
+    # the ids it already collected (r10 ADVICE: re-collecting them from
+    # the codebook frame was one redundant scalar job per cold build).
     mt = registry._path_mtime(f"{sf_dir}/embeddings.parquet")
     if _AUTO_CB_CACHE.get(sf_dir, (None,))[0] != mt:
-        k, cents = auto_codebook(cand)
-        _AUTO_CB_CACHE[sf_dir] = (
-            mt,
-            k,
-            [r[0] for r in cents.select("cid").collect()],
-        )
+        k, ids, _ = auto_codebook(cand)
+        _AUTO_CB_CACHE[sf_dir] = (mt, k, ids)
     _, k, ids = _AUTO_CB_CACHE[sf_dir]
     cents = pick_centroids(emb, ids)
+    pairs, cells = ivf_blocked_neardup_detailed(cand, cents, threshold=-1.0)
+    _swap_live_cells(f"auto:{sf_dir}", [cells])
     return (
-        ivf_blocked_neardup(cand, cents, threshold=-1.0)
+        pairs
         .agg(
             F.count(F.lit(1)).alias("cand_pairs"),
             F.sum(

@@ -56,13 +56,18 @@ def _inc_threshold(spark, sf_dir, docs) -> int:
     return thr
 
 
-def _materialized_base_state(spark, sf_dir, base_docs):
+def _materialized_base_state(spark, sf_dir, base_docs, tag="corpinc"):
     """The five stage tables of the BASE corpus, materialized once per
     (sf, process) as parquet — the honesty split (r8 semadmit precedent):
     production keeps exactly these tables on disk between increments, so
     warm invocations time the INCREMENT, not a from-scratch base rebuild.
     Pure functions of the fixture split ⇒ a complete artifact is
-    byte-identical; _SUCCESS + the FIXTURE_GEN dir tag gate reuse."""
+    byte-identical; _SUCCESS + the FIXTURE_GEN dir tag gate reuse.
+
+    *tag* namespaces the artifact dirs: a caller materializing a
+    DIFFERENT base split (bench.py's loaded-v2 measurement, r11) must
+    not collide with the registry queries' canonical 80/20 artifacts —
+    the _SUCCESS gate checks completeness, not which split wrote it."""
     from personal_data_lakehouse_spark.corpus_incremental import (
         CorpusState,
         build_state,
@@ -74,7 +79,7 @@ def _materialized_base_state(spark, sf_dir, base_docs):
     dirs: dict[str, str] = {}
     missing: list[str] = []
     for n in _STATE_NAMES:
-        d, ready = source_fixture_dir(f"corpinc_{n}", sf_dir)
+        d, ready = source_fixture_dir(f"{tag}_{n}", sf_dir)
         dirs[n] = d
         if not ready:
             missing.append(n)

@@ -57,7 +57,7 @@ def auto_codebook(
     candidates: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> tuple[int, DataFrame]:
+) -> tuple[int, list[int], DataFrame]:
     """The k ∝ √N deployment rule (SCALE.md §9) as an OPERATOR:
     k = ceil(sqrt(N)) over the candidate set, codebook = the k lowest-id
     members (the deterministic stand-in every IVF operator here uses for
@@ -70,8 +70,11 @@ def auto_codebook(
     (VERDICT r9 observation 3); at 100 TB the same role is a k-means job
     whose k this rule sets.
 
-    Returns (k, codebook) so callers can surface k in their output —
-    a result computed under the wrong k then hashes differently.
+    Returns (k, centroid_ids, codebook): k so callers can surface it in
+    their output (a result computed under the wrong k then hashes
+    differently), and the already-collected centroid ids so a caller
+    that caches the choice does not re-collect them from the codebook
+    frame — the r10 ADVICE's redundant scalar job.
     """
     import math
 
@@ -81,7 +84,7 @@ def auto_codebook(
         r[0]
         for r in candidates.select(id_col).orderBy(id_col).limit(k).collect()
     ]
-    return k, pick_centroids(candidates, ids, id_col, vec_col)
+    return k, ids, pick_centroids(candidates, ids, id_col, vec_col)
 
 
 def assign_cells(
@@ -176,6 +179,32 @@ def ivf_blocked_neardup(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked by IVF cell.
 
+    Thin wrapper over :func:`ivf_blocked_neardup_detailed` for callers
+    that don't manage the persisted cell index themselves (the harness
+    contract — bench/sim/goldens clearCache between queries — bounds the
+    cached frame's lifetime).
+    """
+    pairs, _cells = ivf_blocked_neardup_detailed(
+        candidates, cents, threshold, cand_id, cand_vec
+    )
+    return pairs
+
+
+def ivf_blocked_neardup_detailed(
+    candidates: DataFrame,
+    cents: DataFrame,
+    threshold: float,
+    cand_id: str = "vec_id",
+    cand_vec: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Embedding-cosine near-duplicate pairs, blocked by IVF cell —
+    returning ``(pairs, cells)`` where ``cells`` is the PERSISTED cell
+    index the pair plan consumes twice, so long-lived callers can
+    ``cells.unpersist()`` once the result is consumed (r10 ADVICE: the
+    internal persist previously had no release path, accreting one
+    cached frame per invocation in a driver that never clearCaches —
+    the ``build_state_v2_detailed`` precedent).
+
     Pairs are generated only within a cell (id_a < id_b), scored exactly,
     and kept when round(cosine, 6) >= threshold — the embedding analogue of
     the shingle-Jaccard blocked dedup. Cell-local quadratic work scales as
@@ -208,13 +237,14 @@ def ivf_blocked_neardup(
     sim = F.round(
         F.expr(dot_expr("va", "vb")) / (F.col("_na") * F.col("_nb")), 6
     )
-    return (
+    pairs = (
         a.join(b, on="cell")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cosine", sim)
         .filter(F.col("cosine") >= F.lit(threshold))
         .select("id_a", "id_b", "cosine")
     )
+    return pairs, cells
 
 
 def ann_candidate_stream(
