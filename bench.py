@@ -275,7 +275,16 @@ def incremental_vs_rebuild(spark, sf_dir: str) -> dict:
     is |batch| while the rebuild's is |corpus|) and jobs_* (the fixed
     floor both walls sit on). At 100 TB the text term dominates the job
     floor by ~6 orders of magnitude and the wall ratio approaches
-    text_rows_increment / text_rows_rebuild."""
+    text_rows_increment / text_rows_rebuild.
+
+    The .v2 record (seven-table semantic state) runs over the EMBEDDED
+    sub-corpus with the 80/20 rule applied to the embedding id range
+    (r11, VERDICT r10 directive #3) — identical to the full split at the
+    gate SFs, and at sf0.1 the only split under which the increment's
+    semantic probes carry actual vectors (the fixture embeds only the
+    lowest 2000 of 5000 doc ids; the old split measured the empty-probe
+    path). vec_rows_* and sem_edges_added are its vector-side scale
+    terms."""
     from pyspark.sql import functions as F
 
     from personal_data_lakehouse_spark.corpus_incremental import (
@@ -297,21 +306,23 @@ def incremental_vs_rebuild(spark, sf_dir: str) -> dict:
     def _materialize(group, result):
         spark.sparkContext.setJobGroup(group, group)
         try:
-            for frame in result.state.frames().values():
-                frame.localCheckpoint()
+            cps = {
+                n: frame.localCheckpoint()
+                for n, frame in result.state.frames().items()
+            }
             result.release()
         finally:
             spark.sparkContext.setJobGroup(None, None)
-        return len(tracker.getJobIdsForGroup(group) or [])
+        return len(tracker.getJobIdsForGroup(group) or []), cps
 
     t0 = time.perf_counter()
-    inc_jobs = _materialize(
+    inc_jobs, _ = _materialize(
         "inc_vs_rebuild:inc", apply_increment_detailed(state, batch)
     )
     inc_sec = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    rebuild_jobs = _materialize(
+    rebuild_jobs, _ = _materialize(
         "inc_vs_rebuild:rebuild", build_state_detailed(docs)
     )
     rebuild_sec = time.perf_counter() - t0
@@ -321,6 +332,17 @@ def incremental_vs_rebuild(spark, sf_dir: str) -> dict:
     # + stored-index probes, the rebuild's are corpus-wide embed+pair;
     # the deterministic vector terms (vec_rows_*) scale exactly like the
     # text terms (the v2 plan pins both batch-side scans).
+    #
+    # r11 (VERDICT r10 directive #3): v2 runs over the EMBEDDED
+    # sub-corpus (doc ids ≤ max vec_id) with the same 80/20 rule applied
+    # to the EMBEDDING id range. At the gate SFs embeddings span the
+    # whole corpus, so this is the identical split; at sf0.1 the fixture
+    # embeds only the lowest 2000 of 5000 doc ids — the old full-corpus
+    # split put every vector below the threshold and the record measured
+    # the EMPTY-probe path (vec_rows_increment: 0, the r10 caveat). The
+    # re-split loads both semantic pair generators (batch×corpus against
+    # the stored cell index AND batch×batch) at every SF; sem_edges_added
+    # proves it from the measured run itself.
     from personal_data_lakehouse_spark.corpus_incremental import (
         apply_increment_v2_detailed,
         build_state_v2_detailed,
@@ -336,22 +358,38 @@ def incremental_vs_rebuild(spark, sf_dir: str) -> dict:
     emb = t_(spark, sf_dir, "embeddings")
     cents = pick_centroids(emb, _CENTROID_IDS)
     n_emb = emb.count()
-    emb_batch = emb.filter(F.col("vec_id") >= thr)
+    erow = emb.agg(
+        F.min("vec_id").alias("lo"), F.max("vec_id").alias("hi")
+    ).first()
+    elo, ehi = int(erow["lo"]), int(erow["hi"])
+    thr2 = ehi - (ehi - elo) // 5
+    docs2 = docs.filter(F.col("doc_id") <= ehi)
+    base2 = docs2.filter(F.col("doc_id") < thr2)
+    batch2 = docs2.filter(F.col("doc_id") >= thr2)
+    n_docs2 = docs2.count()
+    n_batch2 = batch2.count()
+    emb_batch = emb.filter(F.col("vec_id") >= thr2)
     n_emb_batch = emb_batch.count()
-    state2 = _materialized_base_state_v2(spark, sf_dir, base)
+    state2 = _materialized_base_state_v2(
+        spark, sf_dir, base2, tag="corpinc2L", lex_tag="corpincL"
+    )
+    n_sem_base = state2.sem_edges.count()
 
     t0 = time.perf_counter()
-    inc2_jobs = _materialize(
+    (inc2_jobs, inc2_cps) = _materialize(
         "inc_vs_rebuild:inc2",
-        apply_increment_v2_detailed(state2, batch, emb_batch, cents),
+        apply_increment_v2_detailed(state2, batch2, emb_batch, cents),
     )
     inc2_sec = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    rebuild2_jobs = _materialize(
-        "inc_vs_rebuild:rebuild2", build_state_v2_detailed(docs, emb, cents)
+    rebuild2_jobs, _ = _materialize(
+        "inc_vs_rebuild:rebuild2", build_state_v2_detailed(docs2, emb, cents)
     )
     rebuild2_sec = time.perf_counter() - t0
+    # post-timing: the semantic edges the LOADED increment actually added
+    # (batch×corpus stored-index probes + batch×batch self-join survivors)
+    sem_edges_added = inc2_cps["sem_edges"].count() - n_sem_base
 
     return {
         "increment_sec": round(inc_sec, 3),
@@ -367,8 +405,11 @@ def incremental_vs_rebuild(spark, sf_dir: str) -> dict:
             "increment_sec": round(inc2_sec, 3),
             "rebuild_sec": round(rebuild2_sec, 3),
             "wall_ratio": round(inc2_sec / rebuild2_sec, 3),
+            "text_rows_increment": n_batch2,
+            "text_rows_rebuild": n_docs2,
             "vec_rows_increment": n_emb_batch,
             "vec_rows_rebuild": n_emb,
+            "sem_edges_added": sem_edges_added,
             "jobs_increment": inc2_jobs,
             "jobs_rebuild": rebuild2_jobs,
         },
@@ -522,8 +563,9 @@ def main() -> None:
             "ratio ~1 at fixture scale is the eager-job floor — 26 vs "
             "17 jobs; the scale terms are the deterministic "
             "text_rows_*/jobs_* fields; .v2 is the same contract over "
-            "the seven-table semantic state, vec_rows_* its vector "
-            "terms). import_sec is "
+            "the seven-table semantic state on the EMBEDDED sub-corpus "
+            "split — loaded semantic probes at every SF, r11 — with "
+            "vec_rows_*/sem_edges_added its vector terms). import_sec is "
             "the one-time registry import + queries() build. Quiet-box "
             "r4 reference: 12.1s warm / 23.1s cold (baseline17). "
             "Measured 2026-08-14 (8 certified runs, identical code): "
