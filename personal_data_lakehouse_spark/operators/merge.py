@@ -124,6 +124,98 @@ def merge_upsert(target: DataFrame, source: DataFrame, keys: Sequence[str]) -> D
     return kept.unionByName(source.select(*target.columns))
 
 
+def scd2_merge(
+    dim: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    tracked: Sequence[str],
+    eff_col: str = "eff_date",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    is_current: str = "is_current",
+) -> DataFrame:
+    """Slowly-changing-dimension TYPE-2 merge: version history, not
+    overwrite.
+
+    *dim* is the current SCD2 table — one row per (key, version) carrying
+    the *tracked* attribute columns plus the ``valid_from`` /
+    ``valid_to`` / ``is_current`` bookkeeping triple (``is_current`` is
+    an integer 0/1 so the result round-trips engines without a boolean
+    column). *updates* carries one row per key with the tracked columns
+    at their new values plus *eff_col*, the change's effective date.
+
+    Semantics (the ``MERGE … WHEN MATCHED AND <attrs differ>`` SCD2
+    idiom):
+
+    * a key whose tracked attributes DIFFER from its current version
+      (null-safe comparison) gets its current row CLOSED
+      (``valid_to = eff, is_current = 0``) and a new open version
+      appended;
+    * a key in *updates* but absent from *dim* is a plain insert (first
+      version);
+    * a no-op update (all tracked attributes equal) leaves the dimension
+      untouched — re-applying the same batch is idempotent;
+    * history rows (``is_current = 0``) are never touched.
+
+    Shape & scale: the change detection is one equi-join of the (small)
+    update batch against the CURRENT slice — Catalyst broadcasts the
+    batch in the common incremental case; closing/keeping rows is a
+    broadcast left join of the changed-key set against *dim* (never a
+    shuffle of the dimension's history); new versions come from the
+    batch itself. For repeated merges into a huge dimension, bucket by
+    the key like the other MERGE shapes.
+    """
+    keys = list(keys)
+    tracked = list(tracked)
+    cur = dim.filter(F.col(is_current) == 1)
+    cur_vals = cur.select(
+        *keys, *[F.col(c).alias(f"__cur_{c}") for c in tracked]
+    )
+    joined = updates.join(cur_vals, keys, "inner")
+    differs = None
+    for c in tracked:
+        d = ~F.col(c).eqNullSafe(F.col(f"__cur_{c}"))
+        differs = d if differs is None else (differs | d)
+    changed = joined.filter(differs).select(*updates.columns)
+    inserts = updates.join(dim.select(*keys), keys, "left_anti")
+    to_version = changed.unionByName(inserts)
+
+    eff = F.col(f"__chg_{eff_col}")
+    marked = dim.join(
+        F.broadcast(
+            changed.select(
+                *keys, F.col(eff_col).alias(f"__chg_{eff_col}")
+            ).withColumn("__chg", F.lit(1))
+        ),
+        keys,
+        "left",
+    )
+    kept = marked.select(
+        *keys,
+        *tracked,
+        F.col(valid_from),
+        F.when(
+            (F.col(is_current) == 1) & F.col("__chg").isNotNull(), eff
+        )
+        .otherwise(F.col(valid_to))
+        .alias(valid_to),
+        F.when(
+            (F.col(is_current) == 1) & F.col("__chg").isNotNull(), F.lit(0)
+        )
+        .otherwise(F.col(is_current))
+        .cast("long")
+        .alias(is_current),
+    )
+    opened = to_version.select(
+        *keys,
+        *tracked,
+        F.col(eff_col).alias(valid_from),
+        F.lit(None).cast(dim.schema[valid_to].dataType).alias(valid_to),
+        F.lit(1).cast("long").alias(is_current),
+    )
+    return kept.unionByName(opened)
+
+
 def merge_into_table(
     spark: SparkSession,
     table: str,
