@@ -51,11 +51,16 @@ import personal_data_lakehouse_spark.plans.round7_ops  # noqa: F401,E402
 import personal_data_lakehouse_spark.plans.round8_ops  # noqa: F401,E402
 import personal_data_lakehouse_spark.plans.round9_ops  # noqa: F401,E402
 import personal_data_lakehouse_spark.plans.round10_ops  # noqa: F401,E402
+import personal_data_lakehouse_spark.plans.round11_ops  # noqa: F401,E402
 
 from personal_data_lakehouse_spark.plans.registry import (  # noqa: E402
     REGISTRY,
     finalize,
     oracle_double,
+)
+from tools.ledger import (  # noqa: E402
+    WINDOW_SLOTS,
+    rotation_refill,
 )
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
@@ -64,8 +69,49 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # 50. Verified rows from earlier rounds stay credited, so the window ROTATES
 # each round to maximize cumulative driver-verified coverage.
 #
+# Round 11 (VERDICT r10 directive #1): the refill queue is no longer
+# hand-written — it is DERIVED from the CORRECTNESS_r*.json artifacts by
+# tools/ledger.py at import time (never-driver-evaluated first, then
+# oldest-evidence-first, ties alphabetical), so the freshness claim this
+# file makes can never again drift from reality (the r10 judge recomputed
+# the artifacts and found 74 queries with r4/r5-latest evidence that the
+# hand-maintained queue had never enqueued: it tracked the r1–r3 backlog
+# but not the queries FIRST REGISTERED in r4/r5). Only the round's NEW
+# and PLAN-CHANGED sections remain judgment calls, listed explicitly
+# below; `python tools/ledger.py` prints the census + this window's
+# refill — the audit trail that used to be hand-written arithmetic here.
+#
+# Round 11's head sections:
+#   (a) _NEW — 2 additions: t_eval_decontaminate (partial n-gram eval-set
+#       decontamination against the md5-coined split — the overlap check
+#       exact-duplicate leakage audits miss) and q_merge_scd2 (SCD Type-2
+#       MERGE, the dbt-snapshot materialization — the MERGE family's
+#       versioning shape).
+#   (b) _REPROOF — 2 rows whose BODIES changed this round (the r10 ADVICE
+#       closures): s_ivf_codebook_sweep and s_ivf_auto_codebook now call
+#       ivf_blocked_neardup_detailed (cell-index release ledger —
+#       replace-on-rebuild unpersist) and consume auto_codebook's
+#       returned centroid ids (the redundant re-collect removed). Every
+#       OTHER ivf_blocked_neardup consumer goes through the unchanged
+#       thin wrapper — their plans are pinned byte-identical by the
+#       sf0.001 plan goldens, so they spend no slots.
+#   (c) _PROMISED — one-time: the 4 rows the r10 cap squeezed out
+#       (q_cross_join, t_udtf_word_windows, m_binary_meta,
+#       m_frame_sample), promised the front of this queue by the r10
+#       entry file and by directive #1. Strict oldest-first would rank
+#       their r7 evidence behind the r4/r5 backlog; the promise is
+#       honored explicitly and the section disappears in r12.
+#   (d) refill — the remaining 42 slots from tools/ledger.py: per the
+#       artifacts at r11 start, 42 of the 44 r4-latest rows
+#       (oldest-evidence class, alphabetical; 41 hashable + the 3
+#       rows-only t_bpe_encode/t_bpe_merges/q_hll_mv sort here too) —
+#       draining the oldest class exactly as directive #1 ordered;
+#       r12's refill picks up the 2 remaining r4 rows
+#       (t_tfidf_topterms, t_train_val_test_split) and the 36 r5-latest
+#       rows (33 hashable + 3 rows-only) automatically.
+#
 # Round 10's window (per VERDICT r9 directives 1/2/4), arithmetic:
-#   (a) NEW in r10 — 4 additions (<= 10 cap): t_corpus_pipeline_
+#   (a) NEW in r10 — 5 additions (<= 10 cap): t_corpus_pipeline_
 #       incremental_v2 (VERDICT item 2: the SEMANTIC stage in the
 #       incremental corpus state — seven-table MERGE, stored cell-index
 #       probe, merged lexical∪semantic closure), its full-recompute
@@ -192,70 +238,43 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # (The r8 queue precomputed at the end of r7 — the 35 rows q_histogram ..
 # t_sample_stratified — is EXECUTED by this round's section (c) below.
 # Older window ledgers (r6 and earlier) live in git history of this file.)
-_PRIORITY = [
-    # (a) NEW in r10 — never driver-evaluated, outrank everything
-    "t_corpus_pipeline_incremental_v2",
-    "t_corpus_pipeline_sem_e2e",
-    "t_stream_corpus_increments_v2",
+# NEW this round — never driver-evaluated, outrank everything.
+_NEW = [
+    "t_eval_decontaminate",
+    "q_merge_scd2",
+]
+# Query BODIES changed this round (r10 ADVICE closures) — re-proven out
+# of caution even though the hashed results are plan-identical.
+_REPROOF = [
     "s_ivf_codebook_sweep",
     "s_ivf_auto_codebook",
-    # (b) plan changed in r10 — the _banded_docs collect_set optimization
-    # re-proves every LSH indexing consumer (t_minhash_signatures out of
-    # caution: its own path kept the distinct); the three pipeline
-    # queries also carry the apply_increment_detailed refactor + the
-    # per-batch unpersist (r9 ADVICE)
-    "t_minhash_lsh_pairs",
-    "t_minhash_containment",
-    "t_minhash_estimate_error",
-    "t_minhash_signatures",
-    "t_neardup_verified",
-    "t_neardup_incremental",
-    "t_neardup_source_matrix",
-    "t_dedup_clusters",
-    "t_dedup_keep_best",
-    "t_dedup_cluster_stats",
-    "t_corpus_pipeline_e2e",
-    "t_corpus_pipeline_incremental",
-    "t_stream_corpus_increments",
-    # (c) refill — 35 of the 36 remaining r7-latest rows (oldest
-    # evidence), q_silver_cleaning first (the benched-every-round
-    # headliner squeezed out of r9); q_cross_join is the ONE row the cap
-    # squeezes out — it rolls to the FRONT of the r11 queue
-    "q_silver_cleaning",
-    "q11_important_stock",
-    "q12_priority_split",
-    "q13_custdist",
-    "q14_promo_share",
-    "q15_top_supplier",
-    "q16_supplier_cnt",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q20_excess_share_suppliers",
-    "q21_sole_return_supplier",
-    "q22_idle_customers",
-    "q_bloom_semi_join",
-    "q_corr",
-    "q_event_dedup",
-    "q_explode_arrays",
-    "q_first_last_frames",
-    "q_funnel",
-    "q_funnel_time_bound",
-    "q_higher_order_funcs",
-    "q_stream_dedup",
-    "q_stream_session_agg",
-    "q_stream_sliding_agg",
-    "q_stream_stream_join",
-    "q_stream_tumbling_agg",
-    "s_ann_recall_eval",
-    "s_ivf_ann_topk",
-    "s_knn_graph",
-    "s_knn_incremental",
-    "t_crossdoc_spans",
-    "t_embed_neardup",
-    # ---- 50-query window cap falls here exactly; the rest re-verify
-    # only if the driver evaluates more than 50 ----
 ]
+# One-time (r11 only): the four rows the r10 window cap squeezed out,
+# promised the front of this queue by the r10 entry file AND by VERDICT
+# r10 directive #1. Strict oldest-first would rank them behind the r4/r5
+# backlog (they carry r7 evidence); the promise is honored explicitly
+# here and this section disappears in r12 — the refill below is purely
+# artifact-derived.
+_PROMISED = [
+    "q_cross_join",
+    "t_udtf_word_windows",
+    "m_binary_meta",
+    "m_frame_sample",
+]
+
+
+def _build_priority() -> list[str]:
+    """Head sections + the artifact-derived refill (tools/ledger.py):
+    never-evaluated first, then oldest-driver-evidence-first. The 50-slot
+    window cap falls inside the refill; the rest of the registry
+    re-verifies only if the driver evaluates more than 50."""
+    head = _NEW + _REPROOF + _PROMISED
+    return head + rotation_refill(
+        list(REGISTRY), exclude=head, slots=WINDOW_SLOTS - len(head)
+    )
+
+
+_PRIORITY = _build_priority()
 
 
 def _ordered_names() -> list[str]:
