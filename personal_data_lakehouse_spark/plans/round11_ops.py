@@ -72,7 +72,14 @@ def t_eval_decontaminate(spark, sf_dir):
     exact-duplicate leakage audits miss: ``t_split_leakage_audit`` only
     catches byte-identical documents straddling the boundary, while a
     test doc PARAPHRASED from a train doc shares most of its n-grams and
-    none of its fingerprint. Emits (n_shingles, n_hit, hit_frac) per test
+    none of its fingerprint. The OPPOSITE direction of
+    ``t_contamination`` (which flags TRAIN docs carrying grams of a
+    small held-out benchmark — the dataset-cleaning sweep, absolute
+    shared-count threshold): this one scores each EVAL doc by the
+    FRACTION of its own content already seen in training — the
+    "can we trust this eval number" report, normalized per doc and run
+    on the pipeline's real split coins rather than a modulus. Emits
+    (n_shingles, n_hit, hit_frac) per test
     doc plus the integer ``contaminated`` flag at the ≥50% overlap
     threshold — the flag compares integers (2·hits ≥ total), never a
     rounded float, so the decision is engine-exact. Test docs with no
