@@ -88,13 +88,15 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #       MERGE, the dbt-snapshot materialization — the MERGE family's
 #       versioning shape).
 #   (b) _REPROOF — 2 rows whose BODIES changed this round (the r10 ADVICE
-#       closures): s_ivf_codebook_sweep and s_ivf_auto_codebook now call
-#       ivf_blocked_neardup_detailed (cell-index release ledger —
-#       replace-on-rebuild unpersist) and consume auto_codebook's
-#       returned centroid ids (the redundant re-collect removed). Every
-#       OTHER ivf_blocked_neardup consumer goes through the unchanged
-#       thin wrapper — their plans are pinned byte-identical by the
-#       sf0.001 plan goldens, so they spend no slots.
+#       closures): s_ivf_codebook_sweep and s_ivf_auto_codebook now keep
+#       their persisted cell indexes in a per-(query, sf) mtime-keyed
+#       cache (round10_ops._cached_cells — stale entries unpersisted and
+#       replaced, at most one invocation's frames live per slot) and
+#       consume auto_codebook's returned centroid ids (the redundant
+#       re-collect removed). Every OTHER ivf_blocked_neardup consumer
+#       goes through the unchanged thin wrapper — their plans are pinned
+#       byte-identical by the sf0.001 plan goldens, so they spend no
+#       slots.
 #   (c) _PROMISED — one-time: the 4 rows the r10 cap squeezed out
 #       (q_cross_join, t_udtf_word_windows, m_binary_meta,
 #       m_frame_sample), promised the front of this queue by the r10

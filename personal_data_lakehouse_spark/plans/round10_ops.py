@@ -393,23 +393,39 @@ _inject_stream_sem_oracle()
 
 _SWEEP_KS = (4, 8)
 
-# Replace-on-rebuild release ledger for the cell indexes the two codebook
-# queries persist via ivf_blocked_neardup_detailed (r10 ADVICE): a plan's
-# internal persist can't release before the CALLER materializes the
-# result, so each (query, sf_dir) slot unpersists the PREVIOUS
-# invocation's — already consumed — cell frames when a new plan is built.
-# Bounded: at most one invocation's frames live per slot, even in a
-# driver that never clearCaches.
-_LIVE_CELLS: dict[str, list] = {}
+# Cell-index cache for the two codebook queries (r10 ADVICE): the
+# internally-persisted cell frame previously had no release path — one
+# cached frame accreted per invocation in a driver that never
+# clearCaches. The fix keeps ONE frame per (query, sf) slot and REUSES
+# it across invocations (the production shape: the cell index is a
+# persisted corpus-side artifact, not a per-query rebuild — and the r10
+# warm numbers already relied on the implicit CacheManager plan-match
+# hit between runs; an unpersist-per-rebuild ledger measured a 5× warm
+# regression by forcing the assignment recompute every run). Stale
+# entries (fixture mtime change) are unpersisted and replaced; a frame
+# evicted by a harness clearCache is simply re-persisted (same plan).
+_CELLS_CACHE: dict[str, tuple[float, list]] = {}
 
 
-def _swap_live_cells(slot: str, frames: list) -> None:
-    for f in _LIVE_CELLS.pop(slot, []):
-        try:
-            f.unpersist()
-        except Exception:
-            pass
-    _LIVE_CELLS[slot] = frames
+def _cached_cells(slot: str, mt: float, build) -> list:
+    """Return the slot's persisted cell frames, building (and persisting)
+    them via *build* () -> list[DataFrame] only when absent or stale."""
+    ent = _CELLS_CACHE.get(slot)
+    if ent is not None and ent[0] == mt:
+        frames = ent[1]
+        for f in frames:
+            if not f.storageLevel.useMemory:
+                f.persist()  # re-register after a harness clearCache
+        return frames
+    if ent is not None:
+        for f in ent[1]:
+            try:
+                f.unpersist()
+            except Exception:
+                pass
+    frames = build()
+    _CELLS_CACHE[slot] = (mt, frames)
+    return frames
 
 
 def _codebook_sweep_oracle() -> str:
@@ -481,26 +497,41 @@ def s_ivf_codebook_sweep(spark, sf_dir):
         _N_QUERIES,
         _NEARDUP_THRESHOLD,
     )
+    from personal_data_lakehouse_spark.plans import registry
     from personal_data_lakehouse_spark.similarity.ivf import (
-        ivf_blocked_neardup_detailed,
+        assign_cells,
+        blocked_pairs_from_cells,
         pick_centroids,
     )
 
     emb = t(spark, sf_dir, "embeddings")
     cand = emb.filter(F.col("vec_id") >= _N_QUERIES)
-    per_k, cell_frames = [], []
-    for k in _SWEEP_KS:
+    npart = spark.sparkContext.defaultParallelism
+
+    def _build():
+        # the persisted per-k cell indexes: the self-join consumes each
+        # subtree twice, and reuse across invocations keeps exactly one
+        # frame pair live per (query, sf) — see _cached_cells
+        return [
+            assign_cells(
+                cand, pick_centroids(emb, _CENTROID_IDS[:k]),
+                "vec_id", "embedding", n=1,
+            )
+            .coalesce(npart)
+            .persist()
+            for k in _SWEEP_KS
+        ]
+
+    mt = registry._path_mtime(f"{sf_dir}/embeddings.parquet")
+    cell_frames = _cached_cells(f"sweep:{sf_dir}", mt, _build)
+    per_k = [
         # threshold=-1 keeps every cell-local pair (cosine ≥ −1 always),
-        # exposing the candidate set; the operator's own persist makes
-        # each k's assignment execute ONCE despite the self-join
-        pairs, cells = ivf_blocked_neardup_detailed(
-            cand, pick_centroids(emb, _CENTROID_IDS[:k]), threshold=-1.0
+        # exposing the candidate set
+        blocked_pairs_from_cells(cells, threshold=-1.0).select(
+            F.lit(k).alias("k"), F.col("cosine").alias("sim")
         )
-        per_k.append(
-            pairs.select(F.lit(k).alias("k"), F.col("cosine").alias("sim"))
-        )
-        cell_frames.append(cells)
-    _swap_live_cells(f"sweep:{sf_dir}", cell_frames)
+        for k, cells in zip(_SWEEP_KS, cell_frames)
+    ]
     return (
         per_k[0]
         .unionByName(per_k[1])
@@ -588,8 +619,9 @@ def s_ivf_auto_codebook(spark, sf_dir):
     )
     from personal_data_lakehouse_spark.plans import registry
     from personal_data_lakehouse_spark.similarity.ivf import (
+        assign_cells,
         auto_codebook,
-        ivf_blocked_neardup_detailed,
+        blocked_pairs_from_cells,
         pick_centroids,
     )
 
@@ -608,10 +640,18 @@ def s_ivf_auto_codebook(spark, sf_dir):
         _AUTO_CB_CACHE[sf_dir] = (mt, k, ids)
     _, k, ids = _AUTO_CB_CACHE[sf_dir]
     cents = pick_centroids(emb, ids)
-    pairs, cells = ivf_blocked_neardup_detailed(cand, cents, threshold=-1.0)
-    _swap_live_cells(f"auto:{sf_dir}", [cells])
+    npart = spark.sparkContext.defaultParallelism
+
+    def _build():
+        return [
+            assign_cells(cand, cents, "vec_id", "embedding", n=1)
+            .coalesce(npart)
+            .persist()
+        ]
+
+    (cells,) = _cached_cells(f"auto:{sf_dir}", mt, _build)
     return (
-        pairs
+        blocked_pairs_from_cells(cells, threshold=-1.0)
         .agg(
             F.count(F.lit(1)).alias("cand_pairs"),
             F.sum(

@@ -222,6 +222,19 @@ def ivf_blocked_neardup_detailed(
         .coalesce(spark.sparkContext.defaultParallelism)
         .persist()
     )
+    return blocked_pairs_from_cells(cells, threshold, cand_id, cand_vec), cells
+
+
+def blocked_pairs_from_cells(
+    cells: DataFrame,
+    threshold: float,
+    cand_id: str = "vec_id",
+    cand_vec: str = "embedding",
+) -> DataFrame:
+    """The pair-generation half of :func:`ivf_blocked_neardup_detailed`
+    over an ALREADY-BUILT (typically persisted) cell index — the entry
+    point for callers that keep the index as a reusable artifact (the
+    production shape: the written cell index outlives any one query)."""
     a = cells.select(
         F.col("cell"),
         F.col(cand_id).alias("id_a"),
@@ -237,14 +250,13 @@ def ivf_blocked_neardup_detailed(
     sim = F.round(
         F.expr(dot_expr("va", "vb")) / (F.col("_na") * F.col("_nb")), 6
     )
-    pairs = (
+    return (
         a.join(b, on="cell")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cosine", sim)
         .filter(F.col("cosine") >= F.lit(threshold))
         .select("id_a", "id_b", "cosine")
     )
-    return pairs, cells
 
 
 def ann_candidate_stream(
