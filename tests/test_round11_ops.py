@@ -95,6 +95,92 @@ def test_scd2_merge_replay_is_idempotent(spark):
     assert a == b  # the new current row matches the batch → no-op
 
 
+def _scd2_invariants(rows):
+    """Pure-Python SCD2 table invariants, independent of the operator."""
+    from collections import defaultdict
+
+    by_key = defaultdict(list)
+    for r in rows:
+        by_key[r["k"]].append(r)
+    for k, vs in by_key.items():
+        cur = [r for r in vs if r["is_current"] == 1]
+        assert len(cur) == 1, (k, vs)
+        assert cur[0]["valid_to"] is None, (k, cur)
+        closed = sorted(
+            (r for r in vs if r["is_current"] == 0),
+            key=lambda r: r["valid_from"],
+        )
+        # versions chain contiguously: each closed row ends where the
+        # next version begins, and the last closed row ends at the
+        # current row's start
+        chain = closed + cur
+        for a, b in zip(chain, chain[1:]):
+            assert a["valid_to"] == b["valid_from"], (k, chain)
+
+
+def test_scd2_merge_random_batches_property(spark):
+    """Hypothesis-driven SCD2 invariants over random two-batch update
+    sequences: after any sequence of merges at increasing effective
+    dates, every key has exactly ONE open current row, closed versions
+    chain contiguously (each valid_to = the successor's valid_from),
+    and re-applying the last batch is a no-op — the independent
+    reference the differential gate can't provide (both engines could
+    share an algebra bug; this derives the invariants from the SCD2
+    definition, not from the implementation)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    keys = st.integers(1, 6)
+    val = st.integers(0, 2)  # small domain → frequent no-op updates
+
+    @given(
+        base=st.dictionaries(keys, val, min_size=1, max_size=6),
+        b1=st.dictionaries(keys, val, min_size=1, max_size=6),
+        b2=st.dictionaries(keys, val, min_size=1, max_size=6),
+    )
+    @settings(max_examples=8, deadline=None)
+    def run(base, b1, b2):
+        d0 = datetime.date(2019, 1, 1)
+        d1 = datetime.date(2020, 1, 1)
+        d2 = datetime.date(2021, 1, 1)
+        dim = _dim(
+            spark,
+            [(k, f"s{v}", float(v), d0, None, 1) for k, v in base.items()],
+        )
+        for batch, eff in ((b1, d1), (b2, d2)):
+            upd = _upd(
+                spark,
+                [(k, f"s{v}", float(v), eff) for k, v in batch.items()],
+            )
+            dim = scd2_merge(
+                dim, upd, keys=["k"], tracked=["seg", "bal"],
+                eff_col="eff_date",
+            )
+        rows = [r.asDict() for r in dim.collect()]
+        _scd2_invariants(rows)
+        # every key ever seen is present with its LATEST value current
+        latest = dict(base)
+        latest.update(b1)
+        latest.update(b2)
+        cur = {
+            r["k"]: r["bal"] for r in rows if r["is_current"] == 1
+        }
+        assert cur == {k: float(v) for k, v in latest.items()}
+        # replaying the final batch changes nothing
+        upd2 = _upd(
+            spark, [(k, f"s{v}", float(v), d2) for k, v in b2.items()]
+        )
+        again = scd2_merge(
+            dim, upd2, keys=["k"], tracked=["seg", "bal"],
+            eff_col="eff_date",
+        )
+        assert sorted(map(tuple, again.collect())) == sorted(
+            map(tuple, dim.collect())
+        )
+
+    run()
+
+
 def test_decontaminate_exact_dups_fully_contaminated(spark):
     """Any test-split doc whose NORMALIZED text also occurs on the
     train∪val side must report hit_frac = 1.0 (all its shingles are in
