@@ -157,6 +157,9 @@ def scd2_merge(
       untouched — re-applying the same batch is idempotent;
     * history rows (``is_current = 0``) are never touched.
 
+    *updates* must carry at most one row per key (the Delta MERGE
+    contract) — collapse duplicates with :func:`dedup_source` first.
+
     Shape & scale: the change detection is one equi-join of the (small)
     update batch against the CURRENT slice — Catalyst broadcasts the
     batch in the common incremental case; closing/keeping rows is a
