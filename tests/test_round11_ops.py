@@ -95,6 +95,20 @@ def test_scd2_merge_replay_is_idempotent(spark):
     assert a == b  # the new current row matches the batch → no-op
 
 
+def test_scd2_merge_never_shuffles_the_dimension(spark):
+    """The SCD2 scale claim as a plan assertion: every Exchange in the
+    merge plan is a BROADCAST (the update batch / changed-key set) —
+    zero hash-partitioning shuffles, so a 100 TB dimension's history
+    never crosses the network. A lost broadcast fails here before it
+    fails a benchmark."""
+    spark.catalog.clearCache()
+    df = REGISTRY["q_merge_scd2"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" not in plan.lower(), plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def _scd2_invariants(rows):
     """Pure-Python SCD2 table invariants, independent of the operator."""
     from collections import defaultdict
