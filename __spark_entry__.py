@@ -82,11 +82,14 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # refill — the audit trail that used to be hand-written arithmetic here.
 #
 # Round 11's head sections:
-#   (a) _NEW — 2 additions: t_eval_decontaminate (partial n-gram eval-set
+#   (a) _NEW — 3 additions: t_eval_decontaminate (partial n-gram eval-set
 #       decontamination against the md5-coined split — the overlap check
-#       exact-duplicate leakage audits miss) and q_merge_scd2 (SCD Type-2
+#       exact-duplicate leakage audits miss), q_merge_scd2 (SCD Type-2
 #       MERGE, the dbt-snapshot materialization — the MERGE family's
-#       versioning shape).
+#       versioning shape), and s_chunk_ann_topk (RAG ingestion as one
+#       hashed plan: chunk → deterministic embed → IVF index → top-3
+#       retrieval — chunk-granular ANN, every other ANN query is
+#       doc-granular).
 #   (b) _REPROOF — 2 rows whose BODIES changed this round (the r10 ADVICE
 #       closures): s_ivf_codebook_sweep and s_ivf_auto_codebook now keep
 #       their persisted cell indexes in a per-(query, sf) mtime-keyed
@@ -103,14 +106,13 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #       entry file and by directive #1. Strict oldest-first would rank
 #       their r7 evidence behind the r4/r5 backlog; the promise is
 #       honored explicitly and the section disappears in r12.
-#   (d) refill — the remaining 42 slots from tools/ledger.py: per the
-#       artifacts at r11 start, 42 of the 44 r4-latest rows
-#       (oldest-evidence class, alphabetical; 41 hashable + the 3
-#       rows-only t_bpe_encode/t_bpe_merges/q_hll_mv sort here too) —
-#       draining the oldest class exactly as directive #1 ordered;
-#       r12's refill picks up the 2 remaining r4 rows
-#       (t_tfidf_topterms, t_train_val_test_split) and the 36 r5-latest
-#       rows (33 hashable + 3 rows-only) automatically.
+#   (d) refill — the remaining 41 slots from tools/ledger.py: per the
+#       artifacts at r11 start, 41 of the 44 r4-latest rows
+#       (oldest-evidence class, alphabetical; the 3 rows-only
+#       t_bpe_encode/t_bpe_merges/q_hll_mv sort here too) — draining
+#       the oldest class exactly as directive #1 ordered ("~41");
+#       r12's refill picks up the 3 remaining r4 rows and the 36
+#       r5-latest rows (33 hashable + 3 rows-only) automatically.
 #
 # Round 10's window (per VERDICT r9 directives 1/2/4), arithmetic:
 #   (a) NEW in r10 — 5 additions (<= 10 cap): t_corpus_pipeline_
@@ -244,6 +246,7 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 _NEW = [
     "t_eval_decontaminate",
     "q_merge_scd2",
+    "s_chunk_ann_topk",
 ]
 # Query BODIES changed this round (r10 ADVICE closures) — re-proven out
 # of caution even though the hashed results are plan-identical.

@@ -125,6 +125,159 @@ def t_eval_decontaminate(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# Chunk-level ANN retrieval (RAG ingestion: chunk → embed → index → top-k)
+
+_CHUNK_P = 2147483647  # the engine-neutral md5-fold modulus (dedup.minhash)
+
+# DuckDB replay of the deterministic chunk "embedding": dim d of a chunk
+# is ((md5-fold of chunk||'|'||d) mod 2001) - 1000, cast to DOUBLE —
+# integer arithmetic end-to-end, so both engines derive bit-identical
+# vectors (the _XS fold of text_ops, parameterized by the dim suffix).
+_CHUNK_FOLD = (
+    "list_reduce(list_transform(range(1, 16), "
+    "i -> (strpos('0123456789abcdef', md5(chunk || '|' || "
+    "CAST(d AS VARCHAR))[i]) - 1)::BIGINT), "
+    f"(a, b) -> a * 16 + b) % {_CHUNK_P}"
+)
+_CHUNK_VEC = (
+    f"list_transform(range(0, 8), d -> CAST(({_CHUNK_FOLD}) % 2001 - 1000 "
+    "AS DOUBLE))"
+)
+
+
+def _chunk_ann_oracle() -> str:
+    from personal_data_lakehouse_spark.plans.similarity_ops import _cos
+
+    return f"""
+    WITH c AS (
+        SELECT doc_id, text,
+               unnest(range(((greatest(length(text), 1) - 1) // 150) + 1))
+                   AS chunk_id
+        FROM documents
+    ),
+    ch AS (SELECT doc_id * 10 + chunk_id AS cid,
+                  substr(text, CAST(chunk_id * 150 + 1 AS INT), 200)
+                      AS chunk
+           FROM c),
+    vecs AS (SELECT cid, {_CHUNK_VEC} AS e FROM ch),
+    q AS (SELECT cid AS qid, e AS qe FROM vecs WHERE cid < 50),
+    cand AS (SELECT cid, e FROM vecs WHERE cid >= 50),
+    cents AS (SELECT cid AS ccid, e AS ce FROM (
+                  SELECT cid, e, ROW_NUMBER() OVER (ORDER BY cid) AS rn
+                  FROM cand) WHERE rn <= 8),
+    asg AS (SELECT c.cid, c.e, n.ccid, {_cos('c.e', 'n.ce')} AS csim
+            FROM cand c, cents n),
+    cells AS (SELECT cid, e, ccid AS cell FROM (
+                  SELECT *, ROW_NUMBER() OVER (PARTITION BY cid
+                      ORDER BY csim DESC, ccid) AS crnk FROM asg)
+              WHERE crnk = 1),
+    qasg AS (SELECT qid, qe, n.ccid, {_cos('qe', 'n.ce')} AS csim
+             FROM q, cents n),
+    probes AS (SELECT qid, qe, ccid AS cell FROM (
+                   SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                       ORDER BY csim DESC, ccid) AS crnk FROM qasg)
+               WHERE crnk <= 2),
+    s AS (SELECT qid, cid, {_cos('qe', 'e')} AS sim
+          FROM cells JOIN probes USING (cell)),
+    r AS (SELECT qid, cid, sim,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                                    ORDER BY sim DESC, cid) AS rnk
+          FROM s)
+    SELECT qid, rnk, cid AS vid, ROUND(sim, 6) AS cosine
+    FROM r WHERE rnk <= 3
+    """
+
+
+@query("s_chunk_ann_topk", oracle=_chunk_ann_oracle())
+def s_chunk_ann_topk(spark, sf_dir):
+    """RAG INGESTION + RETRIEVAL as one hashed plan: fixed-window chunking
+    (the ``t_chunk_documents`` 200/150 windows) → a DETERMINISTIC 8-dim
+    chunk embedding (dim d = md5-fold(chunk||'|'||d) mod 2001 − 1000, all
+    integer arithmetic → bit-identical across engines; the honest
+    stand-in for a real encoder, same dataflow) → IVF index over the
+    chunk vectors (codebook = the 8 lowest candidate chunk ids, built as
+    a LIMIT subplan — no driver collect) → the first five documents'
+    chunks retrieve their top-3 nearest corpus chunks at nprobe=2 with
+    exact cosine re-rank. This is chunk-granular similarity search —
+    every other ANN query here is doc-granular over the embeddings
+    fixture — and it exercises the full ingestion chain a retrieval
+    pipeline runs (chunk ids, per-chunk vectors, cell index, probe).
+
+    Scale: chunking is a narrow map stage; embedding is map-side (a real
+    encoder slots in as a Pandas-UDF stage with the same schema); the
+    index/probe inherit ``ivf_topk``'s audited shape — candidates
+    shuffle once on cell, queries broadcast with their probe lists,
+    norms computed once below the window barrier. At 100 TB the chunk
+    table is ~5× the corpus rows but each stage stays linear; the
+    codebook LIMIT becomes the k-means job (k ∝ √N, SCALE.md §9).
+
+    Reference parity: engine-internal (the reference delegates search to
+    its warehouse); SURVEY §2 similarity extension × t_chunk_documents.
+    """
+    from personal_data_lakehouse_spark.similarity.brute_force import (
+        norm_col,
+    )
+    from personal_data_lakehouse_spark.similarity.ivf import ivf_topk
+
+    docs = t(spark, sf_dir, "documents")
+    n_chunks = F.expr(
+        "cast((greatest(length(text), 1) - 1) div 150 as int)"
+    )
+    chunk = F.expr("substring(text, chunk_id * 150 + 1, 200)")
+    p = F.lit(_CHUNK_P).cast("long")
+    dims = []
+    for d in range(8):
+        fold = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(chunk, F.lit(f"|{d}"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+            % p
+        )
+        dims.append((fold % 2001 - 1000).cast("double"))
+    vecs = docs.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0), n_chunks)).alias("chunk_id"),
+    ).select(
+        (F.col("doc_id") * 10 + F.col("chunk_id"))
+        .cast("long")
+        .alias("vid"),
+        F.array(*dims).alias("e"),
+    )
+    queries = vecs.filter(F.col("vid") < 50).select(
+        F.col("vid").alias("qid"), F.col("e").alias("qe")
+    )
+    cand = vecs.filter(F.col("vid") >= 50)
+    # codebook = the 8 lowest candidate chunk ids, as a PLAN (LIMIT →
+    # broadcast), not a driver collect — pick_centroids needs literal
+    # ids, which chunk ids aren't until runtime
+    cents = (
+        cand.orderBy("vid")
+        .limit(8)
+        .select(
+            F.col("vid").alias("cid"),
+            F.col("e").alias("ce"),
+            norm_col("e").alias("_cen"),
+        )
+    )
+    return ivf_topk(
+        queries,
+        cand,
+        cents,
+        k=3,
+        nprobe=2,
+        query_id="qid",
+        query_vec="qe",
+        cand_id="vid",
+        cand_vec="e",
+    )
+
+
 @query(
     "q_merge_scd2",
     oracle="""

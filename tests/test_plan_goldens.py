@@ -107,11 +107,13 @@ GOLDEN_EXTRA = [
     "q_funnel_latency",
     "q_running_zscore_flags",
     "q_benford_digits",
-    # round-11 operators: the decontamination probe join and the
+    # round-11 operators: the decontamination probe join, the
     # zero-exchange SCD2 merge (its all-broadcast shape IS the scale
-    # claim — a golden diff showing a new Exchange is the review)
+    # claim — a golden diff showing a new Exchange is the review), and
+    # the chunk-level ANN retrieval chain
     "t_eval_decontaminate",
     "q_merge_scd2",
+    "s_chunk_ann_topk",
     # (q_text_intake / q_stream_substring_spans / q_jsonl_intake are in
     # HEADLINE and pinnable — normalize_plan strips the work-dir paths;
     # t_semdedup_clusters is HEADLINE too but golden-EXCLUDED below: its

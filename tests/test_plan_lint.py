@@ -100,6 +100,9 @@ BUDGET: dict[str, dict[str, int]] = {
     "q_table_profile": {"single_part": 1},
     "q_watermark_incremental": {"single_part": 2},
     "s_ann_recall_eval": {"bnlj": 6},
+    # broadcast-codebook cell assignment on each side (query probes +
+    # candidate cells), the s_ivf_ann_topk shape over chunk vectors
+    "s_chunk_ann_topk": {"bnlj": 2},
     "s_cosine_topk": {"bnlj": 1},
     "s_ivf_ann_topk": {"bnlj": 2},
     "s_ivf_pq_topk": {"bnlj": 4},
