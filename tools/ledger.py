@@ -133,7 +133,11 @@ def main() -> None:
     never = [n for n in names if n not in led]
     if never:
         print(f"never evaluated ({len(never)}): {never}")
-    head = getattr(entry, "_NEW", []) + getattr(entry, "_REPROOF", [])
+    head = (
+        getattr(entry, "_NEW", [])
+        + getattr(entry, "_REPROOF", [])
+        + getattr(entry, "_PROMISED", [])
+    )
     refill = rotation_refill(names, exclude=head, slots=WINDOW_SLOTS - len(head))
     print(f"\nwindow head (NEW + RE-PROOF, {len(head)}): {head}")
     print(f"refill ({len(refill)} oldest-evidence-first):")
