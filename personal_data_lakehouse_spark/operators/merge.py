@@ -151,14 +151,19 @@ def scd2_merge(
       (null-safe comparison) gets its current row CLOSED
       (``valid_to = eff, is_current = 0``) and a new open version
       appended;
-    * a key in *updates* but absent from *dim* is a plain insert (first
-      version);
+    * a key in *updates* with NO current row in *dim* — absent entirely,
+      or carrying only closed history (a key deleted and re-appearing) —
+      is an insert: a new open version starts at its effective date
+      (r12, r11 ADVICE: the old anti-join against ALL dim keys silently
+      dropped an update whose key had only closed rows);
     * a no-op update (all tracked attributes equal) leaves the dimension
       untouched — re-applying the same batch is idempotent;
     * history rows (``is_current = 0``) are never touched.
 
     *updates* must carry at most one row per key (the Delta MERGE
     contract) — collapse duplicates with :func:`dedup_source` first.
+    *tracked* must be non-empty (an SCD2 dimension with nothing tracked
+    has no change to detect — ``ValueError``, not a silent full-close).
 
     Shape & scale: the change detection is one equi-join of the (small)
     update batch against the CURRENT slice — Catalyst broadcasts the
@@ -170,6 +175,10 @@ def scd2_merge(
     """
     keys = list(keys)
     tracked = list(tracked)
+    if not tracked:
+        raise ValueError(
+            "scd2_merge: tracked must name at least one attribute column"
+        )
     cur = dim.filter(F.col(is_current) == 1)
     cur_vals = cur.select(
         *keys, *[F.col(c).alias(f"__cur_{c}") for c in tracked]
@@ -180,7 +189,9 @@ def scd2_merge(
         d = ~F.col(c).eqNullSafe(F.col(f"__cur_{c}"))
         differs = d if differs is None else (differs | d)
     changed = joined.filter(differs).select(*updates.columns)
-    inserts = updates.join(dim.select(*keys), keys, "left_anti")
+    # anti-join against the CURRENT slice, not all of dim: a key with
+    # only closed history gets a fresh open version instead of vanishing
+    inserts = updates.join(cur.select(*keys), keys, "left_anti")
     to_version = changed.unionByName(inserts)
 
     eff = F.col(f"__chg_{eff_col}")

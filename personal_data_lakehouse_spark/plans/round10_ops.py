@@ -404,13 +404,18 @@ _SWEEP_KS = (4, 8)
 # regression by forcing the assignment recompute every run). Stale
 # entries (fixture mtime change) are unpersisted and replaced; a frame
 # evicted by a harness clearCache is simply re-persisted (same plan).
-_CELLS_CACHE: dict[str, tuple[float, list]] = {}
+# The key includes the Spark applicationId (r12, r11 ADVICE): a frame is
+# bound to the session that built it, and a process that stops/recreates
+# its session with the fixture unchanged would otherwise hit the
+# fresh-path storageLevel call on a dead session's frame.
+_CELLS_CACHE: dict[tuple[str, str], tuple[float, list]] = {}
 
 
-def _cached_cells(slot: str, mt: float, build) -> list:
+def _cached_cells(spark, slot: str, mt: float, build) -> list:
     """Return the slot's persisted cell frames, building (and persisting)
     them via *build* () -> list[DataFrame] only when absent or stale."""
-    ent = _CELLS_CACHE.get(slot)
+    key = (spark.sparkContext.applicationId, slot)
+    ent = _CELLS_CACHE.get(key)
     if ent is not None and ent[0] == mt:
         frames = ent[1]
         for f in frames:
@@ -424,7 +429,7 @@ def _cached_cells(slot: str, mt: float, build) -> list:
             except Exception:
                 pass
     frames = build()
-    _CELLS_CACHE[slot] = (mt, frames)
+    _CELLS_CACHE[key] = (mt, frames)
     return frames
 
 
@@ -523,7 +528,7 @@ def s_ivf_codebook_sweep(spark, sf_dir):
         ]
 
     mt = registry._path_mtime(f"{sf_dir}/embeddings.parquet")
-    cell_frames = _cached_cells(f"sweep:{sf_dir}", mt, _build)
+    cell_frames = _cached_cells(spark, f"sweep:{sf_dir}", mt, _build)
     per_k = [
         # threshold=-1 keeps every cell-local pair (cosine ≥ −1 always),
         # exposing the candidate set
@@ -649,7 +654,7 @@ def s_ivf_auto_codebook(spark, sf_dir):
             .persist()
         ]
 
-    (cells,) = _cached_cells(f"auto:{sf_dir}", mt, _build)
+    (cells,) = _cached_cells(spark, f"auto:{sf_dir}", mt, _build)
     return (
         blocked_pairs_from_cells(cells, threshold=-1.0)
         .agg(

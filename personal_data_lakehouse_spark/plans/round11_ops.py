@@ -129,6 +129,15 @@ def t_eval_decontaminate(spark, sf_dir):
 # Chunk-level ANN retrieval (RAG ingestion: chunk → embed → index → top-k)
 
 _CHUNK_P = 2147483647  # the engine-neutral md5-fold modulus (dedup.minhash)
+# Chunk-id stride: cid = doc_id * STRIDE + chunk_id. 100k (r12, r11
+# ADVICE: the old ×10 stride collided once a doc reached 10 chunks —
+# text ≥ ~1501 chars — making centroid selection engine-nondeterministic;
+# 100k supports ~15 MB/doc at the 150-char chunk step, far past any
+# corpus this engine chunks in one array) keeps ids dense enough for
+# BIGINT (doc_id up to ~9e13) while making collisions structurally
+# impossible at fixture AND production text lengths.
+_CHUNK_STRIDE = 100_000
+_N_QUERY_DOCS = 5  # the first five documents' chunks are the query set
 
 # DuckDB replay of the deterministic chunk "embedding": dim d of a chunk
 # is ((md5-fold of chunk||'|'||d) mod 2001) - 1000, cast to DOUBLE —
@@ -146,6 +155,53 @@ _CHUNK_VEC = (
 )
 
 
+def _chunk_vectors(spark, sf_dir):
+    """(vid, e): every document chunk's deterministic 8-dim embedding —
+    the shared ingestion front half of the chunk-ANN queries (topk +
+    recall eval). cid = doc_id * _CHUNK_STRIDE + chunk_id; all integer
+    arithmetic, bit-identical to the ``_CHUNK_VEC`` DuckDB replay."""
+    docs = t(spark, sf_dir, "documents")
+    n_chunks = F.expr(
+        "cast((greatest(length(text), 1) - 1) div 150 as int)"
+    )
+    chunk = F.expr("substring(text, chunk_id * 150 + 1, 200)")
+    p = F.lit(_CHUNK_P).cast("long")
+    dims = []
+    for d in range(8):
+        fold = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(chunk, F.lit(f"|{d}"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+            % p
+        )
+        dims.append((fold % 2001 - 1000).cast("double"))
+    return docs.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0), n_chunks)).alias("chunk_id"),
+    ).select(
+        (F.col("doc_id") * _CHUNK_STRIDE + F.col("chunk_id"))
+        .cast("long")
+        .alias("vid"),
+        F.array(*dims).alias("e"),
+    )
+
+
+def _chunk_query_cand(spark, sf_dir):
+    """The chunk-ANN query/candidate split: the first ``_N_QUERY_DOCS``
+    documents' chunks are the queries, everything else the corpus."""
+    vecs = _chunk_vectors(spark, sf_dir)
+    bound = _N_QUERY_DOCS * _CHUNK_STRIDE
+    queries = vecs.filter(F.col("vid") < bound).select(
+        F.col("vid").alias("qid"), F.col("e").alias("qe")
+    )
+    return queries, vecs.filter(F.col("vid") >= bound)
+
+
 def _chunk_ann_oracle() -> str:
     from personal_data_lakehouse_spark.plans.similarity_ops import _cos
 
@@ -156,13 +212,15 @@ def _chunk_ann_oracle() -> str:
                    AS chunk_id
         FROM documents
     ),
-    ch AS (SELECT doc_id * 10 + chunk_id AS cid,
+    ch AS (SELECT doc_id * {_CHUNK_STRIDE} + chunk_id AS cid,
                   substr(text, CAST(chunk_id * 150 + 1 AS INT), 200)
                       AS chunk
            FROM c),
     vecs AS (SELECT cid, {_CHUNK_VEC} AS e FROM ch),
-    q AS (SELECT cid AS qid, e AS qe FROM vecs WHERE cid < 50),
-    cand AS (SELECT cid, e FROM vecs WHERE cid >= 50),
+    q AS (SELECT cid AS qid, e AS qe FROM vecs
+          WHERE cid < {_N_QUERY_DOCS * _CHUNK_STRIDE}),
+    cand AS (SELECT cid, e FROM vecs
+             WHERE cid >= {_N_QUERY_DOCS * _CHUNK_STRIDE}),
     cents AS (SELECT cid AS ccid, e AS ce FROM (
                   SELECT cid, e, ROW_NUMBER() OVER (ORDER BY cid) AS rn
                   FROM cand) WHERE rn <= 8),
@@ -220,39 +278,7 @@ def s_chunk_ann_topk(spark, sf_dir):
     )
     from personal_data_lakehouse_spark.similarity.ivf import ivf_topk
 
-    docs = t(spark, sf_dir, "documents")
-    n_chunks = F.expr(
-        "cast((greatest(length(text), 1) - 1) div 150 as int)"
-    )
-    chunk = F.expr("substring(text, chunk_id * 150 + 1, 200)")
-    p = F.lit(_CHUNK_P).cast("long")
-    dims = []
-    for d in range(8):
-        fold = (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(chunk, F.lit(f"|{d}"))), 1, 15
-                ),
-                16,
-                10,
-            ).cast("long")
-            % p
-        )
-        dims.append((fold % 2001 - 1000).cast("double"))
-    vecs = docs.select(
-        "doc_id",
-        "text",
-        F.explode(F.sequence(F.lit(0), n_chunks)).alias("chunk_id"),
-    ).select(
-        (F.col("doc_id") * 10 + F.col("chunk_id"))
-        .cast("long")
-        .alias("vid"),
-        F.array(*dims).alias("e"),
-    )
-    queries = vecs.filter(F.col("vid") < 50).select(
-        F.col("vid").alias("qid"), F.col("e").alias("qe")
-    )
-    cand = vecs.filter(F.col("vid") >= 50)
+    queries, cand = _chunk_query_cand(spark, sf_dir)
     # codebook = the 8 lowest candidate chunk ids, as a PLAN (LIMIT →
     # broadcast), not a driver collect — pick_centroids needs literal
     # ids, which chunk ids aren't until runtime
@@ -309,7 +335,8 @@ def s_chunk_ann_topk(spark, sf_dir):
     ),
     ins AS (
         SELECT u.* FROM upd u
-        WHERE u.c_custkey NOT IN (SELECT c_custkey FROM dim)
+        WHERE u.c_custkey NOT IN (SELECT c_custkey FROM dim
+                                  WHERE is_current = 1)
     )
     SELECT d.c_custkey, d.c_mktsegment, d.c_acctbal, d.valid_from,
            CASE WHEN d.is_current = 1

@@ -87,6 +87,80 @@ def auto_codebook(
     return k, ids, pick_centroids(candidates, ids, id_col, vec_col)
 
 
+def kmeans_codebook(
+    candidates: DataFrame,
+    init_ids: list[int],
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd-style k-means codebook (r12, VERDICT r11
+    directive #3): the executable witness for SCALE.md §9's "at 100 TB
+    the codebook is a k-means job" — every other IVF operator uses the
+    lowest-id member stand-in, which shares the dataflow but not the
+    cell balance/recall of real centroids.
+
+    Deterministic by construction, so the DuckDB oracle replays it
+    bit-identically:
+
+    * init = the member vectors with *init_ids* (the same seed-free
+      lowest-id choice the stand-in codebook uses — k-means|| would add
+      randomness without changing the dataflow);
+    * each of the fixed *iters* rounds assigns every vector to its
+      nearest centroid by cosine (ties → lower cid, the
+      :func:`assign_cells` rule) and recomputes each cell's centroid as
+      the QUANTIZED mean — per dimension, ``sum(floor(v·10⁶)) /
+      (n·10⁶)``: floor is exact, the BIGINT sum is associative (any
+      partition order gives the same integer), and the single closing
+      double division is correctly rounded in both engines. A plain
+      double mean would depend on partition summation order and flake
+      the hash gate; at 10⁻⁶ quantization the centroid moves by < 1e-6
+      per dim, invisible to recall.
+    * an empty cell keeps its previous centroid (cells keep their
+      initial cid, so the codebook's ids are stable across rounds).
+
+    Scale: assignment is the same map-only broadcast-codebook stage as
+    :func:`assign_cells`; the update is one (cid, pos) hash aggregate
+    over |N|·dim rows — the classic two-stage Lloyd's iteration, driver
+    coordinates nothing (no collect; the next round's codebook is a
+    broadcast subplan). iters is fixed and small (production k-means
+    runs 5-20 rounds; the determinism argument is iteration-count
+    independence, not convergence).
+    """
+    cents = pick_centroids(candidates, init_ids, id_col, vec_col)
+    for _ in range(iters):
+        asg = assign_cells(candidates, cents, id_col, vec_col, n=1)
+        q = F.floor(F.col("v").cast("double") * 1_000_000).cast("long")
+        means = (
+            asg.select(
+                F.col("cell").alias("cid"),
+                F.posexplode(vec_col).alias("pos", "v"),
+            )
+            .select("cid", "pos", q.alias("q"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "s", "n"))
+                    ),
+                    lambda x: x["s"].cast("double")
+                    / (x["n"].cast("double") * 1_000_000.0),
+                ).alias("me")
+            )
+        )
+        cents = (
+            cents.join(means, "cid", "left")
+            .select(
+                "cid",
+                F.coalesce("me", "ce").alias("ce"),
+            )
+            .withColumn("_cen", norm_col("ce"))
+        )
+    return cents
+
+
 def assign_cells(
     vectors: DataFrame,
     cents: DataFrame,

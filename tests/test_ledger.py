@@ -65,6 +65,32 @@ def test_rotation_queue_orders_never_then_oldest(tmp_path):
                                   repo_root=tmp) == ["aa_never", "old1"]
 
 
+def test_rotation_queue_requeues_freshly_broken_first(tmp_path):
+    """r12 (r11 ADVICE): a query whose MOST RECENT driver row is a
+    hash-miss/error must re-enter the queue at the FRONT — its older
+    green round is no longer current evidence. A later green row
+    restores normal aging."""
+    tmp = str(tmp_path)
+    _write(tmp, 1, {"a": GREEN, "b": GREEN, "c": GREEN})
+    _write(tmp, 2, {"b": HASH_MISS, "c": ERRORED})
+    names = ["never1", "a", "b", "c"]
+    q = ledger.rotation_queue(names, repo_root=tmp)
+    # b and c broke in r2 (ties: both carry r1 green evidence →
+    # alphabetical); never1 next; a is the only healthy aged row
+    assert q == ["b", "c", "never1", "a"]
+    # a re-proof heals: c green again in r3 → back to aging order
+    _write(tmp, 3, {"c": GREEN})
+    assert ledger.rotation_queue(names, repo_root=tmp) == [
+        "b", "never1", "a", "c"
+    ]
+    # a non-green row for a NEVER-green query ranks as broken (front),
+    # with evidence age 0
+    _write(tmp, 4, {"d": ERRORED})
+    assert ledger.rotation_queue(names + ["d"], repo_root=tmp) == [
+        "d", "b", "never1", "a", "c"
+    ]
+
+
 def test_entry_priority_is_ledger_derived():
     head = entry_mod._NEW + entry_mod._REPROOF + entry_mod._PROMISED
     expect = head + ledger.rotation_refill(

@@ -109,6 +109,33 @@ def test_scd2_merge_never_shuffles_the_dimension(spark):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def test_scd2_merge_rejects_empty_tracked(spark):
+    """r12 (r11 ADVICE): tracked=[] left the differs predicate None and
+    crashed filter(None) — now an explicit contract error."""
+    import pytest
+
+    dim = _dim(spark, [(1, "A", 10.0, D0, None, 1)])
+    upd = _upd(spark, [(1, "A", 10.0, EFF)])
+    with pytest.raises(ValueError, match="tracked"):
+        scd2_merge(dim, upd, keys=["k"], tracked=[], eff_col="eff_date")
+
+
+def test_scd2_merge_currentless_key_gets_fresh_version(spark):
+    """r12 (r11 ADVICE): a key carrying ONLY closed history (deleted and
+    re-appearing) was silently dropped by the old all-keys anti-join;
+    it must now open a fresh version, leaving the history untouched."""
+    dim = _dim(spark, [(1, "A", 10.0, D0, EFF, 0)])  # closed row only
+    upd = _upd(spark, [(1, "B", 11.0, datetime.date(2021, 1, 1))])
+    out = scd2_merge(
+        dim, upd, keys=["k"], tracked=["seg", "bal"], eff_col="eff_date"
+    )
+    rows = sorted(map(tuple, out.collect()))
+    assert rows == [
+        (1, "A", 10.0, D0, EFF, 0),  # history byte-untouched
+        (1, "B", 11.0, datetime.date(2021, 1, 1), None, 1),
+    ]
+
+
 def _scd2_invariants(rows):
     """Pure-Python SCD2 table invariants, independent of the operator."""
     from collections import defaultdict

@@ -18,10 +18,14 @@ from reality again:
   schema + hash all true, no err; rows-only green = the driver's
   documented weaker check for oracle-less queries, err == 'no_oracle'
   with a recorded row count).
+* :func:`latest_row_green` — whether each query's MOST RECENT driver row
+  was green (r12, r11 ADVICE): a freshly-regressed query must re-queue
+  promptly, not coast on an older green round for a full rotation.
 * :func:`rotation_refill` — the refill section of the entry file's
-  ``_PRIORITY``: never-driver-evaluated queries first (registration
-  order), then oldest-evidence-first (ties alphabetical), truncated to
-  the slots left after the round's NEW and RE-PROOF sections.
+  ``_PRIORITY``: freshly-broken queries first, then
+  never-driver-evaluated (registration order), then
+  oldest-evidence-first (ties alphabetical), truncated to the slots
+  left after the round's NEW and RE-PROOF sections.
 
 ``python tools/ledger.py`` prints the evidence-age census and the next
 window's refill — the audit trail the entry file used to hand-write.
@@ -81,24 +85,52 @@ def latest_green(repo_root: str = REPO_ROOT) -> dict[str, int]:
     return latest
 
 
+def latest_row_green(repo_root: str = REPO_ROOT) -> dict[str, bool]:
+    """Whether each query's MOST RECENT driver row (green or not) was
+    green. A query whose newest artifact row is a hash-miss/error is
+    freshly BROKEN — the r11 ADVICE finding: ``latest_green`` alone kept
+    crediting its older green round, so a regression waited a full
+    rotation instead of being re-queued promptly."""
+    status: dict[str, bool] = {}
+    for _rnd, path in _artifact_paths(repo_root):
+        with open(path) as f:
+            data = json.load(f)
+        for name, rec in data.items():
+            status[name] = _is_green(rec)  # ascending rounds: last wins
+    return status
+
+
 def rotation_queue(
     registry_names: Sequence[str],
     exclude: Iterable[str] = (),
     repo_root: str = REPO_ROOT,
 ) -> list[str]:
-    """Full refill queue: never-evaluated first (registration order),
-    then oldest-evidence-first, ties broken alphabetically. *exclude*
-    removes names already placed in the window's NEW/RE-PROOF sections.
+    """Full refill queue: freshly-BROKEN queries first (most recent
+    driver row non-green — oldest green evidence first, ties
+    alphabetical), then never-evaluated (registration order), then
+    oldest-evidence-first (ties alphabetical). *exclude* removes names
+    already placed in the window's NEW/RE-PROOF sections.
     """
     led = latest_green(repo_root)
+    ok = latest_row_green(repo_root)
     skip = set(exclude)
-    never = [n for n in registry_names if n not in led and n not in skip]
+    reg = set(registry_names)
+    broken = sorted(
+        (led.get(n, 0), n)
+        for n, green in ok.items()
+        if not green and n in reg and n not in skip
+    )
+    broken_names = [n for _, n in broken]
+    never = [
+        n for n in registry_names
+        if n not in ok and n not in skip
+    ]
     aged = sorted(
         (rnd, n)
         for n, rnd in led.items()
-        if n in set(registry_names) and n not in skip
+        if n in reg and n not in skip and ok.get(n, False)
     )
-    return never + [n for _, n in aged]
+    return broken_names + never + [n for _, n in aged]
 
 
 def rotation_refill(
@@ -133,6 +165,13 @@ def main() -> None:
     never = [n for n in names if n not in led]
     if never:
         print(f"never evaluated ({len(never)}): {never}")
+    broken = [
+        n for n, green in latest_row_green().items()
+        if not green and n in set(names)
+    ]
+    if broken:
+        print(f"freshly broken (latest driver row non-green, "
+              f"{len(broken)}): {sorted(broken)}")
     head = (
         getattr(entry, "_NEW", [])
         + getattr(entry, "_REPROOF", [])
