@@ -52,6 +52,7 @@ import personal_data_lakehouse_spark.plans.round8_ops  # noqa: F401,E402
 import personal_data_lakehouse_spark.plans.round9_ops  # noqa: F401,E402
 import personal_data_lakehouse_spark.plans.round10_ops  # noqa: F401,E402
 import personal_data_lakehouse_spark.plans.round11_ops  # noqa: F401,E402
+import personal_data_lakehouse_spark.plans.round12_ops  # noqa: F401,E402
 
 from personal_data_lakehouse_spark.plans.registry import (  # noqa: E402
     REGISTRY,
@@ -81,6 +82,32 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # below; `python tools/ledger.py` prints the census + this window's
 # refill — the audit trail that used to be hand-written arithmetic here.
 #
+# Round 12's head sections (VERDICT r11 directive #1: keep NEW+RE-PROOF
+# ≤ ~11 so the ENTIRE 39-row r4/r5 backlog fits — this window finishes
+# the two-window drain the r10 finding started; the one-time _PROMISED
+# section is deleted as promised, the refill below is purely
+# artifact-derived):
+#   (a) _NEW — 3 additions: s_ivf_kmeans_codebook (directive #3: the
+#       deterministic-Lloyd codebook recall-vs-lowest-id witness),
+#       t_decontaminate_incremental (directive #4: the stored
+#       train-spine artifact + probe-only increment, hash-equal to the
+#       full recompute via the shared oracle), s_chunk_ann_recall
+#       (directive #5: chunk-granular IVF recall vs brute force).
+#   (b) _REPROOF — 4 rows whose plans or ORACLES changed this round:
+#       s_chunk_ann_topk (r11 ADVICE: chunk-id stride ×10 → ×100k in
+#       plan AND oracle — the ≥10-chunk collision fix), q_merge_scd2
+#       (r11 ADVICE: inserts now anti-join the CURRENT slice; oracle
+#       aligned), and t_bpe_merges / t_bpe_encode (directive #6
+#       overdelivered: the wrapped-symbol replace-chain SQL retires the
+#       whole BPE rows-only class — these two move from rows-only to
+#       exact hashes and must prove it inside the window;
+#       t_tokenizer_fertility picks up ITS new oracle in the refill,
+#       where it already sits in the r5 class).
+#   (c) refill — 43 slots from tools/ledger.py: the 3 remaining
+#       r4-latest rows, all 36 r5-latest rows, then the front of the
+#       r8 class. After this window the census has NOTHING older than
+#       r8 — the stale-evidence class is retired.
+#
 # Round 11's head sections:
 #   (a) _NEW — 3 additions: t_eval_decontaminate (partial n-gram eval-set
 #       decontamination against the md5-coined split — the overlap check
@@ -103,16 +130,10 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #   (c) _PROMISED — one-time: the 4 rows the r10 cap squeezed out
 #       (q_cross_join, t_udtf_word_windows, m_binary_meta,
 #       m_frame_sample), promised the front of this queue by the r10
-#       entry file and by directive #1. Strict oldest-first would rank
-#       their r7 evidence behind the r4/r5 backlog; the promise is
-#       honored explicitly and the section disappears in r12.
-#   (d) refill — the remaining 41 slots from tools/ledger.py: per the
-#       artifacts at r11 start, 41 of the 44 r4-latest rows
-#       (oldest-evidence class, alphabetical; the 3 rows-only
-#       t_bpe_encode/t_bpe_merges/q_hll_mv sort here too) — draining
-#       the oldest class exactly as directive #1 ordered ("~41");
-#       r12's refill picks up the 3 remaining r4 rows and the 36
-#       r5-latest rows (33 hashable + 3 rows-only) automatically.
+#       entry file and by directive #1 — honored in r11, section deleted
+#       in r12 as promised.
+#   (d) refill — the remaining 41 slots from tools/ledger.py: 41 of the
+#       44 r4-latest rows (oldest-evidence class, alphabetical).
 #
 # Round 10's window (per VERDICT r9 directives 1/2/4), arithmetic:
 #   (a) NEW in r10 — 5 additions (<= 10 cap): t_corpus_pipeline_
@@ -157,123 +178,30 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #   the r8-latest rows (43: q_histogram .. t_sample_stratified — see
 #   CORRECTNESS_r08 minus the r9/r10 windows), oldest-evidence-first.
 #
-# Round 9's window (kept for the ledger; per VERDICT r8 items 1/2/3/5),
-# arithmetic:
-#   (a) NEW in r9 — 4 additions (<= 10 cap): t_corpus_pipeline_incremental
-#       (VERDICT item 1: batch MERGE through the full funnel, hash-equal
-#       to full recompute), q_stream_semdedup_admit_v2 (item 3: index
-#       maintenance on admit), m_media_neardup (item 5: multimodal × ANN
-#       composition), and — late-round, slotted under (d) — the
-#       t_stream_corpus_increments fusion (the capstone as a live delta
-#       stream);
-#   (b) plan changed in r9 — 7 re-proofs: the FIXTURE_GEN generator-tag
-#       suffix on source-fixture dir names (streaming/windows.py, r8
-#       ADVICE) touches every fixture consumer's scan path — content is
-#       byte-identical and the path was never stable across runs (the
-#       work root is per-PID), so these are out-of-caution re-proofs:
-#       q_text_intake, q_jsonl_intake, q_stream_text_intake,
-#       q_stream_jsonl_intake, q_stream_substring_spans,
-#       q_stream_semdedup_admit; plus t_corpus_pipeline_e2e (its rollup
-#       moved into the shared corpus.pipeline_rollup — expression-
-#       identical, re-proven because the code moved);
-#   (c) VERDICT item 2: the ENTIRE precomputed 38-row r8 queue
-#       (t_substring_dedup + the 37 other r6-latest rows listed below) —
-#       after this window no ledger row is older than r7;
-#   (d) the 2 remaining slots: the fourth NEW query
-#       (t_stream_corpus_increments) and one r7-latest bench headliner
-#       (q02_monthly_rollup — timed every round).
-#   4 + 7 + 38 + 1 = 50 exactly.
-#
-#   The r10 QUEUE (precomputed): q_silver_cleaning (the r7-latest bench
-#   headliner squeezed out by the late t_stream_corpus_increments
-#   addition) + the remaining r7-latest rows, PLUS the ~12 MinHash-LSH
-#   consumers IF r10 lands the measured _banded_docs optimization
-#   (collect_set instead of distinct+collect_list: 2.77 → 2.10 s on the
-#   index build at sf0.1, deferred from r9's directive-6 attribution
-#   because the re-proof ripple did not fit this window):
-#   t_minhash_lsh_pairs, t_minhash_containment, t_minhash_estimate_error,
-#   t_minhash_signatures, t_neardup_incremental, t_neardup_verified,
-#   t_neardup_source_matrix, t_dedup_clusters, t_dedup_cluster_stats,
-#   t_dedup_keep_best, t_corpus_pipeline_e2e,
-#   t_corpus_pipeline_incremental, t_stream_corpus_increments.
-#
-# Round 8's window (kept for the ledger; per VERDICT r7 items 1/2/3/4/5/7),
-# arithmetic:
-#   (a) NEW in r8 — 4 additions (<= 10 cap): t_corpus_pipeline_e2e
-#       (VERDICT item 2), q_stream_semdedup_admit (item 3),
-#       q_stream_jsonl_intake (item 4), q_stream_text_intake (the
-#       raw-text sibling completing the streaming intake pair);
-#   (b) plan changed in r8 — 7 re-proofs: the connected-components
-#       rework (self-loop fused hops + edge-free early exit,
-#       dedup/cluster.py) touches every closure consumer
-#       (t_dedup_clusters, t_dedup_cluster_stats, t_dedup_keep_best,
-#       t_semdedup_clusters — VERDICT item 5's re-proof set), and the
-#       fixture-manufacture-out-of-timed-region change (VERDICT item 7,
-#       streaming/windows.source_fixture_dir) touches q_text_intake,
-#       q_jsonl_intake, q_stream_substring_spans;
-#   (c) VERDICT item 1: the ENTIRE precomputed 35-row r7 queue
-#       (q_histogram .. t_sample_stratified, r3-latest evidence).
-#   4 + 7 + 35 = 46 rows, 4 slots spare. After this window EVERY ledger
-#   row is within the trailing-3-round target for the first time:
-#   nothing older than r6 remains (r1-r5 rows all re-proven by r6/r7/r8
-#   windows or superseded by plan-change re-proofs).
-#
-# Round 7's window (kept for the ledger; per VERDICT r6 items 1/2/3/4/5/8):
-#   (a) queries whose CODE/PLAN changed this round — the coalesce-before-
-#       persist + corpus-shuffle-removal fixes touched dedup/cluster.py
-#       (t_dedup_clusters, t_dedup_cluster_stats, t_dedup_keep_best) and
-#       similarity/ivf.py assign_cells (zero-norm guard + cell-cache
-#       coalesce: s_ivf_ann_topk, t_embed_neardup, s_knn_incremental,
-#       s_knn_graph, s_ann_recall_eval); the sentinel read-back filter
-#       moved from business keys to the far-future time bound
-#       (q_stream_tumbling/session/sliding_agg), and the streaming work
-#       dirs became reused-wiped paths (q_stream_dedup,
-#       q_stream_stream_join re-proven out of caution);
-#   (b) new in r7: q_text_intake (raw-text on-ramp end-to-end, VERDICT
-#       item 3), q_stream_substring_spans (streaming substring probe,
-#       VERDICT item 4), q_jsonl_intake (JSONL on-ramp + quarantine) and
-#       t_semdedup_clusters (semantic dedup closure) — 4 additions,
-#       under the <=10 cap;
-#   (c) VERDICT item 1: the 11 r2-latest TPC-H shapes (oldest evidence);
-#   (d) VERDICT item 8: q02_monthly_rollup + q_silver_cleaning (benched
-#       every round, latest rows r4);
-#   (e) refill: the first 13 of the 49 r3-latest rows (list below).
-#
-# (The r8 queue precomputed at the end of r7 — the 35 rows q_histogram ..
-# t_sample_stratified — is EXECUTED by this round's section (c) below.
-# Older window ledgers (r6 and earlier) live in git history of this file.)
+# (Window ledgers for r9 and earlier live in git history of this file.)
 # NEW this round — never driver-evaluated, outrank everything.
 _NEW = [
-    "t_eval_decontaminate",
-    "q_merge_scd2",
-    "s_chunk_ann_topk",
+    "s_ivf_kmeans_codebook",
+    "t_decontaminate_incremental",
+    "s_chunk_ann_recall",
 ]
-# Query BODIES changed this round (r10 ADVICE closures) — re-proven out
-# of caution even though the hashed results are plan-identical.
+# Plans or ORACLES changed this round (r11 ADVICE closures + the BPE
+# rows-only retirement) — must re-prove under the new check in-window.
 _REPROOF = [
-    "s_ivf_codebook_sweep",
-    "s_ivf_auto_codebook",
-]
-# One-time (r11 only): the four rows the r10 window cap squeezed out,
-# promised the front of this queue by the r10 entry file AND by VERDICT
-# r10 directive #1. Strict oldest-first would rank them behind the r4/r5
-# backlog (they carry r7 evidence); the promise is honored explicitly
-# here and this section disappears in r12 — the refill below is purely
-# artifact-derived.
-_PROMISED = [
-    "q_cross_join",
-    "t_udtf_word_windows",
-    "m_binary_meta",
-    "m_frame_sample",
+    "s_chunk_ann_topk",
+    "q_merge_scd2",
+    "t_bpe_merges",
+    "t_bpe_encode",
 ]
 
 
 def _build_priority() -> list[str]:
     """Head sections + the artifact-derived refill (tools/ledger.py):
-    never-evaluated first, then oldest-driver-evidence-first. The 50-slot
-    window cap falls inside the refill; the rest of the registry
-    re-verifies only if the driver evaluates more than 50."""
-    head = _NEW + _REPROOF + _PROMISED
+    freshly-broken first, then never-evaluated, then
+    oldest-driver-evidence-first. The 50-slot window cap falls inside
+    the refill; the rest of the registry re-verifies only if the driver
+    evaluates more than 50."""
+    head = _NEW + _REPROOF
     return head + rotation_refill(
         list(REGISTRY), exclude=head, slots=WINDOW_SLOTS - len(head)
     )

@@ -863,26 +863,23 @@ _inject_triangle_oracle()
 # Tokenizer fertility (BPE evaluation) — rows-only by design
 
 
-@query("t_tokenizer_fertility", oracle=None)
+@query("t_tokenizer_fertility", oracle=None)  # injected by round12_ops
 def t_tokenizer_fertility(spark, sf_dir):
     """Tokenizer FERTILITY per language bucket: BPE tokens per word under
     the corpus-trained 8-merge tokenizer — the standard tokenizer-quality
     metric (a language whose fertility is 2× pays 2× the sequence length
     for the same text). Integer millis (1000·tokens div words) so the
-    ratio is engine-exact. Rows-only like the other BPE queries (the
-    trained merge chain is not one SQL expression); the encode itself is
-    pinned bit-exact to a sequential reference in tests/test_bpe.py, and
-    this rollup's internal consistency is pinned in
-    tests/test_round5_ops.py.
+    ratio is engine-exact. The encode is pinned bit-exact to a sequential
+    reference in tests/test_bpe.py, and this rollup's internal
+    consistency in tests/test_round5_ops.py.
 
-    r8 note (VERDICT r7 item 8 evaluated, skipped with cause): an
-    inject-time CONSTANT oracle would pin one SF's rows while the
-    differential harness runs sf0.001/0.01/0.1 against the same SQL —
-    exactly the brittleness the verdict said disqualifies it; and a
-    DuckDB-computed oracle needs the per-word LEFT-TO-RIGHT
-    non-overlapping merge fold, which is a sequential reduction no SQL
-    expression form covers (the original rows-only rationale). The
-    sequential-reference pytest pin remains the proof.
+    Oracle history: the r8 note declared the per-word LEFT-TO-RIGHT
+    non-overlapping merge fold "a sequential reduction no SQL expression
+    form covers" — r12 (VERDICT r11 directive #6) retired that: the fold
+    IS DuckDB's left-to-right ``replace`` over a delimiter-wrapped
+    symbol string, and the data-dependent training rounds unroll into
+    argmax CTE stages (plans/round12_ops._inject_bpe_oracles), so the
+    gate now hashes this rollup exactly at every SF from one SQL string.
 
     Scale: encode runs per DISTINCT word (vocabulary-sized, not
     corpus-sized); the corpus pays one hash join + one (lang) aggregate."""

@@ -528,15 +528,18 @@ def bpe_merges_for(spark, sf_dir: str, n_merges: int = 8):
     return _BPE_MERGE_MEMO[key]
 
 
-@query("t_bpe_merges", oracle=None)
+@query("t_bpe_merges", oracle=None)  # exact oracle injected by round12_ops
 def t_bpe_merges(spark, sf_dir):
     """First 8 BPE merges learned from the corpus (functions/bpe.py):
     driver-coordinated iteration like m_kmeans_centroids, with all per-round
     work (pair counting, greedy merge application) running as codegen'd
-    array lambdas over the distinct-word table. Not SQL-expressible as one
-    oracle query (N data-dependent rounds), so the gate records rows-only;
-    bit-exact equivalence to a sequential reference implementation is
-    pinned in tests/test_bpe.py."""
+    array lambdas over the distinct-word table. Rows-only through r11;
+    r12 retired that — the 8 data-dependent rounds unroll into argmax CTE
+    stages and the greedy fold is a wrapped-symbol replace chain
+    (plans/round12_ops._inject_bpe_oracles), so the gate hashes the merge
+    list exactly. Bit-exact equivalence to a sequential reference
+    implementation stays pinned in tests/test_bpe.py (the independent
+    algebra check a shared-bug differential can't provide)."""
     merges = bpe_merges_for(spark, sf_dir, n_merges=8)
     return spark.createDataFrame(
         [(i + 1, left, right, cnt) for i, (left, right, cnt) in enumerate(merges)],
@@ -544,14 +547,14 @@ def t_bpe_merges(spark, sf_dir):
     )
 
 
-@query("t_bpe_encode", oracle=None)
+@query("t_bpe_encode", oracle=None)  # exact oracle injected by round12_ops
 def t_bpe_encode(spark, sf_dir):
     """Tokenize the corpus with the trained merges (functions/bpe.py:
     encode_bpe): per document, word count and BPE token count. The encode
     runs once per DISTINCT word and joins back — the corpus never pays the
-    per-merge folds. Rows-only like the trainer (the N-round merge chain
-    is not one SQL query); the sequential-reference equivalence is pinned
-    in tests/test_bpe.py::test_encode_bpe_matches_sequential_reference."""
+    per-merge folds. Hashed exactly since r12 (the round12_ops train+encode
+    replay); the sequential-reference equivalence stays pinned in
+    tests/test_bpe.py::test_encode_bpe_matches_sequential_reference."""
     from personal_data_lakehouse_spark.functions.bpe import encode_bpe
 
     docs = t(spark, sf_dir, "documents")

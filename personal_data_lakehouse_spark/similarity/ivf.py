@@ -127,7 +127,12 @@ def kmeans_codebook(
     runs 5-20 rounds; the determinism argument is iteration-count
     independence, not convergence).
     """
-    cents = pick_centroids(candidates, init_ids, id_col, vec_col)
+    # widen the float32 member vectors to double up front: the update's
+    # COALESCE(mean, previous) needs one element type, and every
+    # downstream dot widens to double anyway (exact float->double)
+    cents = pick_centroids(candidates, init_ids, id_col, vec_col).select(
+        "cid", F.col("ce").cast("array<double>").alias("ce"), "_cen"
+    )
     for _ in range(iters):
         asg = assign_cells(candidates, cents, id_col, vec_col, n=1)
         q = F.floor(F.col("v").cast("double") * 1_000_000).cast("long")

@@ -45,17 +45,14 @@ def test_priority_prefix_is_oracle_backed():
     rows-only sketch/tokenizer queries (VERDICT r3 item 8: a rows_match row
     is still signal for ops whose output is non-SQL-expressible — they get
     a slot once, this round)."""
-    # r4: sketch/tokenizer outputs with no SQL equivalent. r5: the two
-    # approx-sketch queries re-enter the window because their only driver
-    # row is round-1 (the rotation's no-row-older-than-r2 goal) — their
-    # value correctness is bounded in tests/test_advanced.py.
+    # Engine-specific sketch outputs with no SQL equivalent (value
+    # correctness bounded in tests/test_advanced.py). r12: the three BPE
+    # queries left this set — the wrapped-symbol replace-chain oracle
+    # (plans/round12_ops.py) hashes them exactly now.
     rows_only_wired = {
         "q_hll_mv",
-        "t_bpe_merges",
-        "t_bpe_encode",
         "q_approx_distinct",
         "q_approx_percentile",
-        "t_tokenizer_fertility",  # BPE merge chain — pytest-pinned instead
     }
     names = entry_mod._ordered_names()[:50]
     for n in names:

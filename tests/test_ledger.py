@@ -92,7 +92,7 @@ def test_rotation_queue_requeues_freshly_broken_first(tmp_path):
 
 
 def test_entry_priority_is_ledger_derived():
-    head = entry_mod._NEW + entry_mod._REPROOF + entry_mod._PROMISED
+    head = entry_mod._NEW + entry_mod._REPROOF
     expect = head + ledger.rotation_refill(
         list(REGISTRY),
         exclude=head,
@@ -110,9 +110,7 @@ def test_entry_refill_is_oldest_first():
     failure mode the r10 judge found: a 6-round-old class skipped while
     fresher rows were re-proven)."""
     led = ledger.latest_green()
-    head = set(
-        entry_mod._NEW + entry_mod._REPROOF + entry_mod._PROMISED
-    )
+    head = set(entry_mod._NEW + entry_mod._REPROOF)
     refill = [n for n in entry_mod._PRIORITY if n not in head]
     ages = [led.get(n, 0) for n in refill]  # 0 = never evaluated
     assert ages == sorted(ages), "refill not oldest-evidence-first"

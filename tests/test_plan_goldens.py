@@ -114,6 +114,15 @@ GOLDEN_EXTRA = [
     "t_eval_decontaminate",
     "q_merge_scd2",
     "s_chunk_ann_topk",
+    # round-12 operators: the deterministic-Lloyd codebook recall eval
+    # (its all-broadcast assignment rounds ARE the scale claim), the
+    # chunk-granular recall eval, and the stored-spine incremental
+    # decontamination (normalize_plan strips the artifact work-dir
+    # paths, the intake-query precedent; its batch-filter scan pin is
+    # the executed-plan test in test_round12_ops.py)
+    "s_ivf_kmeans_codebook",
+    "s_chunk_ann_recall",
+    "t_decontaminate_incremental",
     # (q_text_intake / q_stream_substring_spans / q_jsonl_intake are in
     # HEADLINE and pinnable — normalize_plan strips the work-dir paths;
     # t_semdedup_clusters is HEADLINE too but golden-EXCLUDED below: its

@@ -103,6 +103,18 @@ BUDGET: dict[str, dict[str, int]] = {
     # broadcast-codebook cell assignment on each side (query probes +
     # candidate cells), the s_ivf_ann_topk shape over chunk vectors
     "s_chunk_ann_topk": {"bnlj": 2},
+    # r12: the chunk-recall eval = the s_chunk_ann_topk chain (2) + the
+    # brute-force ground truth's broadcast query set (1) + the exact
+    # side's 8-row query spine re-joined for the zero-fill (1) — every
+    # broadcast side is k-row (codebook or query chunks), never corpus
+    "s_chunk_ann_recall": {"bnlj": 4},
+    # r12: two IVF variants (2 bnlj each: cell assignment + probe
+    # assignment), the kmeans variant's 2 Lloyd assignment rounds whose
+    # 8-row codebook BroadcastExchange prints once per downstream
+    # consumer REFERENCE (the textual over-count the r10 budget note
+    # documents), plus the brute-force ground truth — all broadcast
+    # sides are the 8-row codebook or 8-row query set
+    "s_ivf_kmeans_codebook": {"bnlj": 14},
     "s_cosine_topk": {"bnlj": 1},
     "s_ivf_ann_topk": {"bnlj": 2},
     "s_ivf_pq_topk": {"bnlj": 4},
