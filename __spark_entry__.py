@@ -87,12 +87,17 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # the two-window drain the r10 finding started; the one-time _PROMISED
 # section is deleted as promised, the refill below is purely
 # artifact-derived):
-#   (a) _NEW — 3 additions: s_ivf_kmeans_codebook (directive #3: the
+#   (a) _NEW — 6 additions: s_ivf_kmeans_codebook (directive #3: the
 #       deterministic-Lloyd codebook recall-vs-lowest-id witness),
 #       t_decontaminate_incremental (directive #4: the stored
 #       train-spine artifact + probe-only increment, hash-equal to the
 #       full recompute via the shared oracle), s_chunk_ann_recall
-#       (directive #5: chunk-granular IVF recall vs brute force).
+#       (directive #5: chunk-granular IVF recall vs brute force); plus
+#       the second wave: t_stream_decontaminate (the decon spine as a
+#       live delta stream — recompute ≡ increment ≡ stream, one shared
+#       oracle), t_countmin_heavyhitters (deterministic mergeable CMS,
+#       the exact-oracle sibling of the rows-only HLL sketch), and
+#       t_vocab_coverage (frequency-spectrum tokenizer sizing).
 #   (b) _REPROOF — 4 rows whose plans or ORACLES changed this round:
 #       s_chunk_ann_topk (r11 ADVICE: chunk-id stride ×10 → ×100k in
 #       plan AND oracle — the ≥10-chunk collision fix), q_merge_scd2
@@ -180,10 +185,20 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #
 # (Window ledgers for r9 and earlier live in git history of this file.)
 # NEW this round — never driver-evaluated, outrank everything.
+# Second wave: t_stream_decontaminate completes the decon family's
+# recompute ≡ increment ≡ stream symmetry (one shared oracle, the
+# corpus-pipeline trio's pattern), t_countmin_heavyhitters is the
+# exact-oracle mergeable frequency sketch (the CMS sibling of the
+# rows-only HLL), t_vocab_coverage the frequency-spectrum tokenizer
+# sizing curve. Head stays 6+4=10 ≤ ~11, so the refill keeps ≥ 39
+# slots and the full r4/r5 backlog still drains this window.
 _NEW = [
     "s_ivf_kmeans_codebook",
     "t_decontaminate_incremental",
     "s_chunk_ann_recall",
+    "t_stream_decontaminate",
+    "t_countmin_heavyhitters",
+    "t_vocab_coverage",
 ]
 # Plans or ORACLES changed this round (r11 ADVICE closures + the BPE
 # rows-only retirement) — must re-prove under the new check in-window.

@@ -123,6 +123,14 @@ GOLDEN_EXTRA = [
     "s_ivf_kmeans_codebook",
     "s_chunk_ann_recall",
     "t_decontaminate_incremental",
+    # round-12 second wave: the CMS sketch (256-row broadcast back onto
+    # the TakeOrdered candidates IS the scale claim) and the coverage
+    # curve's spectrum window. t_stream_decontaminate is golden-EXCLUDED:
+    # its report runs over per-batch localCheckpoint'ed frames, the
+    # t_stream_corpus_increments checkpoint-scan precedent — pinned by
+    # the differential gate + the no-document-scan executed-plan test.
+    "t_countmin_heavyhitters",
+    "t_vocab_coverage",
     # (q_text_intake / q_stream_substring_spans / q_jsonl_intake are in
     # HEADLINE and pinnable — normalize_plan strips the work-dir paths;
     # t_semdedup_clusters is HEADLINE too but golden-EXCLUDED below: its

@@ -170,6 +170,14 @@ BUDGET: dict[str, dict[str, int]] = {
     "m_media_neardup": {"single_part": 1},
     "t_split_leakage_audit": {"single_part": 2},
     "t_tfidf_topterms": {"bnlj": 1, "single_part": 1},
+    # r12 second wave: the coverage curve joins the |vocab|-row spectrum
+    # against a 4-row broadcast target list (inequality join → bnlj) and
+    # a 1-row total (cross ×2); the rank/cumsum window is the documented
+    # |vocab|-row single-partition sort, textual count doubled by the
+    # spectrum's two consumers (pick + coverage join) — all bounded by
+    # the spectrum, never the corpus. (t_countmin_heavyhitters lints
+    # clean: TakeOrdered candidates + broadcast 256-row sketch.)
+    "t_vocab_coverage": {"bnlj": 3, "single_part": 4},
 }
 
 

@@ -247,3 +247,125 @@ def test_bpe_oracle_matches_trainer_on_synthetic_corpus(tmp_path, spark):
     )
     want = sorted(con.sql(REGISTRY["t_tokenizer_fertility"].oracle).fetchall())
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Streaming decontamination (second wave)
+
+
+def test_stream_decontaminate_matches_increment(spark):
+    """Three chained spine merges must land exactly on the one-batch
+    stored-artifact increment (which itself equals the full recompute) —
+    the Spark-side half of the three-way shared-oracle claim."""
+    spark.catalog.clearCache()
+    stream = sorted(
+        map(tuple,
+            REGISTRY["t_stream_decontaminate"].fn(spark, SF_DIR)
+            .collect())
+    )
+    spark.catalog.clearCache()
+    inc = sorted(
+        map(tuple,
+            REGISTRY["t_decontaminate_incremental"].fn(spark, SF_DIR)
+            .collect())
+    )
+    assert stream == inc
+
+
+def test_stream_decontaminate_report_reads_no_document_text(spark):
+    """After the stream drains, the final report probes only carried
+    state (localCheckpoint'ed spine/test frames): its plan contains NO
+    documents.parquet scan — all text work happened inside the
+    micro-batches, the O(batch) steady-state claim."""
+    plan = (
+        REGISTRY["t_stream_decontaminate"].fn(spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "documents.parquet" not in plan, plan[:500]
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch
+
+
+def test_countmin_never_underestimates(spark):
+    """The CMS one-sided error bound: every estimate >= the exact count
+    (collisions only ever ADD mass), ranks are exactly 1..15."""
+    rows = (
+        REGISTRY["t_countmin_heavyhitters"].fn(spark, SF_DIR).collect()
+    )
+    assert sorted(r["rank"] for r in rows) == list(range(1, 16))
+    for r in rows:
+        assert r["cms_count"] >= r["exact_count"], r
+        assert r["overestimate"] == r["cms_count"] - r["exact_count"]
+
+
+def test_countmin_sketch_is_mergeable(spark):
+    """The scale claim: the sketch over the full corpus equals the
+    cell-wise SUM of sketches over any disjoint split — the property
+    that lets per-partition/per-day sketch arrays merge without ever
+    revisiting tokens."""
+    from personal_data_lakehouse_spark.plans.registry import t as t_
+    from personal_data_lakehouse_spark.plans.round12_ops import (
+        _cms_sketch,
+        _token_vocab,
+    )
+
+    docs = t_(spark, SF_DIR, "documents")
+    full = {
+        (r["j"], r["b"]): r["bc"]
+        for r in _cms_sketch(_token_vocab(docs)).collect()
+    }
+    merged: dict = {}
+    for part in (
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    ):
+        for r in _cms_sketch(_token_vocab(part)).collect():
+            k = (r["j"], r["b"])
+            merged[k] = merged.get(k, 0) + r["bc"]
+    assert full == merged
+
+
+# ---------------------------------------------------------------------------
+# Vocab coverage curve
+
+
+def test_vocab_coverage_minimal_and_monotone(spark):
+    """Each pick must actually reach its target, be MINIMAL (one fewer
+    type falls short), and the curve must be monotone in the target."""
+    from personal_data_lakehouse_spark.plans.registry import t as t_
+    from personal_data_lakehouse_spark.plans.round12_ops import (
+        _token_vocab,
+    )
+
+    rows = {
+        r["target_millis"]: r
+        for r in REGISTRY["t_vocab_coverage"].fn(spark, SF_DIR).collect()
+    }
+    assert sorted(rows) == [500, 900, 950, 990]
+    counts = sorted(
+        (
+            r["c"]
+            for r in _token_vocab(
+                t_(spark, SF_DIR, "documents")
+            ).collect()
+        ),
+        reverse=True,
+    )
+    total = sum(counts)
+    cum = 0
+    prefix = []
+    for c in counts:
+        cum += c
+        prefix.append(cum)
+    sizes = []
+    for tgt, r in sorted(rows.items()):
+        k = r["vocab_size"]
+        assert 1000 * prefix[k - 1] >= tgt * total, (tgt, k)
+        if k > 1:
+            assert 1000 * prefix[k - 2] < tgt * total, (tgt, k)
+        assert r["coverage_millis"] == 1000 * prefix[k - 1] // total
+        assert r["coverage_millis"] >= tgt
+        sizes.append(k)
+    assert sizes == sorted(sizes)
