@@ -66,10 +66,25 @@ def dedup_near_stage(docs: DataFrame) -> DataFrame:
 
 
 def rebalance_stage(docs: DataFrame) -> DataFrame:
-    """Temperature (α=0.5) domain rebalance: keep-prob sqrt(min_n/n_s)."""
+    """Temperature (α=0.5) domain rebalance: keep-prob sqrt(min_n/n_s).
+
+    min_n comes from a global window over the per-source counts rather
+    than a separate ``counts.agg(...)`` branch: the two-branch shape
+    consumed ``counts`` twice, and since ``counts`` is an aggregate over
+    the full ``docs`` subtree, Catalyst re-executed that subtree once per
+    branch — one extra full pass over the corpus-sized input per
+    invocation (guide §1.2/§2.4; r12 optimization). The window runs on
+    the |sources|-row count table (one tiny single-partition exchange),
+    so the corpus subtree now feeds rebalance exactly twice (counts +
+    the keep join) instead of three times."""
+    from pyspark.sql import Window
+
     counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
-    minn = counts.agg(F.min("n_s").alias("min_n"))
-    thr = counts.crossJoin(F.broadcast(minn)).select(
+    thr = counts.select(
+        "source",
+        "n_s",
+        F.min("n_s").over(Window.partitionBy()).alias("min_n"),
+    ).select(
         "source",
         "n_s",
         "min_n",

@@ -148,9 +148,17 @@ def build_state_detailed(docs: DataFrame) -> "IncrementResult":
     survivors (here the whole base corpus' — the "batch" is the backfill),
     ``persisted`` the internal LSH doc cache to release after the tables
     are written."""
-    base = intake(docs)
+    # r12 optimization (guide §1.2/§2.4): persist the gated corpus and the
+    # exact-kept survivors — ``base`` feeds the fingerprint ledger branch
+    # AND both sides of the exact-dedup join-back, ``kept`` feeds the LSH
+    # index build, the skeleton and (v2) the cell assignment; unpersisted,
+    # each branch re-ran the corpus intake/fingerprint text work. These
+    # are the intake/dedup_exact stage tables the managed pipeline writes
+    # (corpus_pipeline) — the persist is their lazy-composition form;
+    # both release via the IncrementResult barrier contract.
+    base = intake(docs).persist()
     fp = exact_dedup(base).select("fp", "keep_id")
-    kept = dedup_exact_stage(base)
+    kept = dedup_exact_stage(base).persist()
     lsh_docs, banded = lsh_index(kept)
     shingles = lsh_docs.select("doc_id", "shingles")
     # verified base×base edges from the same single index build
@@ -188,7 +196,9 @@ def build_state_detailed(docs: DataFrame) -> "IncrementResult":
         edges=edges,
         skeleton=_skeleton(kept),
     )
-    return IncrementResult(state=state, batch_kept=kept, persisted=[lsh_docs])
+    return IncrementResult(
+        state=state, batch_kept=kept, persisted=[lsh_docs, base, kept]
+    )
 
 
 @dataclass
@@ -241,11 +251,25 @@ def apply_increment_detailed(
     # stored (smaller-id) keeper; genuinely new fingerprints keep the
     # batch-min id — together exactly the union's min-id-per-fp rule.
     b_fpd = b_in.withColumn("fp", fingerprint("text"))
-    b_new = b_fpd.join(state.fp.select("fp"), "fp", "left_anti")
+    # r12 optimization (guide §1.2/§2.4): persist the anti-joined batch —
+    # the fp-ledger merge (via b_keep) and the survivor join both consume
+    # it, and each unpersisted consumer re-ran the batch intake gates +
+    # text fingerprint + ledger anti-join. Batch-sized; released by the
+    # IncrementResult barrier contract like the other increment caches.
+    b_new = b_fpd.join(state.fp.select("fp"), "fp", "left_anti").persist()
     b_keep = b_new.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
-    b_kept = b_new.join(
-        b_keep.select(F.col("keep_id").alias("doc_id")), "doc_id"
-    ).drop("fp")
+    # r12 optimization (guide §1.2/§2.4): persist the batch's exact-kept
+    # survivors — consumed by the LSH index build, the skeleton merge and
+    # (v2) the cell assignment; unpersisted, each consumer re-ran the
+    # intake gates + text fingerprint + ledger anti-join over the batch
+    # (~3 full batch-text passes per increment, ×batches in the stream
+    # loop). The cache is batch-sized (a daily delta), released by the
+    # standing ``IncrementResult.release()`` barrier contract.
+    b_kept = (
+        b_new.join(b_keep.select(F.col("keep_id").alias("doc_id")), "doc_id")
+        .drop("fp")
+        .persist()
+    )
 
     # LSH: index the batch survivors only; probe stored bands for
     # batch×corpus candidates, self-join for batch×batch.
@@ -315,8 +339,11 @@ def apply_increment_detailed(
             state.skeleton, _skeleton(b_kept), STATE_KEYS["skeleton"]
         ),
     )
-    # b_docs is the one frame lsh_index persisted for this increment
-    return IncrementResult(state=merged, batch_kept=b_kept, persisted=[b_docs])
+    # persisted: the batch LSH doc aggregate + the anti-joined batch +
+    # the batch survivors (r12)
+    return IncrementResult(
+        state=merged, batch_kept=b_kept, persisted=[b_docs, b_new, b_kept]
+    )
 
 
 def state_rollup(state: CorpusState, budget: int = 512) -> DataFrame:
@@ -331,9 +358,17 @@ def state_rollup(state: CorpusState, budget: int = 512) -> DataFrame:
     Both run on the sparse state: the closure on the edge table, the
     rest on the id+int skeleton — no text is read here."""
     labels = dedup_clusters(state.skeleton.select("doc_id"), state.edges)
+    # r12 optimization (guide §1.2/§2.4): persist the canonical-survivor
+    # skeleton — rebalance consumes it twice (count + keep-join branches)
+    # and the chain re-executed the merged-skeleton subtree once per
+    # branch (measured: 12 skeleton/fp/batch-documents scans in one
+    # incremental invocation; after: the merge subtree runs once). The
+    # frame is id+int rows (the skeleton contract — no text), so the
+    # cache is survivor-count-sized at any corpus scale; on a cluster it
+    # is the written stage table between closure and rebalance.
     survivors = state.skeleton.join(
         labels.filter(F.col("is_canonical")).select("doc_id"), "doc_id"
-    )
+    ).persist()
     staged = split_stage(rebalance_stage(survivors))
     return pipeline_rollup(packed_docs(staged, budget=budget, tok_col="tok"))
 

@@ -82,9 +82,21 @@ def t_corpus_pipeline_e2e(spark, sf_dir):
     )
 
     docs = t(spark, sf_dir, "documents")
-    staged = split_stage(
-        rebalance_stage(dedup_near_stage(dedup_exact_stage(intake(docs))))
-    )
+    # r12 optimization (guide §1.2/§2.4/§5): persist the two survivor
+    # frames each consumed by several downstream branches — without the
+    # caches Catalyst re-executes the whole upstream subtree once per
+    # branch (measured on the before-plan: 12 documents FileScans in one
+    # invocation, i.e. the corpus text re-gated/re-fingerprinted ~12×
+    # per run; after: the intake→exact and near-dedup subtrees execute
+    # once each). ``kept`` feeds the LSH index build, the closure's node
+    # set and the canonical join-back; ``near`` feeds the rebalance
+    # count/threshold branches and the keep join. At 100 TB these are
+    # exactly the stage tables the managed pipeline (corpus_pipeline)
+    # writes between stages — the persist is the lazy-composition form
+    # of that written intermediate (SCALE.md §13 precedent).
+    kept = dedup_exact_stage(intake(docs)).persist()
+    near = dedup_near_stage(kept).persist()
+    staged = split_stage(rebalance_stage(near))
     # the rollup (40-bit md5 id fingerprint + doc/token/bin counts) is the
     # shared corpus.pipeline_rollup — expression-identical to the r8 plan,
     # now also the incremental query's hashed surface

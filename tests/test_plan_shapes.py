@@ -130,15 +130,15 @@ def test_headline_exchange_budgets(spark):
         # the loop era EXECUTED cost: the adaptive closure replaced ~30
         # eager checkpoint/AQE jobs with one bounded collect (r8).
         "t_semdedup_clusters": 7,
-        # 39 textual = the six composed stages' exchanges (fingerprint
-        # dedup groupBy, banded LSH index re-printed per cached join
-        # side, closure label/size aggregates, rebalance count/min
-        # aggregates, packing window sort, final rollup) plus the
-        # driver-union-find label table's BroadcastExchange re-printed
-        # per cc consumer (r8 adaptive closure — a LocalTableScan of the
-        # sparse labels; the change cut EXECUTED closure cost from ~30
-        # eager checkpoint/AQE jobs to one bounded collect)
-        "t_corpus_pipeline_e2e": 39,
+        # 34 textual (r12 optimization: was 39) = the six composed
+        # stages' exchanges with the exact-kept and near-kept survivor
+        # frames now persisted — the upstream intake/dedup subtree prints
+        # once per InMemoryRelation instead of once per consumer branch
+        # (and EXECUTES once instead of ~6×: documents FileScans in the
+        # sf0.1 plan dropped 12 → 2, plans/r12/); rebalance's min now
+        # rides a global window over the |sources|-row count table
+        # (one tiny exchange) instead of a second counts branch
+        "t_corpus_pipeline_e2e": 34,
         # 1 = the language-bucket rollup over the streaming sink read-back
         "q_stream_jsonl_intake": 1,
         # 10 textual = cell-assign window exchange re-printed per cached
@@ -153,19 +153,27 @@ def test_headline_exchange_budgets(spark):
         # per consumer) + rebalance/split/pack/rollup — the corpus side
         # reads the five materialized state tables, so EXECUTED cost is
         # O(batch text) + sparse-state joins (see the query docstring)
-        "t_corpus_pipeline_incremental": 57,
+        # (r12: 57 → 70 textual — the three increment caches (anti-joined
+        # batch, batch survivors, canonical survivors) and the rebalance
+        # global-min window each add printed boundaries, and nested
+        # InMemoryRelations re-print their children per reference, while
+        # REMOVING executed re-runs of the merge subtree: documents/fp/
+        # skeleton scans in the sf0.1 plan dropped 12/12/12 → 2/2/4,
+        # plans/r12/ — the standing 'textual up, executed down' class)
+        "t_corpus_pipeline_incremental": 70,
         # 0 = the returned plan reads the decisions file sink back; all
         # per-batch work (assign, probe, greedy, append) ran inside
         # foreachBatch during the availableNow drain
         "q_stream_semdedup_admit_v2": 0,
-        # 57 textual — SAME count as the v1 incremental: the semantic
-        # stage's extra exchanges (batch cell window, stored-index probe,
+        # 70 textual — SAME count as the v1 incremental (and the same
+        # r12 textual-up/executed-down trade, see above): the semantic stage's extra
+        # exchanges (batch cell window, stored-index probe,
         # cells/sem_edges MERGE anti-joins, the edge-union distinct) all
         # feed the sparse edge table, which the adaptive closure COLLECTS
         # at plan build (driver union-find → broadcast LocalTableScan), so
         # they execute eagerly and never print in the returned plan; the
-        # 57 that do print are the v1 lexical funnel + derived stages
-        "t_corpus_pipeline_incremental_v2": 57,
+        # 70 that do print are the v1 lexical funnel + derived stages
+        "t_corpus_pipeline_incremental_v2": 70,
         # 7 textual = the persisted cell frame's assignment-window
         # exchange re-printed per self-join reference (the
         # t_embed_neardup pattern) + the pair-stage shuffle + the
@@ -177,12 +185,14 @@ def test_headline_exchange_budgets(spark):
         # labeling join; the Python decode (MapInPandas) sits inside the
         # cached relation, executed exactly once
         "m_media_neardup": 7,
-        # 27 textual = the final increment's derived-decision stages over
-        # the CHECKPOINTED carried state (closure label/size aggregates +
-        # label broadcast per consumer, rebalance count/min aggregates,
-        # packing window sort, final rollup) — the per-batch funnel ran
-        # inside foreachBatch; the checkpoint scans replace its lineage
-        "t_stream_corpus_increments": 27,
+        # 18 textual (r12 optimization: was 27) = the final increment's
+        # derived-decision stages over the CHECKPOINTED carried state
+        # (closure label/size aggregates + label broadcast per consumer,
+        # rebalance count/global-min window, packing window sort, final
+        # rollup) — the per-batch funnel ran inside foreachBatch; the
+        # r12 canonical-survivor persist stops the checkpointed-skeleton
+        # subtree re-printing (and re-executing) per derived branch
+        "t_stream_corpus_increments": 18,
     }
     assert set(budget) == set(HEADLINE)
     for name, allowed in budget.items():
