@@ -117,6 +117,34 @@ STATE_KEYS: dict[str, list[str]] = {
 }
 
 
+class _LazyCorpusState(CorpusState):
+    """``CorpusState`` whose fields may be ZERO-ARG THUNKS, resolved (and
+    memoized) on first attribute access.
+
+    r13 optimization (guide §1.2 order-1, §7.3 planning cost — VERDICT
+    r12 directive #1): every DataFrame operation pays Catalyst analysis
+    eagerly at construction, so building all five merged-state frames
+    per increment charges consumers that read only a subset — the
+    derived-decision rollup consumes skeleton+edges, yet paid the
+    fp/shingles/bands merge analyses on every invocation. A thunk field
+    defers that cost to first access; consumers that force everything
+    (``frames()`` — the stream loop's per-batch checkpoint barrier, the
+    managed-table MERGE) behave exactly as before. The resolved frame is
+    written back to the instance, so repeated access analyses once.
+
+    Plain-``DataFrame`` fields pass through untouched, which keeps
+    ``dataclasses.replace`` working: it forces every field (via getattr)
+    and rebuilds an instance holding materialized frames.
+    """
+
+    def __getattribute__(self, name):
+        val = object.__getattribute__(self, name)
+        if name in STATE_KEYS and callable(val):
+            val = val()
+            object.__setattr__(self, name, val)
+        return val
+
+
 def _skeleton(kept: DataFrame) -> DataFrame:
     return kept.select(
         "doc_id",
@@ -324,18 +352,25 @@ def apply_increment_detailed(
     )
     new_edges = _verified_pairs(cand, threshold)
 
-    merged = CorpusState(
-        fp=merge_insert_only(state.fp, b_keep, STATE_KEYS["fp"]),
-        shingles=merge_insert_only(
+    # r13 (guide §1.2/§7.3, VERDICT r12 directive #1): the merged frames
+    # are THUNKS — a consumer pays Catalyst analysis only for the tables
+    # it reads (the rollup reads skeleton+edges; the stream/MERGE paths
+    # force all five via frames() exactly as before). Same expressions,
+    # same results, deferred construction.
+    merged = _LazyCorpusState(
+        fp=lambda: merge_insert_only(state.fp, b_keep, STATE_KEYS["fp"]),
+        shingles=lambda: merge_insert_only(
             state.shingles, b_sh, STATE_KEYS["shingles"]
         ),
-        bands=merge_insert_only(
+        bands=lambda: merge_insert_only(
             state.bands,
             b_banded.select("doc_id", "band", "bucket"),
             STATE_KEYS["bands"],
         ),
-        edges=merge_insert_only(state.edges, new_edges, STATE_KEYS["edges"]),
-        skeleton=merge_insert_only(
+        edges=lambda: merge_insert_only(
+            state.edges, new_edges, STATE_KEYS["edges"]
+        ),
+        skeleton=lambda: merge_insert_only(
             state.skeleton, _skeleton(b_kept), STATE_KEYS["skeleton"]
         ),
     )
@@ -343,6 +378,56 @@ def apply_increment_detailed(
     # the batch survivors (r12)
     return IncrementResult(
         state=merged, batch_kept=b_kept, persisted=[b_docs, b_new, b_kept]
+    )
+
+
+@dataclass
+class RollupResult:
+    """``state_rollup_detailed``'s return: the rollup frame plus the
+    derived-stage chain's internal persists (merged skeleton + canonical
+    survivors), releasable once the caller has materialized the rollup.
+    Registered-query callers stay covered by the harness clearCache
+    contract; LOOPING callers (an increment-then-rollup-per-batch
+    driver) must ``release()`` after their barrier or one cached frame
+    pair accretes per call (the r9 ADVICE leak class)."""
+
+    rollup: DataFrame
+    persisted: list[DataFrame]
+
+    def release(self) -> None:
+        for frame in self.persisted:
+            frame.unpersist()
+
+
+def _rollup_from(
+    skeleton: DataFrame, edges: DataFrame, budget: int
+) -> RollupResult:
+    """The shared derived-decision chain over (skeleton, edges) — the
+    single body behind ``state_rollup`` and ``state_rollup_v2`` (the two
+    parity rollups cannot drift)."""
+    # r13 (VERDICT r12 directive #4, guide §2.4): persist the MERGED
+    # skeleton — both the closure's roster (the corpus-side left join in
+    # dedup_clusters) and the survivor join consume it, and each
+    # consumer's two-branch merge subtree re-scanned the skeleton
+    # artifact (4 scans per invocation in the r12 after-plan); cached,
+    # the merge executes once. id+int rows — survivor-count-sized at any
+    # corpus scale; on a cluster this is the written stage table.
+    skel = skeleton.persist()
+    labels = dedup_clusters(skel.select("doc_id"), edges)
+    # r12 optimization (guide §1.2/§2.4): persist the canonical-survivor
+    # skeleton — rebalance consumes it twice (count + keep-join branches)
+    # and the chain re-executed the merged-skeleton subtree once per
+    # branch (measured: 12 skeleton/fp/batch-documents scans in one
+    # incremental invocation; after: the merge subtree runs once).
+    survivors = skel.join(
+        labels.filter(F.col("is_canonical")).select("doc_id"), "doc_id"
+    ).persist()
+    staged = split_stage(rebalance_stage(survivors))
+    return RollupResult(
+        rollup=pipeline_rollup(
+            packed_docs(staged, budget=budget, tok_col="tok")
+        ),
+        persisted=[skel, survivors],
     )
 
 
@@ -356,21 +441,21 @@ def state_rollup(state: CorpusState, budget: int = 512) -> DataFrame:
     minima — previously-canonical base docs lose the flag) and the
     temperature-rebalance thresholds (global per-source counts moved).
     Both run on the sparse state: the closure on the edge table, the
-    rest on the id+int skeleton — no text is read here."""
-    labels = dedup_clusters(state.skeleton.select("doc_id"), state.edges)
-    # r12 optimization (guide §1.2/§2.4): persist the canonical-survivor
-    # skeleton — rebalance consumes it twice (count + keep-join branches)
-    # and the chain re-executed the merged-skeleton subtree once per
-    # branch (measured: 12 skeleton/fp/batch-documents scans in one
-    # incremental invocation; after: the merge subtree runs once). The
-    # frame is id+int rows (the skeleton contract — no text), so the
-    # cache is survivor-count-sized at any corpus scale; on a cluster it
-    # is the written stage table between closure and rebalance.
-    survivors = state.skeleton.join(
-        labels.filter(F.col("is_canonical")).select("doc_id"), "doc_id"
-    ).persist()
-    staged = split_stage(rebalance_stage(survivors))
-    return pipeline_rollup(packed_docs(staged, budget=budget, tok_col="tok"))
+    rest on the id+int skeleton — no text is read here.
+
+    Internal persists (merged skeleton, canonical survivors) have no
+    release path through THIS signature — the registered queries rely on
+    the harness clearCache contract; a looping caller should use
+    ``state_rollup_detailed`` and ``release()`` after materializing."""
+    return state_rollup_detailed(state, budget).rollup
+
+
+def state_rollup_detailed(
+    state: CorpusState, budget: int = 512
+) -> RollupResult:
+    """``state_rollup`` plus the releasable persist handles (r12 ADVICE:
+    the rollup's internal persists previously leaked in increment loops)."""
+    return _rollup_from(state.skeleton, state.edges, budget)
 
 
 # ---------------------------------------------------------------------------
@@ -433,6 +518,23 @@ STATE_KEYS_V2: dict[str, list[str]] = {
     "cells": ["doc_id"],
     "sem_edges": ["id_a", "id_b"],
 }
+
+
+class _LazyCorpusStateV2(CorpusStateV2):
+    """``CorpusStateV2`` with thunk-able ``cells``/``sem_edges`` fields —
+    the v2 counterpart of ``_LazyCorpusState`` (same contract: resolve
+    and memoize on first access; the v2 rollup reads skeleton, lexical
+    edges and sem_edges, so the cells merge is analyzed only by
+    consumers that actually read it)."""
+
+    _V2_LAZY = ("cells", "sem_edges")
+
+    def __getattribute__(self, name):
+        val = object.__getattribute__(self, name)
+        if name in _LazyCorpusStateV2._V2_LAZY and callable(val):
+            val = val()
+            object.__setattr__(self, name, val)
+        return val
 
 
 def _doc_cells(
@@ -569,14 +671,20 @@ def apply_increment_v2_detailed(
     # smaller under the append-only invariant; the helper's id_a < id_b
     # filter doubles as the same contract-violation defense as v1's) and
     # batch×batch. Disjoint by the invariant → plain union, no dedup.
-    new_sem = _sem_pairs(state.cells, b_cells).unionByName(
-        _sem_pairs(b_cells, b_cells)
-    )
-    merged_v2 = CorpusStateV2(
+    # r13: thunk fields like the v1 merge block — the v2 rollup reads
+    # skeleton/edges/sem_edges, so the cells merge (and the pair-probe
+    # construction when sem_edges goes unread) is analyzed on demand.
+    merged_v2 = _LazyCorpusStateV2(
         lex=inc.state,
-        cells=merge_insert_only(state.cells, b_cells, STATE_KEYS_V2["cells"]),
-        sem_edges=merge_insert_only(
-            state.sem_edges, new_sem, STATE_KEYS_V2["sem_edges"]
+        cells=lambda: merge_insert_only(
+            state.cells, b_cells, STATE_KEYS_V2["cells"]
+        ),
+        sem_edges=lambda: merge_insert_only(
+            state.sem_edges,
+            _sem_pairs(state.cells, b_cells).unionByName(
+                _sem_pairs(b_cells, b_cells)
+            ),
+            STATE_KEYS_V2["sem_edges"],
         ),
     )
     return IncrementResult(
@@ -589,17 +697,27 @@ def apply_increment_v2_detailed(
 def state_rollup_v2(state: CorpusStateV2, budget: int = 512) -> DataFrame:
     """The derived decisions over the MERGED edge set — lexical ∪ semantic
     (UNION-distinct: a pair can be near in both senses) — then the exact
-    v1 rollup. Reuses ``state_rollup`` verbatim on a lexical state whose
-    edge table is the union, so the v2 and v1 derived stages cannot
-    drift; the closure still runs on a sparse edge table, the rest on the
-    id+int skeleton, no text and no vectors read."""
-    from dataclasses import replace
+    v1 rollup. Runs the SAME ``_rollup_from`` body as ``state_rollup``
+    on a lexical edge table unioned with the semantic edges, so the v2
+    and v1 derived stages cannot drift; the closure still runs on a
+    sparse edge table, the rest on the id+int skeleton, no text and no
+    vectors read. (r13: routed through ``_rollup_from`` directly instead
+    of ``dataclasses.replace`` — replace() forces every field of a lazy
+    merged state, re-paying the fp/shingles/bands merge analyses the
+    rollup never reads.) Internal persists: same contract as
+    ``state_rollup`` — use ``state_rollup_v2_detailed`` when looping."""
+    return state_rollup_v2_detailed(state, budget).rollup
 
+
+def state_rollup_v2_detailed(
+    state: CorpusStateV2, budget: int = 512
+) -> RollupResult:
+    """``state_rollup_v2`` plus the releasable persist handles."""
     merged_edges = (
         state.lex.edges.unionByName(state.sem_edges)
         .dropDuplicates(["id_a", "id_b"])
     )
-    return state_rollup(replace(state.lex, edges=merged_edges), budget)
+    return _rollup_from(state.lex.skeleton, merged_edges, budget)
 
 
 # ---------------------------------------------------------------------------
@@ -636,8 +754,10 @@ def run_increment(
     Cache invalidation is SCOPED to this run's own persists (r10, per
     r9 ADVICE — the previous entry-point ``clearCache()`` dropped every
     cached frame process-wide): the only CacheManager entries an
-    increment creates are its internal persists (the batch LSH doc
-    aggregate), and THOSE were the r9 stale-plan bug — a later run's
+    increment creates are its three internal persists (the batch LSH
+    doc aggregate ``b_docs``, the ledger-anti-joined batch ``b_new``,
+    and the batch exact-kept survivors ``b_kept`` — r12 added the
+    latter two), and entries of that class were the r9 stale-plan bug — a later run's
     structurally-identical plan matched the previous run's cached entry,
     which held pre-swap file listings of the stage tables. Releasing
     them after the localCheckpoint barrier (lineage severed, so the

@@ -13,11 +13,59 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# spread()'s partition probe, memoized (r13, guide §1.2 per-task work →
+# §7.3 planning cost): ``df.rdd.getNumPartitions()`` runs the FULL
+# physical pipeline for the probe's throwaway QueryExecution — analysis,
+# CacheManager lookup, physical planning and whole-stage codegen COMPILE
+# of the entire subtree. Measured at sf0.1: ~0.1 s on a bare scan, but
+# 0.35–0.5 s on the incremental batch funnel and 3.3 s on the e2e
+# exact-dedup survivor tree — paid once per lsh_index/kernel call, per
+# invocation, per stream micro-batch (the probe's work is NOT reused by
+# the later real execution, which plans its own tree). The partition
+# count is a pure function of (leaf file set, schema, shuffle-partition
+# setting, target) for every plan shape this library probes — narrow +
+# broadcast lineages keep the scan layout, wide ops emit
+# spark.sql.shuffle.partitions — so the answer is cached on that key
+# and each distinct plan shape pays the probe once per process.
+#
+# Honesty note: two plans agreeing on (leaves, schema, conf) but
+# differing in wide-op structure would share an entry; the cached
+# decision then inserts (or skips) one round-robin exchange — a
+# parallelism heuristic either way, NEVER a semantics change (spread's
+# output rows are identical with or without the repartition). Frames
+# with no file leaves (checkpointed/RDD-rooted state inside streaming
+# loops) carry an empty leaf set and hit the same rule keyed on schema.
+_SPREAD_CACHE: dict[tuple, int] = {}
+_SPREAD_CACHE_CAP = 512
+
+
+def probed_num_partitions(df: DataFrame) -> int:
+    """``df.rdd.getNumPartitions()`` behind the memo above."""
+    spark = df.sparkSession
+    try:
+        key = (
+            tuple(sorted(df.inputFiles())),
+            df.schema.simpleString(),
+            spark.conf.get("spark.sql.shuffle.partitions"),
+            spark.sparkContext.defaultParallelism,
+        )
+    except Exception:
+        key = None
+    n = _SPREAD_CACHE.get(key) if key is not None else None
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        if key is not None:
+            if len(_SPREAD_CACHE) >= _SPREAD_CACHE_CAP:
+                _SPREAD_CACHE.clear()  # bound a long-lived stream driver
+            _SPREAD_CACHE[key] = n
+    return n
+
+
 def spread(df: DataFrame) -> DataFrame:
     """Round-robin repartition a compute-heavy input across all cores when
     the scan produced fewer splits than the cluster has slots."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(target) if df.rdd.getNumPartitions() < target else df
+    return df.repartition(target) if probed_num_partitions(df) < target else df
 
 
 def sharded_global_positions(

@@ -70,7 +70,7 @@ def _materialized_base_state(spark, sf_dir, base_docs, tag="corpinc"):
     the _SUCCESS gate checks completeness, not which split wrote it."""
     from personal_data_lakehouse_spark.corpus_incremental import (
         CorpusState,
-        build_state,
+        build_state_detailed,
     )
     from personal_data_lakehouse_spark.streaming.windows import (
         source_fixture_dir,
@@ -84,10 +84,17 @@ def _materialized_base_state(spark, sf_dir, base_docs, tag="corpinc"):
         if not ready:
             missing.append(n)
     if missing:
-        st = build_state(base_docs).frames()
+        # detailed + release (r12 ADVICE): the plain build_state wrapper
+        # dropped the IncrementResult, pinning the backfill's corpus-text
+        # caches (gated base + exact survivors + LSH doc aggregate) for
+        # the rest of the process AFTER the stage tables were already on
+        # parquet — dead weight past this write barrier.
+        built = build_state_detailed(base_docs)
+        st = built.state.frames()
         npart = spark.sparkContext.defaultParallelism
         for n in missing:
             st[n].coalesce(npart).write.mode("overwrite").parquet(dirs[n])
+        built.release()
     return CorpusState(
         **{n: read_parquet_cached(spark, dirs[n]) for n in _STATE_NAMES}
     )

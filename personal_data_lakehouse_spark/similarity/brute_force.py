@@ -76,9 +76,13 @@ def cosine_topk(
     partitions ≫ cores, so the gate never fires and no exchange is added
     at scale.
     """
+    from personal_data_lakehouse_spark.operators.partitioning import (
+        probed_num_partitions,
+    )
+
     if min_parallelism is None:
         min_parallelism = candidates.sparkSession.sparkContext.defaultParallelism
-    if candidates.rdd.getNumPartitions() < min_parallelism:
+    if probed_num_partitions(candidates) < min_parallelism:
         candidates = candidates.repartition(min_parallelism)
     q = queries.withColumn("_qn", norm_col(query_vec))
     c = candidates.withColumn("_cn", norm_col(cand_vec))
