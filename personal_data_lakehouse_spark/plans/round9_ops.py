@@ -190,6 +190,17 @@ def _v2_greedy(threshold: float):
     on each row (never recomputed here), and rounding replays Spark's
     ``round(x, 6)`` exactly — BigDecimal.valueOf(double) parses the
     SHORTEST decimal string, which is Python's repr(), then HALF_UP.
+
+    r13 fusion (guide §2.4/§4, VERDICT r12 directive #3): the input is
+    the UNION of the cell's arrival rows (``is_arr``) and its
+    Spark-filtered external match rows (arrival vec_id + matched
+    ``ext_cl``) — the per-arrival ext aggregation (match count, min
+    matched cluster) now happens HERE, inside the per-cell pass the
+    batch already pays, instead of a separate groupBy("vec_id")
+    exchange plus a join back onto the arrivals. Integer count/min over
+    the identical Spark-filtered match set — bit-equal to the old
+    aggregate; the cosine filter itself stays Spark-side, so nothing
+    beyond the match rows crosses Arrow.
     """
     thr = float(threshold)
 
@@ -210,7 +221,11 @@ def _v2_greedy(threshold: float):
                 )
             )
 
-        rows = pdf.sort_values("vec_id").to_dict("records")
+        arr = pdf[pdf["is_arr"]]
+        ext = pdf[~pdf["is_arr"]]
+        ext_n_by_id = ext.groupby("vec_id").size().to_dict()
+        ext_mcl_by_id = ext.groupby("vec_id")["ext_cl"].min().to_dict()
+        rows = arr.sort_values("vec_id").to_dict("records")
         admitted_sofar = []  # [(vec_id, embedding, _vn)] in arrival order
         out = []
         for r in rows:
@@ -221,10 +236,9 @@ def _v2_greedy(threshold: float):
                 for uid, uvec, uvn in admitted_sofar
                 if _round6(_dot(uvec, vec) / (uvn * vn)) >= thr
             ]
-            ext_n = int(r["ext_n"]) if _pd.notna(r["ext_n"]) else 0
-            ext_mcl = (
-                int(r["ext_mcl"]) if _pd.notna(r["ext_mcl"]) else None
-            )
+            ext_n = int(ext_n_by_id.get(vid, 0))
+            mcl = ext_mcl_by_id.get(vid)
+            ext_mcl = int(mcl) if mcl is not None and _pd.notna(mcl) else None
             n_matches = ext_n + len(intra)
             admit = n_matches == 0
             if admit:
@@ -302,6 +316,11 @@ def online_semdedup_admit(
 
     def process_batch(batch, bid):
         bs = batch.sparkSession
+        # persisted: the Spark-filtered match branch and the arrival
+        # branch of the fused per-cell pass both consume the assignment
+        # (both scans sit inside the batch's ONE write action, so the
+        # cache fills during that action — no extra job); released right
+        # after the write barrier.
         asg = assign_cells(batch, cents, "vec_id", "embedding", n=1)
         # the decisions dir IS the admit index: earlier batches' admitted
         # rows carry (cell, embedding, _vn); an admit founded its own
@@ -329,19 +348,36 @@ def online_semdedup_admit(
             / (F.col("_vn") * F.col("_cn")),
             6,
         )
-        m = (
+        # r13 fusion (guide §2.4, VERDICT r12 directive #3): the old
+        # chain aggregated matches per vec_id (one exchange) and joined
+        # the aggregate back onto the arrivals (a second probe) before
+        # the per-cell pass. The per-arrival count/min is computable
+        # INSIDE that per-cell pass, so the match rows now ride the same
+        # groupBy("cell") exchange as the arrivals: per batch the plan
+        # is assign → one probe join (Spark-side cosine filter, only
+        # match rows survive) → one cell exchange → one Arrow pass →
+        # one epoch-keyed write.
+        matches = (
             asg.join(idx, "cell")
             .filter(sim >= F.lit(threshold))
-            .groupBy("vec_id")
-            .agg(
-                F.min("cluster_id").alias("ext_mcl"),
-                F.count(F.lit(1)).cast("long").alias("ext_n"),
+            .select(
+                "cell",
+                "vec_id",
+                F.lit(None).cast("array<float>").alias("embedding"),
+                F.lit(None).cast("double").alias("_vn"),
+                F.col("cluster_id").alias("ext_cl"),
+                F.lit(False).alias("is_arr"),
             )
         )
-        enriched = asg.join(m, "vec_id", "left").select(
-            "vec_id", "cell", "embedding", "_vn", "ext_mcl", "ext_n"
+        arrivals = asg.select(
+            "cell",
+            "vec_id",
+            "embedding",
+            "_vn",
+            F.lit(None).cast("long").alias("ext_cl"),
+            F.lit(True).alias("is_arr"),
         )
-        enriched.groupBy("cell").applyInPandas(
+        arrivals.unionByName(matches).groupBy("cell").applyInPandas(
             greedy, _V2_DEC_SCHEMA
         ).write.mode("overwrite").parquet(
             os.path.join(out_dir, f"b{int(bid)}")

@@ -1561,3 +1561,43 @@ def test_file_stream_delivers_oldest_mtime_first(spark, tmp_path):
     )
     drain_stream_foreach(stream, str(tmp_path / "work"), pb)
     assert [vals for _bid, vals in sorted(seen)] == [[1], [2], [3]], seen
+
+
+def test_v2_greedy_fused_ext_aggregation():
+    """r13 fusion: the per-cell resolver receives arrival rows UNIONed
+    with Spark-filtered external match rows and must reproduce the old
+    groupBy("vec_id") aggregate exactly — ext_n = match-row count,
+    ext_mcl = min matched cluster — while keeping the sequential
+    intra-batch contract (earlier admit rejects a later near-dup)."""
+    import pandas as pd
+
+    from personal_data_lakehouse_spark.plans.round9_ops import _v2_greedy
+
+    greedy = _v2_greedy(0.9)
+    v = [1.0, 0.0]
+    rows = pd.DataFrame(
+        [
+            # arrivals (vec_id order is the admission order): 10 matches
+            # the corpus twice (clusters 7 then 3); 12 is a near-dup of
+            # nothing external but identical to... nothing -> admit;
+            # 14 is identical to 12 -> intra rejection, cluster 12.
+            {"cell": 5, "vec_id": 10, "embedding": v, "_vn": 1.0,
+             "ext_cl": None, "is_arr": True},
+            {"cell": 5, "vec_id": 12, "embedding": [0.0, 1.0], "_vn": 1.0,
+             "ext_cl": None, "is_arr": True},
+            {"cell": 5, "vec_id": 14, "embedding": [0.0, 1.0], "_vn": 1.0,
+             "ext_cl": None, "is_arr": True},
+            # external match rows for vec_id 10 (payload columns null)
+            {"cell": 5, "vec_id": 10, "embedding": None, "_vn": None,
+             "ext_cl": 7, "is_arr": False},
+            {"cell": 5, "vec_id": 10, "embedding": None, "_vn": None,
+             "ext_cl": 3, "is_arr": False},
+        ]
+    )
+    out = greedy(rows).sort_values("vec_id").to_dict("records")
+    assert [(r["vec_id"], r["admitted"], r["cluster_id"], r["n_matches"])
+            for r in out] == [
+        (10, False, 3, 2),   # two external matches, min cluster 3
+        (12, True, 12, 0),   # founds its own cluster
+        (14, False, 12, 1),  # intra rejection against 12's admit
+    ]
