@@ -580,18 +580,23 @@ def main() -> None:
     baseline17 = round(sum(timings[n] for n in R1_BASELINE if n in timings), 3)
     cert = cross_run_certificate(code_fingerprint(), sf, baseline17, total)
     inc_record = incremental_vs_rebuild(spark, sf_dir)
+    # The STDOUT line (r13, VERDICT r12 directive #2): the driver captures
+    # a bounded TAIL of stdout, and r11's record embedded five per-query
+    # dicts (~9 KB) — the capture started mid-object, BENCH_r11.json
+    # parsed null, and the r12 round-over-round comparison was empty.
+    # The final line now carries ONLY the contract fields (metric, value,
+    # unit, per-query medians, sf) plus scalar attribution totals and the
+    # certificate summary (~2 KB); every per-query dict (cold_plan,
+    # cold_plan2, cold_exec, warm_runs, canary_runs), the name lists, the
+    # full cert vector and the incremental record live in
+    # BENCH_LATEST.json ("detail"). Nothing is dropped from the detail
+    # record; nothing was removed or renamed in "queries".
     headline = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "baseline17": baseline17,
-        # VERDICT r7 item 6: the headline set grows across rounds, so the
-        # record is self-describing — the FROZEN baseline17 name list (the
-        # r1-comparable trend series), the current full set, and both
-        # subtotals, so no cross-round comparison needs a footnote.
-        "baseline17_set": R1_BASELINE,
-        "headline_set": names,
         # ("headline_total" dropped per r8 ADVICE: it duplicated "value" —
         # one canonical field for the headline sum.)
         "n_headline": len(names),
@@ -604,7 +609,11 @@ def main() -> None:
         # not as a gate.
         "canary_quiet": all(s["quiet"] for s in official),
         "quiet_box": cert["cert_agree"],
-        "cert": cert,
+        # compact cert summary — the full run vector stays in the detail
+        # record and BENCH_CERT.json (its standing home)
+        "cert_band_pct": cert["cert_band_pct"],
+        "cert_n_runs": cert["cert_n_runs"],
+        "fingerprint": cert["fingerprint"],
         "n_sweeps": len(sweeps),
         "n_official_sweeps": len(official),
         # cold attribution (VERDICT r5 item 5): registry import is a
@@ -614,27 +623,25 @@ def main() -> None:
         "cold_total": round(sum(cold_out["cold_queries"].values()), 3),
         "cold_plan_total": round(sum(cold_out["cold_plan"].values()), 3),
         "cold_exec_total": round(sum(cold_out["cold_exec"].values()), 3),
-        # VERDICT r8 item 7: per-query cold-plan times in the headline
-        # record itself (not only BENCH_LATEST), so a pathological codegen
-        # plan (the t_dedup_cluster_stats precedent) is attributable from
-        # the driver's BENCH_rN artifact the round it appears.
-        "cold_plan": cold_out["cold_plan"],
-        # r10 (VERDICT r9 item 3): the second same-process plan build —
-        # cold_plan minus this is one-time fixture/artifact manufacture;
-        # this is the recurring per-invocation Catalyst analysis cost
-        "cold_plan2": cold_out["cold_plan2"],
         "cold_plan2_total": round(sum(cold_out["cold_plan2"].values()), 3),
         "import_sec": import_sec,
-        # VERDICT r9 item 6: the incremental scale claim as a measured
-        # ratio — one 20%-batch increment against the materialized base
-        # state vs a full five-table rebuild (both fully materialized;
-        # measured after the sweeps, see incremental_vs_rebuild)
-        "incremental": inc_record,
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 4),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "detail": "BENCH_LATEST.json",
     }
     full = dict(
         headline,
+        # VERDICT r7 item 6: the record stays self-describing — the FROZEN
+        # baseline17 name list (the r1-comparable trend series) and the
+        # current full set live in the detail record.
+        baseline17_set=R1_BASELINE,
+        headline_set=names,
+        cert=cert,
+        # VERDICT r9 item 6: the incremental scale claim as a measured
+        # ratio — one 20%-batch increment against the materialized base
+        # state vs a full five-table rebuild (both fully materialized;
+        # measured after the sweeps, see incremental_vs_rebuild)
+        incremental=inc_record,
         warm_runs={
             n: [r for s in official for r in s["warm_runs"][n]]
             for n in names

@@ -341,6 +341,19 @@ def t_stream_corpus_increments_v2(spark, sf_dir):
     )
     work = stream_work_dir("corpincstream2")
     carried = {"state": state0}
+    # r13: cap carried-state partition growth per batch (see the v1
+    # stream capstone's comment — same defect, seven tables here)
+    from personal_data_lakehouse_spark.operators.partitioning import (
+        probed_num_partitions,
+    )
+
+    _caps = {
+        n: max(
+            spark.sparkContext.defaultParallelism,
+            probed_num_partitions(f),
+        )
+        for n, f in state0.frames().items()
+    }
 
     def process_batch(batch, _bid):
         from concurrent.futures import ThreadPoolExecutor
@@ -353,7 +366,12 @@ def t_stream_corpus_increments_v2(spark, sf_dir):
             cps = dict(
                 zip(
                     frames,
-                    ex.map(lambda f: f.localCheckpoint(), frames.values()),
+                    ex.map(
+                        lambda kv: kv[1]
+                        .coalesce(_caps[kv[0]])
+                        .localCheckpoint(),
+                        frames.items(),
+                    ),
                 )
             )
         # barrier passed → lineage severed: release the batch LSH doc

@@ -877,6 +877,9 @@ def t_stream_corpus_increments(spark, sf_dir):
         apply_increment_detailed,
         state_rollup,
     )
+    from personal_data_lakehouse_spark.operators.partitioning import (
+        probed_num_partitions,
+    )
     from personal_data_lakehouse_spark.streaming.windows import (
         drain_stream_foreach,
         stream_work_dir,
@@ -894,6 +897,22 @@ def t_stream_corpus_increments(spark, sf_dir):
     src, doc_schema = delta_stream_source(spark, sf_dir, batch_docs)
     work = stream_work_dir("corpincstream")
     carried = {"state": state0}
+    # r13 (guide §2.2 fewer/larger partitions): each per-batch checkpoint
+    # UNIONs the carried state with the batch inserts, so the carried
+    # frames gained ~one partition-set per batch forever (measured at
+    # sf0.1: shingles 40 → 48 → 56 over three batches — unbounded on an
+    # unbounded stream, near-empty slivers dragging every later batch's
+    # barrier and the final rollup). Cap each frame at max(cores, its
+    # partition count at state-load) — coalesce never splits, so a
+    # 100 TB state that legitimately arrives with partitions ≫ cores
+    # keeps them; only the per-batch sliver growth is folded back.
+    _caps = {
+        n: max(
+            spark.sparkContext.defaultParallelism,
+            probed_num_partitions(f),
+        )
+        for n, f in state0.frames().items()
+    }
 
     def process_batch(batch, _bid):
         from concurrent.futures import ThreadPoolExecutor
@@ -916,7 +935,8 @@ def t_stream_corpus_increments(spark, sf_dir):
                 zip(
                     frames,
                     ex.map(
-                        lambda f: f.localCheckpoint(), frames.values()
+                        lambda kv: kv[1].coalesce(_caps[kv[0]]).localCheckpoint(),
+                        frames.items(),
                     ),
                 )
             )
